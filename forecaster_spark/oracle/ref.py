@@ -1,0 +1,529 @@
+"""NumPy golden oracle for the reference Forecaster's numerical semantics.
+
+Each function cites the reference code (path:line under ``/root/reference``)
+whose observable output it reproduces; reproduction was verified by executing
+the reference during the survey (SURVEY.md §2, ✔exec marks). No code is
+copied — the reference depends on sklearn/statsmodels which are unavailable
+here, so scalers, OLS, and Yule-Walker are derived from their published
+definitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: number of following values used by the weighted backcast
+#: (reference: Util/build_matrix.py:20)
+Q_MEAN = 2
+
+
+# ---------------------------------------------------------------------------
+# backfill / backcast  (Util/build_matrix.py:22-86)
+# ---------------------------------------------------------------------------
+
+def backcast_weighted(z: np.ndarray, i: int = 0) -> float:
+    """Weighted average of the next ``Q_MEAN`` values, weights [1..q]/sum
+    applied to the *reversed* slice ``z[i:i+q][::-1]``.
+
+    Reference: Util/build_matrix.py:22-42 (``backcast``).
+    With q=2 this is ``(1*z[i+1] + 2*z[i]) / 3``.
+    """
+    w = np.arange(1, Q_MEAN + 1, dtype=float)
+    w /= w.sum()
+    return float(w @ z[i : i + Q_MEAN][::-1])
+
+
+def backfill_column(col: np.ndarray) -> np.ndarray:
+    """Replace *leading zeros* of a 1-D series right-to-left with backcasts.
+
+    Reference: Util/build_matrix.py:44-65 (``backfill``). A zero sentinel is
+    prepended, the index of the first non-zero found, and positions are
+    filled from that index down to 0 — each fill sees previously filled
+    values (sequential dependency).
+    ✔exec: [0,0,0,5,7,9] → [0.185185, 0.555556, 1.666667, 5, 7, 9].
+    """
+    z = np.concatenate(([0.0], np.asarray(col, dtype=float)))
+    first_nz = int(np.argmax(z != 0.0)) - 1
+    for k in range(first_nz, -1, -1):
+        z[k] = backcast_weighted(z, k)
+    return z[1:]
+
+
+def backfill_matrix(xe: np.ndarray) -> np.ndarray:
+    """Column-wise ``backfill_column``. Reference: Util/build_matrix.py:67-86."""
+    out = np.asarray(xe, dtype=float).copy()
+    for j in range(out.shape[1]):
+        out[:, j] = backfill_column(out[:, j])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# trend / lag / lead matrices  (Util/build_matrix.py:88-186)
+# ---------------------------------------------------------------------------
+
+def trend_matrix(m: int, spec: int = 1, lwave: int = 20) -> np.ndarray:
+    """Cumulative trend features by ``spec``: 2→t/m, 3→((t−m/2)²)/(m/2)²,
+    4→sin(2πt/lwave), 5→cos(2πt/lwave). Shape (m, spec−1).
+
+    Reference: Util/build_matrix.py:88-129 (``build_trend_matrix``).
+    """
+    if spec not in (1, 2, 3, 4, 5):
+        raise ValueError("trend spec must be in 1..5")
+    t = np.arange(m, dtype=float)
+    cols = []
+    if spec >= 2:
+        cols.append(t / m)
+    if spec >= 3:
+        half = m / 2.0
+        cols.append((t - half) ** 2 / half**2)
+    if spec >= 4:
+        cols.append(np.sin(t * 2.0 * np.pi / lwave))
+    if spec == 5:
+        cols.append(np.cos(t * 2.0 * np.pi / lwave))
+    return np.column_stack(cols) if cols else np.zeros((m, 0))
+
+
+def lag_matrix(z: np.ndarray, p: int) -> np.ndarray:
+    """Lagged matrix: row t = [z[t−p], …, z[t−1]] (farthest lag first), with
+    out-of-range positions replaced by z[0].
+
+    Reference: Util/build_matrix.py:131-159 (``build_lagged_matrix``); the
+    docstring there claims column i = lag i+1 but execution shows column i
+    holds lag p−i (SURVEY.md §1.1) — this matches the executed behavior.
+    """
+    z = np.asarray(z, dtype=float)
+    n = len(z)
+    padded = np.concatenate((np.full(p, z[0]), z[:-1]))
+    idx = np.arange(n)[:, None] + np.arange(p)[None, :]
+    return padded[idx]
+
+
+def lead_matrix(y: np.ndarray, hh: int) -> np.ndarray:
+    """Direct-forecast target matrix: column i = y shifted left by i, tail
+    zero-padded. Reference: Util/build_matrix.py:163-186 (``build_matrix_Y``).
+    """
+    y = np.asarray(y, dtype=float)
+    if hh <= 1:
+        return y.reshape(-1, 1)
+    padded = np.concatenate((y, np.zeros(hh - 1)))
+    idx = np.arange(len(y))[:, None] + np.arange(hh)[None, :]
+    return padded[idx]
+
+
+# ---------------------------------------------------------------------------
+# scalers  (sklearn-equivalent, fit on full data; forecaster.py:63-64,
+#           arx.py:134-151)
+# ---------------------------------------------------------------------------
+
+class MinMaxScaler:
+    """Column-wise min-max scaler onto ``feature_range`` (reference default
+    (0,4) — forecaster.py:64 ``_lu``). Matches sklearn's formula
+    ``x_scaled = (x − min)/(max − min) * (hi − lo) + lo`` with the
+    zero-range guard (scale divisor of 0 treated as 1).
+    """
+
+    def __init__(self, feature_range: tuple[float, float] = (0.0, 4.0)):
+        self.lo, self.hi = feature_range
+
+    def fit(self, x: np.ndarray) -> "MinMaxScaler":
+        x = np.asarray(x, dtype=float)
+        self.data_min_ = x.min(axis=0)
+        self.data_max_ = x.max(axis=0)
+        rng = self.data_max_ - self.data_min_
+        rng = np.where(rng == 0.0, 1.0, rng)
+        self.scale_ = (self.hi - self.lo) / rng
+        return self
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        return self.fit(x).transform(x)
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, dtype=float) - self.data_min_) * self.scale_ + self.lo
+
+    def inverse_transform(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, dtype=float) - self.lo) / self.scale_ + self.data_min_
+
+
+class StandardScaler:
+    """Column-wise (x − mean)/std with population std, matching sklearn.
+    Using it as the y-scaler disables non-negativity rectification
+    (reference: arx.py:136)."""
+
+    def fit(self, x: np.ndarray) -> "StandardScaler":
+        x = np.asarray(x, dtype=float)
+        self.mean_ = x.mean(axis=0)
+        std = x.std(axis=0)
+        self.scale_ = np.where(std == 0.0, 1.0, std)
+        return self
+
+    def fit_transform(self, x: np.ndarray) -> np.ndarray:
+        return self.fit(x).transform(x)
+
+    def transform(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, dtype=float) - self.mean_) / self.scale_
+
+    def inverse_transform(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x, dtype=float) * self.scale_ + self.mean_
+
+
+# ---------------------------------------------------------------------------
+# QoF metrics  (Util/tools.py:42-178)
+# ---------------------------------------------------------------------------
+
+def mse(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Util/tools.py:42-58."""
+    return float(np.mean((y_true - y_pred) ** 2))
+
+
+def mae(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Util/tools.py:61-77."""
+    return float(np.mean(np.abs(y_true - y_pred)))
+
+
+def r2(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """1 − SSres/SStot, returning 0.0 when SStot == 0. Util/tools.py:80-100."""
+    ss_tot = float(np.sum((y_true - np.mean(y_true)) ** 2))
+    if ss_tot == 0.0:
+        return 0.0
+    return float(1.0 - np.sum((y_true - y_pred) ** 2) / ss_tot)
+
+
+def r2_adjusted(y_true: np.ndarray, y_pred: np.ndarray, n_features: int) -> float:
+    """NaN when m ≤ k+1. Util/tools.py:103-125."""
+    m = len(y_true)
+    if m <= n_features + 1:
+        return float("nan")
+    return float(1.0 - (1.0 - r2(y_true, y_pred)) * (m - 1) / (m - n_features - 1))
+
+
+def smape(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """100·mean(2|Δ|/(|y|+|ŷ|+1e-10)). Util/tools.py:128-144."""
+    denom = np.abs(y_true) + np.abs(y_pred) + 1e-10
+    return float(100.0 * np.mean(2.0 * np.abs(y_true - y_pred) / denom))
+
+
+def diagnose(y_true: np.ndarray, y_pred: np.ndarray, n_features: int = 1) -> dict:
+    """All QoF metrics; n_features defaults to 1 as in the reference's
+    per-horizon report path (Util/tools.py:147-178, fit_map at :182-230)."""
+    return {
+        "MSE": mse(y_true, y_pred),
+        "MAE": mae(y_true, y_pred),
+        "R2": r2(y_true, y_pred),
+        "R2Bar": r2_adjusted(y_true, y_pred, n_features),
+        "SMAPE": smape(y_true, y_pred),
+        "m": len(y_true),
+    }
+
+
+# ---------------------------------------------------------------------------
+# linear model fits  (arx.py:203-226, arx_d.py:185-213, ar_yw.py:71-94)
+# ---------------------------------------------------------------------------
+
+def ols_fit(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """OLS with intercept via pseudo-inverse (same least-squares solution as
+    statsmodels ``sm.OLS(y, add_constant(X))`` — arx.py:220-223 — which also
+    solves via pinv). Returns params with the intercept first."""
+    X1 = np.column_stack((np.ones(len(X)), X))
+    return np.linalg.pinv(X1) @ np.asarray(y, dtype=float)
+
+
+def ols_fit_multi(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Multi-output OLS: one regression per column of Y, params stacked as
+    (k+1, hh). Reference: arx_d.py:202-213."""
+    X1 = np.column_stack((np.ones(len(X)), X))
+    return np.linalg.pinv(X1) @ np.asarray(Y, dtype=float)
+
+
+def ar_yule_walker_fit(y: np.ndarray, p: int, method: str = "mle") -> np.ndarray:
+    """AR(p) via Yule-Walker on the demeaned series, intercept =
+    mean(y)·(1−Σφ). ``method='adjusted'`` divides autocovariance lag k by
+    n−k, ``'mle'`` by n — the published statsmodels definition used at
+    ar_yw.py:92-94.
+    """
+    y = np.asarray(y, dtype=float)
+    x = y - y.mean()
+    n = len(x)
+    adj = 1 if method == "adjusted" else 0
+    r = np.empty(p + 1)
+    r[0] = x @ x / n
+    for k in range(1, p + 1):
+        r[k] = x[:-k] @ x[k:] / (n - k * adj)
+    # Toeplitz system R φ = r[1:]
+    R = np.empty((p, p))
+    for i in range(p):
+        for j in range(p):
+            R[i, j] = r[abs(i - j)]
+    phi = np.linalg.solve(R, r[1:])
+    intercept = y.mean() * (1.0 - phi.sum())
+    return np.concatenate(([intercept], phi))
+
+
+def ar_autoreg_ols_fit(y: np.ndarray, p: int) -> np.ndarray:
+    """AR(p) by conditional OLS: regress y[p:] on [1, y[t−1], …, y[t−p]]
+    (most-recent lag first — statsmodels AutoReg param order), matching
+    ``AutoReg(y, lags=p).fit().params`` used at ar_yw.py:88-90."""
+    y = np.asarray(y, dtype=float)
+    n = len(y)
+    rows = np.arange(p, n)
+    lags = np.column_stack([y[rows - k] for k in range(1, p + 1)])
+    return ols_fit(lags, y[rows])
+
+
+def ar_dynamic_forecast(y: np.ndarray, params: np.ndarray, t: int, hh: int) -> np.ndarray:
+    """hh-step dynamic AR forecast from origin ``t``: lags before t come from
+    actual y, at/after t from the model's own forecasts — the semantics of
+    ``AutoReg.predict(params, start=t, end=t+hh−1, dynamic=True)`` called in
+    a loop at ar_yw.py:124-128. params = [intercept, φ1..φp]."""
+    c, phi = params[0], params[1:]
+    p = len(phi)
+    buf = list(np.asarray(y, dtype=float)[max(0, t - p) : t])
+    out = np.empty(hh)
+    for h in range(hh):
+        hist = buf[::-1][:p]  # most recent first
+        val = c + float(np.dot(phi[: len(hist)], hist))
+        out[h] = val
+        buf.append(val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ARX design matrices  (arx.py:155-200, arx_symb.py:162-225)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SYMB_FUNCS = (
+    lambda x: np.power(x, 1.5),
+    lambda x: np.power(x, 0.5),
+    np.log1p,
+)
+"""Default symbolic transforms (arx_symb.py:83-85)."""
+
+
+def arx_design_matrix(
+    y: np.ndarray,
+    p: int,
+    q: int = 0,
+    spec: int = 1,
+    xe: np.ndarray | None = None,
+    y_scaler=None,
+    exo_scaler=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Plain ARX design matrix. Column layout: [trend(spec−1) | y lags(p) |
+    per-exo lags(q each)], exo backfilled (and scaled when scalers given)
+    before lagging. Returns (X, y_used) where y_used is the (possibly
+    scaled) series the lags were built from.
+
+    Reference: arx.py:155-200 (``ARX._build_matrix``); scaling path
+    arx.py:96-152 (``ARX.rescale``).
+    """
+    y = np.asarray(y, dtype=float)
+    if y_scaler is not None:
+        y = y_scaler.fit_transform(y.reshape(-1, 1)).ravel()
+    X = lag_matrix(y, p)
+    if xe is not None:
+        xe_f = backfill_matrix(np.atleast_2d(np.asarray(xe, dtype=float).T).T if xe.ndim == 1 else xe)
+        if y_scaler is not None:
+            xe_f = exo_scaler.fit_transform(xe_f)
+        exo_lagged = np.column_stack([lag_matrix(xe_f[:, j], q) for j in range(xe_f.shape[1])])
+        X = np.column_stack((X, exo_lagged))
+    if spec > 1:
+        X = np.column_stack((trend_matrix(len(y), spec), X))
+    return X, y
+
+
+def arx_symb_design_matrix(
+    y: np.ndarray,
+    p: int,
+    q: int,
+    spec: int = 1,
+    cross: bool = False,
+    xe: np.ndarray | None = None,
+    f_endo=DEFAULT_SYMB_FUNCS,
+    f_exo=DEFAULT_SYMB_FUNCS,
+    y_scaler=None,
+    endo_scaler=None,
+    exo_scaler=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symbolic ARX design matrix. Layout: [trend | lags of (y, f1(y)…fk(y))
+    p each | lags of (xe, f1(xe)…, cross y·xe) q each]. Transforms are
+    applied to the *raw* y before the y-scaler; the endo-feature block gets
+    its own scaler. Reference: arx_symb.py:162-225.
+    """
+    y = np.asarray(y, dtype=float)
+    endo_feats = np.column_stack([f(y) for f in f_endo])
+    if y_scaler is not None:
+        y = y_scaler.fit_transform(y.reshape(-1, 1)).ravel()
+        endo_feats = endo_scaler.fit_transform(endo_feats)
+    endo_all = np.column_stack((y, endo_feats))
+    X = np.column_stack([lag_matrix(endo_all[:, j], p) for j in range(endo_all.shape[1])])
+
+    if xe is not None:
+        xe_f = backfill_matrix(xe)
+        if len(f_exo) > 0:
+            exo_all = np.column_stack((xe_f, np.column_stack([f(xe_f) for f in f_exo])))
+        else:
+            exo_all = xe_f.copy()
+        if cross:
+            exo_all = np.column_stack(
+                (exo_all, np.column_stack([y * xe_f[:, j] for j in range(xe_f.shape[1])]))
+            )
+        if y_scaler is not None:
+            exo_all = exo_scaler.fit_transform(exo_all)
+        exo_lagged = np.column_stack([lag_matrix(exo_all[:, j], q) for j in range(exo_all.shape[1])])
+        X = np.column_stack((X, exo_lagged))
+
+    if spec > 1:
+        X = np.column_stack((trend_matrix(len(y), spec), X))
+    return X, y
+
+
+# ---------------------------------------------------------------------------
+# recursive / direct multi-horizon forecasting  (arx.py:229-353,
+# arx_symb.py:228-295, arx_d.py:216-253, forecaster.py:305-419)
+# ---------------------------------------------------------------------------
+
+def _hide_exo_block(z: np.ndarray, h: int) -> np.ndarray:
+    """Shift a (n, q) lagged-exo block for horizon h: keep columns h−1…q−1,
+    repeat the last known column into the vacated slots (as-of masking of
+    exo data not yet observable at the forecast origin).
+    Reference: arx.py:327-353 (``ARX._hide``, fill=True path)."""
+    q = z.shape[1]
+    last = z[:, -1:]
+    if h > q:
+        return np.repeat(last, q, axis=1)
+    return np.column_stack((z[:, h - 1 :], np.repeat(last, h - 1, axis=1)))
+
+
+def _predict(params: np.ndarray, X: np.ndarray, nneg: bool) -> np.ndarray:
+    yp = params[0] + X @ params[1:]
+    return np.maximum(yp, 0.0) if nneg else yp
+
+
+def recursive_forecast(
+    X: np.ndarray,
+    params: np.ndarray,
+    t_st: int,
+    t_en: int,
+    hh: int,
+    p: int,
+    q: int,
+    spec: int,
+    n_exo: int,
+    nneg: bool = True,
+    n_f_endo: int = 0,
+    n_f_exo: int = 0,
+    cross: bool = False,
+    y_scaler=None,
+    endo_scaler=None,
+    f_endo=DEFAULT_SYMB_FUNCS,
+) -> np.ndarray:
+    """Multi-horizon recursive forecast over rows [t_st, t_en).
+
+    h=1 predicts from X directly; h≥2 rebuilds ("forges") features by
+    splicing actual lags with the model's own earlier-horizon forecasts,
+    hiding unobservable exo lags, and (symbolic case) re-applying the endo
+    transforms to inverse-scaled forecasts ("scale correction").
+
+    Reference: plain ARX arx.py:229-324; symbolic arx_symb.py:228-295.
+    When ``n_f_endo`` > 0 the symbolic layout/forge is used.
+    """
+    Xw = X[t_st:t_en]
+    n = t_en - t_st
+    yf = np.zeros((n, hh))
+    yf[:, 0] = _predict(params, Xw, nneg)
+    n_trend = spec - 1
+
+    for h in range(2, hh + 1):
+        if n_f_endo == 0:
+            # plain ARX forge (arx.py:293-324)
+            endo0 = n_trend
+            exo0 = endo0 + p
+            act = Xw[:, endo0 + (h - 1) : endo0 + p]
+            i_fc = max(act.shape[1] - (p - h + 1), 0)
+            parts = [Xw[:, :n_trend], act, yf[:, i_fc : h - 1]]
+            if n_exo > 0:
+                for j in range(n_exo):
+                    parts.append(_hide_exo_block(Xw[:, exo0 + j * q : exo0 + (j + 1) * q], h))
+            Xh = np.column_stack(parts)
+        else:
+            # symbolic forge (arx_symb.py:228-266)
+            n_endo_series = 1 + n_f_endo
+            endo0 = n_trend
+            exo0 = endo0 + n_endo_series * p
+            acts = [
+                Xw[:, endo0 + k * p + (h - 1) : endo0 + (k + 1) * p]
+                for k in range(n_endo_series)
+            ]
+            i_fc = max(acts[0].shape[1] - (p - h + 1), 0)
+            raw_fc = yf[:, i_fc : h - 1]
+            fc_blocks = [raw_fc] + _scale_correction(raw_fc, f_endo, y_scaler, endo_scaler)
+            endo_cols = np.column_stack(
+                [np.column_stack((acts[k], fc_blocks[k])) for k in range(n_endo_series)]
+            )
+            parts = [Xw[:, :n_trend], endo_cols]
+            if n_exo > 0:
+                n_cross = n_exo if cross else 0
+                n_exo_series = (1 + n_f_exo) * n_exo + n_cross
+                for k in range(n_exo_series):
+                    parts.append(_hide_exo_block(Xw[:, exo0 + k * q : exo0 + (k + 1) * q], h))
+            Xh = np.column_stack(parts)
+        yf[:, h - 1] = _predict(params, Xh, nneg)
+    return yf
+
+
+def _scale_correction(yfh, f_endo, y_scaler, endo_scaler):
+    """Transformed-forecast feature blocks for the symbolic forge: when
+    scaled, inverse-transform forecasts, apply each endo transform, re-scale
+    with the endo scaler. Reference: arx_symb.py:269-295."""
+    if yfh.shape[1] == 0:
+        return [yfh.copy() for _ in f_endo]
+    if y_scaler is None:
+        return [f(yfh) for f in f_endo]
+    out_per_col = []
+    for j in range(yfh.shape[1]):
+        raw = y_scaler.inverse_transform(yfh[:, j : j + 1])
+        feats = np.column_stack([f(raw) for f in f_endo])
+        out_per_col.append(endo_scaler.transform(feats))
+    return [
+        np.column_stack([out_per_col[j][:, k : k + 1] for j in range(yfh.shape[1])])
+        for k in range(len(f_endo))
+    ]
+
+
+def direct_forecast(
+    X: np.ndarray, params: np.ndarray, t_st: int, t_en: int, nneg: bool = True
+) -> np.ndarray:
+    """Direct multi-horizon forecast: ŷ = [1|X]·params, clipped at 0 when
+    nneg. params shape (k+1, hh). Reference: arx_d.py:216-253."""
+    Xw = X[t_st:t_en]
+    yp = params[0] + Xw @ params[1:]
+    return np.maximum(yp, 0.0) if nneg else yp
+
+
+def roll_validate(
+    y: np.ndarray,
+    X: np.ndarray,
+    hh: int,
+    forecast_fn,
+    fit_fn,
+    rc: int = 2,
+    growing: bool = False,
+    te_ratio: float = 0.2,
+) -> np.ndarray:
+    """Rolling validation: every ``rc`` steps over the test span, refit on
+    the (fixed or growing) window ending at the forecast origin, then
+    forecast the next rc rows. Returns (te_size, hh).
+
+    ``fit_fn(y_win, X_win) -> params``; ``forecast_fn(params, t0, t1) ->
+    (t1−t0, hh)``. Reference: forecaster.py:388-419.
+    """
+    n = len(y)
+    tr_size = int((1.0 - te_ratio) * n)
+    te_size = n - tr_size
+    yf = np.zeros((te_size, hh))
+    for i in range(0, te_size, rc):
+        lo = 0 if growing else i
+        t = tr_size + i
+        params = fit_fn(y[lo:t], X[lo:t] if X is not None else None)
+        hi = t + rc if i + rc < te_size else n
+        yf[i : hi - tr_size, :] = forecast_fn(params, t, hi)
+    return yf

@@ -1,0 +1,64 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference's only source is a CSV scan + column projection
+(Examples/Example_Covid19.py:122-126) and its only sink is stdout
+(forecaster.py:433-443). The engine generalizes to schema-declared Parquet
+readers (Iceberg-layout partitioned directories; a real Iceberg catalog needs
+its jars, gated behind try-import) and partitioned Parquet sinks for rollup /
+lineage / metrics tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from forecaster_spark.datagen import CORPUS_SCHEMA
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of a driver testdata table; Catalyst handles column
+    pruning + predicate pushdown on the downstream plan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TESTDATA_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a token corpus with the declared schema (no inference) —
+    (doc_id, tokens array<int>, n_tok, source)."""
+    return spark.read.schema(CORPUS_SCHEMA).parquet(path)
+
+
+def read_csv_series(spark: SparkSession, path: str, columns: list[str]) -> DataFrame:
+    """Reference-parity CSV source: header scan + column projection
+    (Example_Covid19.py:122-126 does pd.read_csv → df[cols])."""
+    return spark.read.csv(path, header=True, inferSchema=True).select(*columns)
+
+
+def write_tiered(df: DataFrame, path: str, partition_cols: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Partitioned Parquet sink (Iceberg-style layout: partition columns in
+    directory structure → partition pruning on read)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def try_iceberg(spark: SparkSession) -> bool:
+    """True if an Iceberg catalog is usable in this session (jars present).
+    The sandbox image has no Iceberg jars, so tables fall back to
+    Iceberg-layout partitioned Parquet directories."""
+    try:
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS spark_catalog.fs_probe")
+        return True
+    except Exception:
+        return False

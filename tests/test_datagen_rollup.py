@@ -1,0 +1,94 @@
+"""Datagen determinism + seriesify + rollup tiers vs pandas oracle
+(SURVEY.md §5 item 2: rollup-tier golden tests; cascade == direct)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from forecaster_spark.datagen import corpus_pandas, gen_corpus, source_sizes
+from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
+from forecaster_spark.operators.seriesify import seriesify, token_checksum
+
+from tests.conftest import assert_df_equal, mk_series_pdf
+
+N_DOCS = 3000
+
+
+def test_source_sizes_sum_and_skew():
+    sizes = source_sizes(N_DOCS, 20, 1.2)
+    assert sizes.sum() == N_DOCS
+    assert sizes[0] > 0.2 * N_DOCS  # hot source
+    assert (sizes > 0).all()
+
+
+def test_gen_corpus_matches_pandas_oracle_and_is_partition_invariant(spark):
+    want = corpus_pandas(N_DOCS)
+    for parts in (3, 16):
+        got = gen_corpus(spark, N_DOCS, partitions=parts).toPandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        w = want.sort_values("doc_id").reset_index(drop=True)
+        assert (got["doc_id"] == w["doc_id"]).all()
+        assert (got["n_tok"] == w["n_tok"]).all()
+        assert (got["source"] == w["source"]).all()
+        # bit-exact token-array equality per doc_id (input_hint invariant)
+        for a, b in zip(got["tokens"].iloc[:50], w["tokens"].iloc[:50]):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seriesify_schema_and_checksum(spark):
+    corpus = gen_corpus(spark, 500)
+    s = seriesify(corpus)
+    pdf = s.orderBy("source", "seq").limit(200).toPandas()
+    assert list(pdf.columns) == ["source", "seq", "ts", "y", "n_tok", "tok_checksum", "doc_id"]
+    assert (pdf["y"] == pdf["n_tok"].astype(float)).all()
+    # ts cadence = 7s within a source
+    one = pdf[pdf.source == pdf.source.iloc[0]]
+    dt = one["ts"].diff().dropna().dt.total_seconds()
+    assert (dt == 7.0).all()
+    # checksum is deterministic & matches a python recompute
+    row = corpus.select("doc_id", "tokens", token_checksum(F.col("tokens")).alias("c")).first()
+    acc = 0
+    for t in row["tokens"]:
+        acc = (acc * 31 + int(t)) & 0xFFFFFFFFFFFFFFFF
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+    assert acc == row["c"]
+
+
+def _pandas_rollup(pdf, freq):
+    g = pdf.sort_values(["ts", "y"]).groupby(["source", pd.Grouper(key="ts", freq=freq)])["y"]
+    out = g.agg(cnt="count", sum_y="sum", min_y="min", max_y="max",
+                first_y="first", last_y="last").reset_index()
+    out["mean_y"] = out["sum_y"] / out["cnt"]
+    return out.rename(columns={"ts": "bucket_start"})[
+        ["source", "bucket_start", "cnt", "sum_y", "min_y", "max_y", "mean_y", "first_y", "last_y"]
+    ]
+
+
+def test_rollup_1m_matches_pandas(spark):
+    pdf = mk_series_pdf(n=500, n_sources=3)
+    df = spark.createDataFrame(pdf)
+    got = rollup_raw(df, "1m").toPandas()
+    want = _pandas_rollup(pdf, "1min")
+    assert_df_equal(got, want, sort_cols=["source", "bucket_start"], check_dtype=False)
+
+
+def test_cascade_equals_direct(spark):
+    pdf = mk_series_pdf(n=4000, n_sources=4)
+    df = spark.createDataFrame(pdf)
+    tiers = rollup_tiers(df)
+    for tier in ("1h", "1d"):
+        direct = rollup_raw(df, tier).toPandas()
+        casc = tiers[tier].toPandas()
+        assert_df_equal(casc, direct, sort_cols=["source", "bucket_start"],
+                        check_dtype=False, check_exact=False, rtol=1e-12)
+
+
+def test_cascade_first_last(spark):
+    pdf = mk_series_pdf(n=1000, n_sources=2)
+    df = spark.createDataFrame(pdf)
+    t1m = rollup_raw(df, "1m")
+    t1h = rollup_cascade(t1m, "1h").toPandas()
+    want = _pandas_rollup(pdf, "1h")
+    assert_df_equal(t1h, want, sort_cols=["source", "bucket_start"],
+                    check_dtype=False, check_exact=False, rtol=1e-12)
