@@ -1,0 +1,247 @@
+"""Gorilla compression of rolled points: delta-of-delta timestamps + XOR
+doubles, packed into a BinaryType column.
+
+Format follows the published Gorilla paper (Pelkonen et al., "Gorilla: A
+Fast, Scalable, In-Memory Time Series Database", VLDB 2015 §4.1), with two
+small deviations noted inline:
+
+Header: uint32 n | int64 ts0 | float64 v0 (little-endian), then a bitstream:
+
+Timestamps (per point i ≥ 1), D = dod = (t_i − t_{i−1}) − (t_{i−1} − t_{i−2})
+(first delta uses prev_delta = 0):
+  D == 0            → '0'
+  [-63, 64]         → '10'    + 7  bits of D+63
+  [-255, 256]       → '110'   + 9  bits of D+255
+  [-2047, 2048]     → '1110'  + 12 bits of D+2047
+  else              → '1111'  + 64 bits raw   (paper uses 32; we store the
+                                               full delta for arbitrary ts)
+
+Values: X = bits(v_i) XOR bits(v_{i−1}):
+  X == 0                                   → '0'
+  fits previous [leading, meaningful] window → '10' + meaningful bits
+  else → '11' + 5 bits leading-zero count + 6 bits (meaningful_len − 1)
+         + meaningful bits                  (paper stores len in 6 bits with
+                                             64→0 convention; we store len−1)
+
+The reference has no compression of any kind (SURVEY.md §4) — this is a
+north-rule addition. Encode runs inside an Arrow kernel per (source, tier)
+group; decode is used by tests and the retention reader.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TS_CLASSES = (
+    (-63, 64, 0b10, 2, 7),
+    (-255, 256, 0b110, 3, 9),
+    (-2047, 2048, 0b1110, 4, 12),
+)
+
+
+class _BitWriter:
+    __slots__ = ("chunks",)
+
+    def __init__(self):
+        self.chunks: list[tuple[int, int]] = []  # (value, nbits)
+
+    def write(self, value: int, nbits: int):
+        self.chunks.append((value & ((1 << nbits) - 1), nbits))
+
+    def tobytes(self) -> bytes:
+        total = sum(n for _, n in self.chunks)
+        acc = 0
+        for v, n in self.chunks:
+            acc = (acc << n) | v
+        pad = (-total) % 8
+        acc <<= pad
+        return acc.to_bytes((total + pad) // 8, "big")
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        for _ in range(nbits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+
+def gorilla_encode(ts: np.ndarray, vals: np.ndarray) -> bytes:
+    """Encode parallel int64 timestamps + float64 values (must be ordered by
+    ts) into one Gorilla block."""
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    n = len(ts)
+    if n == 0:
+        return struct.pack("<I", 0)
+    head = struct.pack("<Iqd", n, int(ts[0]), float(vals[0]))
+    if n == 1:
+        return head
+    w = _BitWriter()
+
+    # timestamps
+    deltas = np.diff(ts)
+    dods = np.diff(deltas, prepend=deltas[0] - 0)
+    dods[0] = deltas[0]  # first delta vs prev_delta=0
+    for d in dods.tolist():
+        if d == 0:
+            w.write(0, 1)
+            continue
+        for lo, hi, prefix, plen, bits in _TS_CLASSES:
+            if lo <= d <= hi:
+                w.write(prefix, plen)
+                w.write(d - lo, bits)
+                break
+        else:
+            w.write(0b1111, 4)
+            w.write(d & 0xFFFFFFFFFFFFFFFF, 64)
+
+    # values
+    bits_v = vals.view(np.uint64)
+    prev_lead, prev_mlen = 65, 0  # invalid window → first xor always rewrites
+    for i in range(1, n):
+        x = int(bits_v[i] ^ bits_v[i - 1])
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lead = 64 - x.bit_length()
+        trail = (x & -x).bit_length() - 1
+        mlen = 64 - lead - trail
+        if lead >= prev_lead and (64 - prev_lead - prev_mlen) <= trail and prev_mlen > 0:
+            # fits the previous window
+            w.write(0b10, 2)
+            w.write(x >> (64 - prev_lead - prev_mlen), prev_mlen)
+        else:
+            lead_c = min(lead, 31)
+            mlen_c = 64 - lead_c - trail
+            w.write(0b11, 2)
+            w.write(lead_c, 5)
+            w.write(mlen_c - 1, 6)
+            w.write(x >> trail, mlen_c)
+            prev_lead, prev_mlen = lead_c, mlen_c
+    return head + w.tobytes()
+
+
+def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block back to (ts int64, vals float64); exact round-trip."""
+    (n,) = struct.unpack_from("<I", blob, 0)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    ts0, v0 = struct.unpack_from("<qd", blob, 4)
+    ts = np.empty(n, np.int64)
+    vals_u = np.empty(n, np.uint64)
+    ts[0] = ts0
+    vals_u[0] = np.float64(v0).view(np.uint64)
+    if n == 1:
+        return ts, vals_u.view(np.float64)
+    r = _BitReader(blob[20:])
+
+    delta = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            raw = r.read(64)
+            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+        delta += dod
+        ts[i] = ts[i - 1] + delta
+
+    prev_lead, prev_mlen = 65, 0
+    prev = int(vals_u[0])
+    for i in range(1, n):
+        if r.read(1) == 0:
+            vals_u[i] = prev
+            continue
+        if r.read(1) == 0:
+            m = r.read(prev_mlen)
+            x = m << (64 - prev_lead - prev_mlen)
+        else:
+            prev_lead = r.read(5)
+            prev_mlen = r.read(6) + 1
+            m = r.read(prev_mlen)
+            x = m << (64 - prev_lead - prev_mlen)
+        prev ^= x
+        vals_u[i] = prev
+    return ts, vals_u.view(np.float64)
+
+
+def pack_rollup_gorilla(
+    tier: DataFrame,
+    value_col: str = "mean_y",
+    partition: str = "source",
+    bucket: str = "bucket_start",
+    max_points_per_block: int = 65536,
+) -> DataFrame:
+    """Pack a rollup tier into Gorilla blocks: one row per (source, block)
+    with columns (source, block_id, n_points, ts_min, ts_max, blob binary).
+
+    Blocks are capped at ``max_points_per_block`` so a hot source never
+    produces an unbounded in-memory group — the block id is derived from the
+    bucket timestamp so the split is deterministic, and the grouping key
+    (source, block_id) is what the kernel sees: skew-bounded by construction.
+    """
+    sec = F.unix_timestamp(bucket)
+    with_block = tier.withColumn("_block_id", F.floor(sec / (max_points_per_block * 60)).cast("long"))
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket)
+        ts = (pdf[bucket].astype("datetime64[s]").astype("int64")).to_numpy()
+        vals = pdf[value_col].to_numpy(dtype=float)
+        blob = gorilla_encode(ts, vals)
+        return pd.DataFrame(
+            {
+                "source": [pdf[partition].iloc[0]],
+                "block_id": [int(pdf["_block_id"].iloc[0])],
+                "n_points": [len(ts)],
+                "ts_min": [int(ts.min())],
+                "ts_max": [int(ts.max())],
+                "blob": [blob],
+            }
+        )
+
+    schema = "source string, block_id long, n_points long, ts_min long, ts_max long, blob binary"
+    return with_block.groupBy(partition, "_block_id").applyInPandas(encode, schema=schema)
+
+
+def unpack_rollup_gorilla(packed: DataFrame, value_col: str = "mean_y") -> DataFrame:
+    """Inverse of :func:`pack_rollup_gorilla` → (source, bucket_start, value)."""
+
+    def decode(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, row in pdf.iterrows():
+                ts, vals = gorilla_decode(row["blob"])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "source": row["source"],
+                            "bucket_start": pd.to_datetime(ts, unit="s"),
+                            value_col: vals,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"source": [], "bucket_start": [], value_col: []}
+            )
+
+    schema = f"source string, bucket_start timestamp, {value_col} double"
+    return packed.mapInPandas(decode, schema=schema)

@@ -1,0 +1,158 @@
+"""Per-series model kernels: ARX / ARX_Symb (recursive), ARX_D / ARX_Symb_D
+(direct), AR_YW — fit, multi-horizon forecast, rolling validation — as
+``groupBy(source).applyInPandas`` Arrow kernels (SURVEY.md §2.4 A1-A5, §2.5
+C1-C6).
+
+Why a kernel and not pure DataFrame ops: the recursive multi-horizon forecast
+("forge", arx.py:264-265/293-324) feeds horizon h−1 forecasts into horizon h
+features, and rollValidate (forecaster.py:388-419) refits every rc steps —
+both sequential in h/origin but *vectorized over t* inside NumPy. One Arrow
+batch crosses the JVM↔Python boundary per series; within the kernel the math
+is the same ``forecaster_spark.oracle`` code the tests use as the golden, so
+distributed output ≡ single-series oracle bit-for-bit.
+
+Scale: one group per source. Series length is bounded by the retention tier
+the model reads (e.g. 1d tier: ≤ a few thousand points/source even at 10^12
+raw rows), so a hot source cannot blow kernel memory — the rollup tiers are
+the skew-control layer, kernels always consume rolled (bounded) series.
+
+Forecasts are emitted long-format ``(source, t, h, y_hat)`` — horizons as
+rows (idiomatic Spark), not the reference's (n, hh+2) Yf matrix; ``t`` is the
+0-based index of the forecast origin row in the series.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from forecaster_spark.oracle.model import RefARX
+
+
+def _build(pdf: pd.DataFrame, order: str, y: str, exo_cols, cfg) -> RefARX:
+    pdf = pdf.sort_values(order)
+    yv = pdf[y].to_numpy(dtype=float)
+    xe = pdf[list(exo_cols)].to_numpy(dtype=float) if exo_cols else None
+    return RefARX(
+        yv,
+        hh=cfg["hh"],
+        xe=xe,
+        p=cfg.get("p", 6),
+        q=cfg.get("q", 0),
+        spec=cfg.get("spec", 1),
+        cross=cfg.get("cross", False),
+        skip=cfg.get("skip"),
+        design=cfg.get("design", "arx"),
+        mode=cfg.get("mode", "recursive"),
+        scaler=cfg.get("scaler"),
+        yw_method=cfg.get("yw_method", "mle"),
+    )
+
+
+def _run(m: RefARX, cfg) -> tuple[np.ndarray, int]:
+    if cfg.get("validation", "insample") == "roll":
+        yf = m.roll_validate(rc=cfg.get("rc", 2), growing=cfg.get("growing", False))
+        return yf, m.tr_size
+    return m.in_sample(), m.skip
+
+
+def forecast_long(
+    df: DataFrame,
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    exo_cols: list[str] | None = None,
+    **cfg,
+) -> DataFrame:
+    """Distributed multi-horizon forecast. cfg keys: hh (required), p, q,
+    spec, cross, skip, design ('arx'|'symb'), mode ('recursive'|'direct'|
+    'ar_yw'), scaler (None|'minmax'|'standard'), yw_method, validation
+    ('insample'|'roll'), rc, growing.
+
+    Output: (source, t, h, y_hat) with y_hat inverse-transformed to the raw
+    scale (reference Yf semantics, forecaster.py:151-172)."""
+    exo_cols = exo_cols or []
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _build(pdf, order, y, exo_cols, cfg)
+        yf, t0 = _run(m, cfg)
+        yf = m.inverse_y(yf)
+        n, hh = yf.shape
+        return pd.DataFrame(
+            {
+                "source": pdf[partition].iloc[0],
+                "t": np.repeat(np.arange(t0, t0 + n), hh),
+                "h": np.tile(np.arange(1, hh + 1), n),
+                "y_hat": yf.ravel(),
+            }
+        )
+
+    return df.groupBy(partition).applyInPandas(
+        kernel, schema=f"{partition} string, t long, h int, y_hat double"
+    )
+
+
+def fit_params(
+    df: DataFrame,
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    exo_cols: list[str] | None = None,
+    **cfg,
+) -> DataFrame:
+    """Distributed model fit → (source, model, h, coef array<double>)
+    (intercept first; one row per horizon for direct models, h=0 row for
+    recursive/AR whose single parameter vector serves all horizons)."""
+    exo_cols = exo_cols or []
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _build(pdf, order, y, exo_cols, cfg)
+        params = m.fit()
+        label = f"{cfg.get('design','arx')}/{cfg.get('mode','recursive')}"
+        if params.ndim == 1:
+            return pd.DataFrame(
+                {"source": [pdf[partition].iloc[0]], "model": [label], "h": [0], "coef": [params.tolist()]}
+            )
+        return pd.DataFrame(
+            {
+                "source": pdf[partition].iloc[0],
+                "model": label,
+                "h": np.arange(1, params.shape[1] + 1),
+                "coef": [params[:, j].tolist() for j in range(params.shape[1])],
+            }
+        )
+
+    return df.groupBy(partition).applyInPandas(
+        kernel, schema=f"{partition} string, model string, h int, coef array<double>"
+    )
+
+
+def qof_table(
+    df: DataFrame,
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    exo_cols: list[str] | None = None,
+    **cfg,
+) -> DataFrame:
+    """Distributed QoF diagnosis — per (source, horizon) metrics matching the
+    reference's diagnose_all/fit_map exactly (forecaster.py:355-384,
+    Util/tools.py:147-230), incl. TnT truncation when validation='roll'."""
+    exo_cols = exo_cols or []
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _build(pdf, order, y, exo_cols, cfg)
+        tnt = cfg.get("validation", "insample") == "roll"
+        yf, _ = _run(m, cfg)
+        rows = m.diagnose_all(yf, tnt=tnt)
+        out = pd.DataFrame(rows)
+        out.insert(0, "source", pdf[partition].iloc[0])
+        return out.rename(
+            columns={"MSE": "mse", "MAE": "mae", "R2": "r2", "R2Bar": "r2bar", "SMAPE": "smape"}
+        )
+
+    return df.groupBy(partition).applyInPandas(
+        kernel,
+        schema=f"{partition} string, h int, mse double, mae double, r2 double, r2bar double, smape double, m long",
+    )

@@ -1,0 +1,128 @@
+"""Gap-fill operators (SURVEY.md §2.3 W4/W5 + north-rule locf/linear-interp).
+
+Three fill strategies over per-source series:
+
+- ``locf``            : last-observation-carried-forward — pure window
+                        expression (``F.last(ignorenulls)``), stays in codegen.
+- ``linear_interp``   : time-weighted interpolation between the surrounding
+                        non-null points — pure window expressions.
+- ``backcast_fill``   : the reference's exact semantics — *leading zeros*
+                        (its missing-value sentinel) replaced right-to-left by
+                        a weighted backcast of the next q_mean=2 values
+                        (Util/build_matrix.py:22-86). Sequential dependency →
+                        per-series Arrow kernel (applyInPandas), NumPy inside.
+- ``fill_bucket_gaps``: densify a rollup tier onto its full bucket grid
+                        (TimescaleDB ``time_bucket_gapfill`` analogue), then
+                        fill chosen columns with locf or interpolation.
+
+Scale: locf/interp are single-pass window functions over
+``partitionBy(source)`` — one shuffle, no Python. ``backcast_fill`` only
+touches the (short) zero-prefix per series; the kernel is O(prefix) after a
+vectorized prefix scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from forecaster_spark.oracle import ref
+
+
+def _order_cols(order):
+    return list(order) if isinstance(order, (list, tuple)) else [order]
+
+
+def locf(df: DataFrame, col: str, partition: str = "source", ts: str = "ts", order=None) -> DataFrame:
+    """Fill nulls with the last non-null value within the series (ordered by
+    ts, or ``order`` cols for tie-broken determinism). Leading nulls stay
+    null."""
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(*_order_cols(order or ts))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(col, F.last(col, ignorenulls=True).over(w))
+
+
+def linear_interp(df: DataFrame, col: str, partition: str = "source", ts: str = "ts", order=None) -> DataFrame:
+    """Linearly interpolate nulls between surrounding non-null points,
+    weighted by timestamp distance; edges fall back to nearest non-null."""
+    w = Window.partitionBy(partition).orderBy(*_order_cols(order or ts))
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    c = F.col(col)
+    # unix_micros needs TIMESTAMP (ltz); session tz is pinned UTC so the
+    # ntz→ltz cast is instant-preserving
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    prev_v = F.last(col, ignorenulls=True).over(wb)
+    prev_t = F.last(F.when(c.isNotNull(), t_us), ignorenulls=True).over(wb)
+    next_v = F.first(col, ignorenulls=True).over(wf)
+    next_t = F.first(F.when(c.isNotNull(), t_us), ignorenulls=True).over(wf)
+    frac = (t_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    filled = (
+        F.when(c.isNotNull(), c)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return df.withColumn(col, filled)
+
+
+def backcast_fill(
+    df: DataFrame, cols: list[str], partition: str = "source", order: str = "ts"
+) -> DataFrame:
+    """Reference-exact backfill: in each series (ordered by ``order``), the
+    leading zeros of each column are replaced right-to-left by the weighted
+    backcast mean of the following q_mean=2 values (weights [1,2]/3 on the
+    reversed slice). Semantics: Util/build_matrix.py:22-86 ✔exec.
+    """
+    out_schema = df.schema
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        for c in cols:
+            pdf[c] = ref.backfill_column(pdf[c].to_numpy(dtype=float))
+        return pdf
+
+    return df.groupBy(partition).applyInPandas(fill, schema=out_schema)
+
+
+def fill_bucket_gaps(
+    tier: DataFrame,
+    step_seconds: int,
+    fill_cols: list[str] | None = None,
+    method: str = "locf",
+    partition: str = "source",
+    bucket: str = "bucket_start",
+) -> DataFrame:
+    """Densify a rollup tier to its full per-source bucket grid
+    (min..max step ``step_seconds``), then fill ``fill_cols`` (default: all
+    non-key numeric columns untouched → left as null unless filled).
+
+    grid = explode(sequence(min_bucket, max_bucket, interval)) per source —
+    the grid is generated distributed (no driver loop) and joined back on
+    (source, bucket): one shuffle keyed like the tier itself.
+    """
+    bounds = tier.groupBy(partition).agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    grid = bounds.select(
+        partition,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step_seconds} SECONDS"))
+        ).alias(bucket),
+    )
+    joined = grid.join(tier, on=[partition, bucket], how="left")
+    joined = joined.withColumn("is_gap", F.col("cnt").isNull() if "cnt" in tier.columns else F.lit(False))
+    if fill_cols:
+        for c in fill_cols:
+            if method == "locf":
+                joined = locf(joined, c, partition, bucket)
+            elif method == "interp":
+                joined = linear_interp(joined, c, partition, bucket)
+            else:
+                raise ValueError(f"unknown fill method {method!r}")
+    return joined

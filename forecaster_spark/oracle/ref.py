@@ -76,10 +76,11 @@ def trend_matrix(m: int, spec: int = 1, lwave: int = 20) -> np.ndarray:
     if spec >= 3:
         half = m / 2.0
         cols.append((t - half) ** 2 / half**2)
+    w = 2.0 * np.pi / lwave  # single-rounded wavelength factor, as reference
     if spec >= 4:
-        cols.append(np.sin(t * 2.0 * np.pi / lwave))
+        cols.append(np.sin(t * w))
     if spec == 5:
-        cols.append(np.cos(t * 2.0 * np.pi / lwave))
+        cols.append(np.cos(t * w))
     return np.column_stack(cols) if cols else np.zeros((m, 0))
 
 

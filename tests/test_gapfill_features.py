@@ -1,0 +1,125 @@
+"""Gap-fill operators vs reference/pandas oracles; native feature pipeline
+(lags/leads/trend/symbolic/scalers) vs the NumPy oracle (SURVEY.md §5 item 1)."""
+
+import numpy as np
+import pandas as pd
+
+from forecaster_spark.operators import features as FT
+from forecaster_spark.operators.gapfill import backcast_fill, fill_bucket_gaps, linear_interp, locf
+from forecaster_spark.operators.rollup import rollup_raw
+from forecaster_spark.oracle import ref
+from tests.conftest import mk_series_pdf
+
+
+def _gappy_pdf():
+    pdf = mk_series_pdf(n=300, n_sources=2)
+    rng = np.random.default_rng(3)
+    idx = rng.choice(len(pdf), size=60, replace=False)
+    pdf = pdf.copy()
+    pdf.loc[pdf.index[idx], "y"] = np.nan
+    # leading nulls for one source
+    first_src = pdf["source"].iloc[0]
+    head = pdf[pdf.source == first_src].index[:5]
+    pdf.loc[head, "y"] = np.nan
+    return pdf
+
+
+def test_locf_matches_pandas(spark):
+    pdf = _gappy_pdf()
+    got = locf(spark.createDataFrame(pdf), "y").toPandas().sort_values(["source", "ts"])
+    want = pdf.sort_values(["source", "ts"])
+    want = want.assign(y=want.groupby("source")["y"].ffill())
+    assert np.allclose(got["y"].to_numpy(), want["y"].to_numpy(), equal_nan=True)
+
+
+def test_linear_interp_matches_pandas(spark):
+    pdf = _gappy_pdf()
+    got = linear_interp(spark.createDataFrame(pdf), "y").toPandas().sort_values(["source", "ts"])
+    def interp(g):
+        s = g.set_index("ts")["y"]
+        out = s.interpolate(method="index").ffill().bfill()
+        return out.to_numpy()
+    want = np.concatenate([interp(g) for _, g in pdf.sort_values(["source", "ts"]).groupby("source")])
+    assert np.allclose(got["y"].to_numpy(), want, equal_nan=True)
+
+
+def test_backcast_fill_matches_reference(spark):
+    rows = []
+    for s, zeros in (("a", 3), ("b", 0), ("c", 5)):
+        y = np.concatenate([np.zeros(zeros), np.abs(np.random.default_rng(1).normal(5, 1, 40))])
+        ts = pd.Timestamp("2025-01-01") + pd.to_timedelta(np.arange(len(y)), unit="min")
+        rows.append(pd.DataFrame({"source": s, "ts": ts, "y": y}))
+    pdf = pd.concat(rows, ignore_index=True)
+    got = backcast_fill(spark.createDataFrame(pdf), ["y"]).toPandas().sort_values(["source", "ts"])
+    for s, g in got.groupby("source"):
+        orig = pdf[pdf.source == s].sort_values("ts")["y"].to_numpy()
+        np.testing.assert_allclose(g["y"].to_numpy(), ref.backfill_column(orig), rtol=1e-12)
+
+
+def test_fill_bucket_gaps(spark):
+    pdf = mk_series_pdf(n=500, n_sources=2)
+    # remove a chunk to create bucket gaps
+    pdf = pdf[~((pdf.ts.dt.minute % 7 == 3))]
+    tier = rollup_raw(spark.createDataFrame(pdf), "1m")
+    filled = fill_bucket_gaps(tier, 60, ["mean_y"], method="locf").toPandas()
+    for s, g in filled.groupby("source"):
+        g = g.sort_values("bucket_start")
+        dt = g["bucket_start"].diff().dropna().dt.total_seconds()
+        assert (dt == 60).all()          # dense grid
+        assert g["mean_y"].notna().all()  # locf filled
+        assert g["is_gap"].any()
+
+
+def test_lags_match_oracle(spark):
+    pdf = mk_series_pdf(n=80, n_sources=2)
+    p = 4
+    got = FT.with_lags(spark.createDataFrame(pdf), "y", p).toPandas().sort_values(["source", "ts"])
+    for s, g in got.groupby("source"):
+        X = ref.lag_matrix(g["y"].to_numpy(), p)
+        lag_cols = [f"y_lag{k}" for k in range(p, 0, -1)]  # farthest first
+        np.testing.assert_allclose(g[lag_cols].to_numpy(), X, rtol=0)
+
+
+def test_leads_match_oracle(spark):
+    pdf = mk_series_pdf(n=50, n_sources=2)
+    hh = 4
+    got = FT.with_leads(spark.createDataFrame(pdf), "y", hh).toPandas().sort_values(["source", "ts"])
+    for s, g in got.groupby("source"):
+        Y = ref.lead_matrix(g["y"].to_numpy(), hh)
+        cols = ["y"] + [f"y_lead{h}" for h in range(1, hh)]
+        np.testing.assert_allclose(g[cols].to_numpy(), Y, rtol=0)
+
+
+def test_trend_matches_oracle(spark):
+    pdf = mk_series_pdf(n=64, n_sources=2)
+    got = FT.with_trend(spark.createDataFrame(pdf), spec=5).toPandas().sort_values(["source", "ts"])
+    for s, g in got.groupby("source"):
+        Xt = ref.trend_matrix(len(g), 5)
+        np.testing.assert_allclose(
+            g[["trend1", "trend2", "trend3", "trend4"]].to_numpy(), Xt, rtol=0, atol=0
+        )
+
+
+def test_symbolic_and_cross(spark):
+    pdf = mk_series_pdf(n=30, n_sources=1)
+    pdf["x1"] = pdf["y"] * 0.5 + 1
+    got = FT.with_cross(FT.with_symbolic(spark.createDataFrame(pdf), "y"), "y", ["x1"]).toPandas()
+    np.testing.assert_allclose(got["y_pow15"], got["y"] ** 1.5)
+    np.testing.assert_allclose(got["y_sqrt"], got["y"] ** 0.5)
+    np.testing.assert_allclose(got["y_log1p"], np.log1p(got["y"]))
+    np.testing.assert_allclose(got["y_x_x1"], got["y"] * got["x1"])
+
+
+def test_scalers_match_oracle(spark):
+    pdf = mk_series_pdf(n=60, n_sources=2)
+    df = spark.createDataFrame(pdf)
+    mm = FT.transform_minmax(df, FT.fit_minmax(df, ["y"]), ["y"]).toPandas().sort_values(["source", "ts"])
+    st = FT.transform_standard(df, FT.fit_standard(df, ["y"]), ["y"]).toPandas().sort_values(["source", "ts"])
+    for s, g in mm.groupby("source"):
+        sc = ref.MinMaxScaler((0.0, 4.0))
+        want = sc.fit_transform(g[["y"]].to_numpy()).ravel()
+        np.testing.assert_allclose(g["y_mm"].to_numpy(), want, rtol=1e-12)
+    for s, g in st.groupby("source"):
+        sc = ref.StandardScaler()
+        want = sc.fit_transform(g[["y"]].to_numpy()).ravel()
+        np.testing.assert_allclose(g["y_std"].to_numpy(), want, rtol=1e-12)
