@@ -19,11 +19,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from forecaster_spark.functions.gorilla import pack_rollup_gorilla
+from forecaster_spark.models.kernels import forecast_long, qof_table
 from forecaster_spark.models.metrics import qof_native
 from forecaster_spark.operators import features as FT
-from forecaster_spark.operators.gapfill import linear_interp, locf
+from forecaster_spark.operators.dedup import dedup_exact, minhash_lsh_pairs, simhash
+from forecaster_spark.operators.gapfill import backcast_fill, linear_interp, locf
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
 from forecaster_spark.operators.seriesify import events_as_series
+from forecaster_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
+from forecaster_spark.operators.textops import (
+    STOPWORDS,
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
 from forecaster_spark.sources import read_table
 
 ROLLUP_ORDER = ["source", "bucket_start", "cnt", "sum_y", "min_y", "max_y", "mean_y", "first_y", "last_y"]
@@ -114,7 +125,9 @@ def q_lead_targets(spark, sf_dir):
 def q_trend_time_index(spark, sf_dir):
     """P1 (spec=3: linear + quadratic — exact arithmetic only) + P8 time index."""
     out = FT.with_trend(FT.with_time_index(_ev(spark, sf_dir), order=_ORD), spec=3)
-    return out.select("source", "event_id", "t", "trend1", "trend2")
+    return out.select(
+        "source", "event_id", F.col("t").cast("long").alias("t"), "trend1", "trend2"
+    )
 
 
 def q_minmax_scale(spark, sf_dir):
@@ -158,6 +171,114 @@ def q_qof_persistence(spark, sf_dir):
 _W = "PARTITION BY source ORDER BY ts, event_id"
 
 
+# -- training-data pipeline operators over documents/embeddings --------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"]).select("doc_id").orderBy("doc_id")
+
+
+def q_token_counts(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return with_token_counts(docs).select(
+        "doc_id",
+        F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_quality(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return with_quality(docs).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "quality",
+    )
+
+
+def q_jaccard_consecutive(spark, sf_dir):
+    """Word-set Jaccard between consecutive doc_ids (hash-free so the oracle
+    can reproduce it; the k-shingle variants are pytest-covered)."""
+    docs = read_table(spark, sf_dir, "documents")
+    wset = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("ws")
+    )
+    a = wset.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
+    b = wset.select((F.col("doc_id") - 1).alias("id_a"), F.col("ws").alias("wb"))
+    j = F.size(F.array_intersect("wa", "wb")) / F.size(F.array_union("wa", "wb"))
+    return a.join(b, "id_a").select(F.col("id_a").alias("doc_id"), j.alias("jaccard"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return minhash_lsh_pairs(docs, num_perm=32, bands=8, verify_jaccard=0.4)
+
+
+def q_simhash(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_cosine_topk_brute(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return cosine_topk_brute(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_cosine_topk_lsh(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return cosine_topk_lsh(emb, queries_df, dim=dim, k=10, n_planes=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# -- model kernels / codec (non-SQL-expressible → rows-only checks) ----------
+
+def q_arx_forecast(spark, sf_dir):
+    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
+        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    )
+    return forecast_long(s, hh=4, p=4, spec=2, skip=2)
+
+
+def q_arx_qof_roll(spark, sf_dir):
+    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
+        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    )
+    return qof_table(s, hh=4, p=4, spec=2, skip=2, validation="roll")
+
+
+def q_gorilla_pack(spark, sf_dir):
+    tier = rollup_raw(_events_series(spark, sf_dir), "1m", tie_break=True)
+    return pack_rollup_gorilla(tier, "mean_y")
+
+
+def q_backcast_fill(spark, sf_dir):
+    s = _ev(spark, sf_dir).withColumn(
+        "y", F.when(F.col("event_id") % 11 == 5, F.lit(0.0)).otherwise(F.col("y"))
+    )
+    return backcast_fill(s, ["y"], order="ts").select("source", "event_id", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -170,7 +291,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "locf_events": q_locf,
         "linear_interp_events": q_linear_interp,
         "qof_persistence_events": q_qof_persistence,
+        "dedup_exact_documents": q_dedup_exact,
+        "token_counts_documents": q_token_counts,
+        "lang_id_documents": q_lang_id,
+        "quality_documents": q_quality,
+        "jaccard_consecutive_documents": q_jaccard_consecutive,
+        "minhash_lsh_pairs_documents": q_minhash_pairs,
+        "simhash_documents": q_simhash,
+        "fingerprint_documents": q_fingerprint,
+        "cosine_topk_brute_embeddings": q_cosine_topk_brute,
+        "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
+        "arx_forecast_events_1h": q_arx_forecast,
+        "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
+        "gorilla_pack_events_1m": q_gorilla_pack,
+        "backcast_fill_events": q_backcast_fill,
     }
+
+
+def _sw_list(lang):
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_ALL_SW = "[" + ", ".join(f"'{w}'" for w in sorted({w for sws in STOPWORDS.values() for w in sws})) + "]"
+
+_BPE_SQL = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -202,11 +346,12 @@ SELECT source, event_id, y,
 FROM series WINDOW w AS ({_W})""",
         "trend_time_index_events": _SERIES_SQL + f"""
 SELECT source, event_id, t,
-       t / m AS trend1,
-       (t - m/2.0) * (t - m/2.0) / ((m/2.0) * (m/2.0)) AS trend2
+       td / m AS trend1,
+       (td - m/2.0) * (td - m/2.0) / ((m/2.0) * (m/2.0)) AS trend2
 FROM (
   SELECT source, event_id,
-         CAST(row_number() OVER ({_W}) - 1 AS DOUBLE) AS t,
+         row_number() OVER ({_W}) - 1 AS t,
+         CAST(row_number() OVER ({_W}) - 1 AS DOUBLE) AS td,
          count(*) OVER (PARTITION BY source) AS m
   FROM series
 )""",
@@ -283,4 +428,87 @@ SELECT source, h,
        100.0 * sum_sm / m AS smape,
        m
 FROM sums""",
+        "dedup_exact_documents": """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+ORDER BY doc_id""",
+        "token_counts_documents": f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe
+FROM documents""",
+        "lang_id_documents": f"""
+WITH ws AS (
+  SELECT doc_id, lang, list_distinct(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_intersect(w, {_sw_list('en')})) AS n_en,
+         len(list_intersect(w, {_sw_list('de')})) AS n_de,
+         len(list_intersect(w, {_sw_list('fr')})) AS n_fr,
+         len(list_intersect(w, {_sw_list('es')})) AS n_es
+  FROM ws
+), fold AS (
+  -- mirrors the engine's fold order: en seed, then de/fr/es each replacing
+  -- only on strictly greater hit count
+  SELECT doc_id, lang, n_en, n_de, n_fr, n_es,
+         CASE WHEN n_de > n_en THEN n_de ELSE n_en END AS b2,
+         CASE WHEN n_de > n_en THEN 'de' ELSE 'en' END AS l2
+  FROM hits
+), fold2 AS (
+  SELECT *, CASE WHEN n_fr > b2 THEN n_fr ELSE b2 END AS b3,
+            CASE WHEN n_fr > b2 THEN 'fr' ELSE l2 END AS l3
+  FROM fold
+), fold3 AS (
+  SELECT *, CASE WHEN n_es > b3 THEN n_es ELSE b3 END AS b4,
+            CASE WHEN n_es > b3 THEN 'es' ELSE l3 END AS l4
+  FROM fold2
+)
+SELECT doc_id, lang, CASE WHEN b4 > 0 THEN l4 ELSE 'und' END AS lang_pred FROM fold3""",
+        "quality_documents": f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> list_contains({_ALL_SW}, w))) AS sw_hits
+  FROM documents
+), ratios AS (
+  SELECT doc_id, n_words,
+         n_punct / greatest(n_chars, 1) AS punct_ratio,
+         sw_hits / greatest(n_words, 1) AS stopword_ratio,
+         (n_chars - (n_words - 1)) / greatest(n_words, 1) AS mean_word_len
+  FROM feats
+)
+SELECT doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
+       (least(n_words / 20.0, 1.0) * 0.3
+        + (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 5.0) END) * 0.2
+        + least(stopword_ratio * 5.0, 1.0) * 0.3
+        + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2
+       ) AS quality
+FROM ratios""",
+        "jaccard_consecutive_documents": """
+WITH wset AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS ws
+  FROM documents
+)
+SELECT a.doc_id AS doc_id,
+       len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
+FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
+        "cosine_topk_brute_embeddings": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+  FROM c, q WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10""",
     }

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and the full tiered rollup pipeline on the
+seeded synthetic token corpus sized to the same SF, then prints ONE JSON
+line.
+
+Headline metric (BASELINE.md): rolled-points/sec across all retention tiers.
+Corpus generation is *untimed* (written to parquet first); the timed pipeline
+reads parquet → seriesify → 1m/1h/1d (+gap-fill +Gorilla) with
+checkpoint/lineage enabled — i.e. the full production path, cold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from forecaster_spark.datagen import gen_corpus  # noqa: E402
+from forecaster_spark.plans.pipeline import run_rollup_pipeline  # noqa: E402
+from forecaster_spark.session import get_spark  # noqa: E402
+
+DOCS_PER_SF = 2_000_000  # sf0.1 → 200k docs (FIXTURES.md F1)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _force(df) -> int:
+    """Materialize every column (noop sink — count() alone would let
+    Catalyst prune the computed columns)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 1
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark("bench", cpus=cpus)
+
+    query_times: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        query_times[name] = round(time.time() - t0, 3)
+
+    # pipeline bench on the synthetic corpus at matching SF
+    n_docs = max(int(DOCS_PER_SF * sf), 2000)
+    work = tempfile.mkdtemp(prefix="fs_bench_")
+    corpus_path = f"{work}/corpus"
+    gen_corpus(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    out_root = f"{work}/rollup"
+    t0 = time.time()
+    result = run_rollup_pipeline(spark, corpus, out_root)
+    pipeline_wall = time.time() - t0
+    points = result["counts"]["total_rolled_points"]
+    rps = points / pipeline_wall
+
+    payload = {
+        "metric": "rolled_points_per_sec",
+        "value": round(rps, 1),
+        "unit": "points/sec",
+        "queries": query_times,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "rolled_points": points,
+        "pipeline_wall_sec": round(pipeline_wall, 3),
+        "queries_wall_sec": round(sum(query_times.values()), 3),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(payload))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

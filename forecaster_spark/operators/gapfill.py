@@ -49,18 +49,28 @@ def locf(df: DataFrame, col: str, partition: str = "source", ts: str = "ts", ord
 
 def linear_interp(df: DataFrame, col: str, partition: str = "source", ts: str = "ts", order=None) -> DataFrame:
     """Linearly interpolate nulls between surrounding non-null points,
-    weighted by timestamp distance; edges fall back to nearest non-null."""
-    w = Window.partitionBy(partition).orderBy(*_order_cols(order or ts))
-    wb = w.rowsBetween(Window.unboundedPreceding, 0)
-    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    weighted by timestamp distance; edges fall back to nearest non-null.
+
+    Both lookups are *running* aggregates: prev over the ascending window,
+    next over the descending one. A (currentRow, unboundedFollowing) frame
+    would be recomputed per row by Spark's UnboundedFollowing frame
+    processor — O(n²) per series (measured 115 s vs 0.7 s on sf0.1 events).
+    """
+    oc = _order_cols(order or ts)
+    w_asc = Window.partitionBy(partition).orderBy(*[F.col(c_) for c_ in oc]).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_desc = Window.partitionBy(partition).orderBy(*[F.col(c_).desc() for c_ in oc]).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     c = F.col(col)
     # unix_micros needs TIMESTAMP (ltz); session tz is pinned UTC so the
     # ntz→ltz cast is instant-preserving
     t_us = F.unix_micros(F.col(ts).cast("timestamp"))
-    prev_v = F.last(col, ignorenulls=True).over(wb)
-    prev_t = F.last(F.when(c.isNotNull(), t_us), ignorenulls=True).over(wb)
-    next_v = F.first(col, ignorenulls=True).over(wf)
-    next_t = F.first(F.when(c.isNotNull(), t_us), ignorenulls=True).over(wf)
+    prev_v = F.last(col, ignorenulls=True).over(w_asc)
+    prev_t = F.last(F.when(c.isNotNull(), t_us), ignorenulls=True).over(w_asc)
+    next_v = F.last(col, ignorenulls=True).over(w_desc)
+    next_t = F.last(F.when(c.isNotNull(), t_us), ignorenulls=True).over(w_desc)
     frac = (t_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
     filled = (
         F.when(c.isNotNull(), c)

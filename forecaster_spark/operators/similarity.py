@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_brute``: exact top-k neighbors per query — broadcast the
+  (small) query set against the corpus, dot products via native
+  ``zip_with``+``aggregate`` (codegen), top-k via window. The baseline.
+- ``lsh_signatures`` / ``cosine_topk_lsh``: random-hyperplane LSH — the
+  scale path. Signatures are computed in one Arrow kernel (numpy matmul of
+  the batch against the broadcast plane matrix), candidates come from an
+  equi-join on signature prefix buckets, then exact cosine rerank on the
+  (tiny) candidate set. Corpus-side work is linear; no all-pairs anywhere.
+- ``embedding_neardup_pairs``: near-duplicate detection = same-bucket pairs
+  reranked by cosine ≥ threshold.
+
+Determinism: hyperplanes derive from a seeded ``numpy`` generator, so
+signatures are reproducible across runs/cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast (small by
+    contract); corpus is scanned once; per-query ranking is a window over
+    the query id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = scored.withColumn("cosine", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane signature → integer bucket id. One numpy matmul per
+    Arrow batch; the plane matrix is closed over once (tiny, re-broadcast
+    with the task)."""
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (M @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return df.withColumn(out, sig(F.col(vec_col)))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket; exact cosine
+    rerank on candidates only. Recall rises with fewer planes / multiple
+    probes; planes=12 → ~4k buckets."""
+    csig = lsh_signatures(corpus, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "bucket",
+    )
+    qsig = lsh_signatures(queries, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"), "bucket"
+    )
+    cand = csig.join(F.broadcast(qsig), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 14,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same LSH bucket → exact cosine
+    ≥ threshold. Bucket sizes bound the pair blow-up."""
+    sig = lsh_signatures(corpus, dim, n_planes, seed, vec_col).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v"), "bucket"
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.withColumn("cosine", cos).where(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -1,0 +1,98 @@
+"""Text analysis operators for training-data pipelines — all native
+expressions (regex/array functions in codegen, no Python in the row path).
+
+- language ID      : stopword-hit-ratio heuristic over a small per-language
+                     lexicon (broadcast as literal arrays).
+- quality scoring  : length / punctuation-ratio / stopword-ratio /
+                     mean-word-length features + a composite score.
+- token counting   : whitespace tokens + a BPE-ish regex segmentation count.
+- fingerprinting   : bottom-k sketch of character k-gram rolling hashes
+                     (winnowing-style content fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "des", "une", "dans"],
+    "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
+}
+
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _words(text_col: str):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Predict the language with the highest stopword hit-count; ties break
+    by the fixed language order; 'und' (undetermined) when nothing hits."""
+    words = _words(text_col)
+    hits = {
+        lang: F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = None
+    for lang, h in hits.items():
+        pair = F.struct(h.alias("n"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(h > best.getField("n"), pair).otherwise(best)
+    return df.withColumn(
+        out, F.when(best.getField("n") > 0, best.getField("lang")).otherwise(F.lit("und"))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + composite score in [0,1]: favors texts with a sane
+    length, some stopwords, moderate punctuation, word lengths near prose."""
+    t = F.col(text_col)
+    words = _words(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    all_sw = sorted({w for sws in STOPWORDS.values() for w in sws})
+    sw_hits = F.size(F.filter(words, lambda w: w.isin(*all_sw)))
+    mean_wlen = (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    sw_ratio = sw_hits / F.greatest(n_words, F.lit(1))
+    len_score = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    punct_score = F.when(punct_ratio <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (punct_ratio - 0.2) * 5.0))
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), 1.0).otherwise(0.5)
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn(
+            "quality",
+            (len_score * 0.3 + punct_score * 0.2 + sw_score * 0.3 + wlen_score * 0.2),
+        )
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex segment count (letters runs,
+    single digits, single punctuation — a proxy for subword token cost)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
+    return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, keep: int = 4, out: str = "fingerprint"
+) -> DataFrame:
+    """Bottom-``keep`` sketch of character k-gram hashes: near-identical
+    texts share most sketch elements (winnowing-style fingerprint usable as
+    a blocking/join key via explode)."""
+    t = F.lower(F.col(text_col))
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.substr(t, i, F.lit(k))))
+    sketch = F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
+    return df.withColumn(out, sketch)

@@ -1,0 +1,166 @@
+"""Training-data pipeline operators: dedup (exact/MinHash-LSH/SimHash/
+Jaccard), text analysis, similarity search, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from forecaster_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_dup_pairs,
+    word_shingles,
+)
+from forecaster_spark.operators.multimodal import extract_features, frame_sample, synth_assets
+from forecaster_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+from forecaster_spark.operators.textops import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        ("d00", "the quick brown fox jumps over the lazy dog and runs to the hills"),
+        ("d01", "the quick brown fox jumps over the lazy dog and runs to the hills"),  # exact dup
+        ("d02", "the quick brown fox jumps over the lazy dog and walks to the hills"),  # near dup
+        ("d03", "der schnelle braune fuchs springt über den faulen hund und läuft"),
+        ("d04", "le renard brun rapide saute par dessus le chien paresseux dans les bois"),
+        ("d05", "el zorro marron salta sobre el perro perezoso y corre por la colina"),
+        ("d06", "completely different content about spark aggregation pipelines at scale"),
+        ("d07", "!!!! ???? .... ,,,, ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( ))))"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(base, columns=["doc_id", "text"]))
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs, ["text"]).toPandas()
+    assert len(out) == 7  # d01 removed
+    assert "d00" in set(out.doc_id) and "d01" not in set(out.doc_id)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, num_perm=32, bands=8, verify_jaccard=0.5).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs.id_a, pairs.id_b)}
+    assert ("d00", "d01") in got  # exact dup certainly caught
+    assert ("d00", "d02") in got or ("d01", "d02") in got  # near dup
+    assert all("d06" not in p and "d07" not in p for p in got)
+    assert (pairs.jaccard >= 0.5).all()
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": ["d00"], "id_b": ["d01"]}))
+    out = ngram_jaccard(docs, pairs).toPandas()
+    assert out.jaccard.iloc[0] == 1.0
+
+
+def test_simhash_duplicates_and_stability(spark, docs):
+    sh = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh["d00"] == sh["d01"]
+    # near-dup signatures are close in hamming distance
+    ham = bin(np.uint64(sh["d00"]) ^ np.uint64(sh["d02"])).count("1")
+    assert ham <= 12
+    ham_far = bin(np.uint64(sh["d00"]) ^ np.uint64(sh["d06"])).count("1")
+    assert ham_far > ham
+    dups = simhash_dup_pairs(simhash(docs)).toPandas()
+    assert {("d00", "d01")} == set(zip(dups.id_a, dups.id_b))
+
+
+def test_lang_id(spark, docs):
+    out = with_lang_id(docs).toPandas().set_index("doc_id")["lang_pred"]
+    assert out["d00"] == "en"
+    assert out["d03"] == "de"
+    assert out["d04"] == "fr"
+    assert out["d05"] == "es"
+    assert out["d07"] == "und"
+
+
+def test_quality_and_tokens(spark, docs):
+    out = with_token_counts(with_quality(docs)).toPandas().set_index("doc_id")
+    assert out.loc["d00", "quality"] > out.loc["d07", "quality"]
+    assert out.loc["d00", "n_tokens_ws"] == 14
+    assert out.loc["d07", "punct_ratio"] > 0.5
+    # BPE-ish count ≥ whitespace count for normal prose
+    assert out.loc["d00", "n_tokens_bpe"] >= out.loc["d00", "n_tokens_ws"]
+
+
+def test_fingerprint_blocking(spark, docs):
+    out = with_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert list(out["d00"]) == list(out["d01"])
+    shared = len(set(out["d00"]) & set(out["d02"]))
+    assert shared >= 2  # near-dups share most sketch elements
+    assert len(set(out["d00"]) & set(out["d06"])) <= 1
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    pdf = pd.DataFrame({"vec_id": np.arange(40), "embedding": list(base)})
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_brute(spark, emb):
+    q = emb.where(F.col("vec_id") < 3)
+    out = cosine_topk_brute(emb, q, k=5).toPandas()
+    assert set(out.query_id) == {0, 1, 2}
+    assert (out.groupby("query_id").size() == 5).all()
+    top0 = out[(out.query_id == 0) & (out["rank"] == 1)].iloc[0]
+    assert top0.neighbor_id == 1 and top0.cosine > 0.99
+    # matches a numpy oracle
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    cos = M @ M[0] / (np.linalg.norm(M, axis=1) * np.linalg.norm(M[0]))
+    cos[0] = -np.inf
+    want = set(np.argsort(-cos)[:5])
+    got = set(out[out.query_id == 0].neighbor_id)
+    assert got == want
+
+
+def test_cosine_topk_lsh_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 5)
+    brute = cosine_topk_brute(emb, q, k=3).toPandas()
+    ann = cosine_topk_lsh(emb, q, dim=16, k=3, n_planes=4).toPandas()
+    # rank-1 neighbor recall (tiny corpus, 4 planes → 16 buckets)
+    b1 = brute[brute["rank"] == 1].set_index("query_id").neighbor_id
+    a1 = ann[ann["rank"] == 1].set_index("query_id").neighbor_id
+    hits = sum(a1.get(qid, -1) == b1[qid] for qid in b1.index)
+    assert hits >= 2
+    assert (ann.cosine <= 1.0 + 1e-9).all()
+
+
+def test_embedding_neardup(spark, emb):
+    out = embedding_neardup_pairs(emb, dim=16, threshold=0.95, n_planes=4).toPandas()
+    assert (0, 1) in set(zip(out.id_a, out.id_b))
+
+
+def test_multimodal_plumbing(spark):
+    assets = synth_assets(spark, 60)
+    pdf = assets.toPandas()
+    assert len(pdf) == 60 and set(pdf.mime) == {"image/png", "audio/wav", "video/mp4"}
+    feats = extract_features(assets, decode="fake", dim=8).toPandas()
+    assert len(feats) == 60
+    assert feats.feature.map(len).eq(8).all()
+    assert (feats.n_bytes > 0).all()
+    # determinism: same asset → same fake feature
+    f2 = extract_features(assets, decode="fake", dim=8).toPandas()
+    a = feats.sort_values("asset_id").feature.map(tuple).tolist()
+    b = f2.sort_values("asset_id").feature.map(tuple).tolist()
+    assert a == b
+    # strict mode surfaces the stub seam
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        extract_features(assets, decode="strict").collect()
+    fs = frame_sample(assets, every_n=4).toPandas()
+    assert len(fs) > 0
+    assert (fs.frame_idx % 4 == 0).all()

@@ -1,0 +1,73 @@
+"""Checkpoint/resume identity (SURVEY.md §5 item 5), salted ≡ unsalted
+rollups (item 6), end-to-end pipeline + lineage/metrics tables."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from forecaster_spark.datagen import gen_corpus
+from forecaster_spark.operators.rollup import rollup_raw
+from forecaster_spark.operators.seriesify import seriesify
+from forecaster_spark.plans.checkpoint import StageRunner
+from forecaster_spark.plans.pipeline import run_rollup_pipeline
+from forecaster_spark.plans.skew import hot_sources, salted_rollup_raw
+from tests.conftest import assert_df_equal, mk_series_pdf
+
+
+def test_salted_equals_unsalted(spark):
+    corpus = gen_corpus(spark, 4000)
+    series = seriesify(corpus)
+    plain = rollup_raw(series, "1m", exact=True).toPandas()
+    salted = salted_rollup_raw(series, "1m", n_salt=8, exact=True).toPandas()
+    assert_df_equal(
+        salted, plain, sort_cols=["source", "bucket_start"], check_dtype=False, check_like=True
+    )
+
+
+def test_hot_source_detection(spark):
+    corpus = gen_corpus(spark, 3000)
+    series = seriesify(corpus)
+    hot = hot_sources(series, threshold_ratio=0.2)
+    assert hot == ["src00"]  # Zipf head
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    out = str(tmp_path / "roll")
+    corpus = gen_corpus(spark, 3000)
+    r1 = run_rollup_pipeline(spark, corpus, out)
+    counts1 = r1["counts"]
+    assert counts1["1m"] > counts1["1h"] > counts1["1d"] > 0
+    assert counts1["total_rolled_points"] == counts1["1m"] + counts1["1h"] + counts1["1d"]
+
+    # metrics/lineage recorded for every stage
+    runner = r1["runner"]
+    stages = {r["stage"] for r in runner.metrics().collect()}
+    assert {"rollup_1m", "rollup_1h", "rollup_1d", "gapfill_1m", "gorilla_1m", "gorilla_1h", "gorilla_1d"} <= stages
+
+    # simulate crash: delete the 1d output, keep 1m/1h → resume recomputes
+    # only what's missing and totals are identical
+    shutil.rmtree(f"{out}/rollup_1d")
+    r2 = run_rollup_pipeline(spark, corpus, out)
+    assert r2["counts"] == counts1
+    m = r2["runner"].metrics().toPandas().sort_values("recorded_at")
+    # second run: 1m and 1h skipped-committed, 1d recomputed
+    second = m.groupby("stage").tail(1).set_index("stage")["skipped"]
+    assert bool(second["rollup_1m"]) and bool(second["rollup_1h"])
+    assert not bool(second["rollup_1d"])
+
+    # the recomputed 1d stage reproduces the identical content checksum
+    chks = m[m.stage == "rollup_1d"]["checksum"].unique()
+    assert len(chks) == 1
+    # per-partition lineage rows exist for every computed stage
+    lin = r2["runner"].lineage().toPandas()
+    assert (lin.groupby("stage")["rows"].sum() > 0).all()
+
+
+def test_stage_runner_checksum_stability(spark, tmp_path):
+    pdf = mk_series_pdf(n=200, n_sources=2)
+    runner = StageRunner(spark, str(tmp_path / "st"))
+    df1 = runner.stage("s1", lambda: spark.createDataFrame(pdf).repartition(4))
+    df2 = runner.stage("s1", lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")))
+    assert df1.count() == df2.count() == len(pdf)

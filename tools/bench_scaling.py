@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Scaling-evidence harness (BASELINE.md protocol): run the identical rollup
+pipeline job at two parallelism levels (local[8] vs local[32] — the sandbox
+proxy for N vs 4N executors) on the same pre-generated corpus, report both
+throughputs and the scaling efficiency, and write BENCH/BASELINE.md.
+
+Each run is a fresh subprocess (own JVM) with a fresh output dir, so no
+checkpoint reuse or JVM warm-up leaks between sizes.
+
+Usage: python tools/bench_scaling.py [n_docs] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(corpus_path: str, cpus: int, work: str, tag: str) -> dict:
+    out = f"{work}/out_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cmd = [
+        sys.executable,
+        f"{REPO}/jobs/run_rollup.py",
+        "--corpus", corpus_path,
+        "--out", out,
+        "--cpus", str(cpus),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600)
+    if proc.returncode != 0:
+        raise RuntimeError(f"run failed ({tag}):\n{proc.stderr[-3000:]}")
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    work = tempfile.mkdtemp(prefix="fs_scale_")
+    corpus_path = f"{work}/corpus"
+
+    # generate once (untimed, identical input for both sizes)
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "from forecaster_spark.session import get_spark;"
+                "from forecaster_spark.datagen import gen_corpus;"
+                f"s=get_spark('gen',cpus=32);gen_corpus(s,{n_docs}).write.mode('overwrite')"
+                f".parquet('{corpus_path}');s.stop()"
+            ),
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    if gen.returncode != 0:
+        raise RuntimeError(gen.stderr[-3000:])
+
+    results = {}
+    for cpus in (8, 32):
+        best = None
+        for r in range(repeats):
+            res = run_once(corpus_path, cpus, work, f"{cpus}_{r}")
+            if best is None or res["rolled_points_per_sec"] > best["rolled_points_per_sec"]:
+                best = res
+        results[cpus] = best
+        print(f"local[{cpus}]: {best['rolled_points_per_sec']:.0f} points/s "
+              f"(wall {best['wall_sec']}s, {best['rolled_points']} points)")
+
+    t8, t32 = results[8]["rolled_points_per_sec"], results[32]["rolled_points_per_sec"]
+    eff = t32 / (4.0 * t8)
+    print(f"scaling efficiency N→4N: {eff:.3f}")
+
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured throughput + scaling evidence
+
+Workload: full tiered rollup pipeline (parquet corpus scan → seriesify →
+1m rollup → 1h/1d cascade → gap-fill → Gorilla pack per tier, with
+checkpoint + per-partition lineage + metrics tables), seeded synthetic token
+corpus, {n_docs:,} docs, identical input at both sizes, fresh JVM + fresh
+output dir per run, best of {repeats}.
+
+The two-cluster-size criterion (N vs 4N executors) is evidenced by the
+sandbox proxy `local[8]` vs `local[32]` per the driver instruction — no real
+cluster exists here. Job entrypoint: `jobs/run_rollup.py` (spark-submit
+--py-files shaped).
+
+| parallelism | rolled points | wall (s) | rolled-points/sec |
+|---|---|---|---|
+| local[8]  (N)  | {results[8]['rolled_points']:,} | {results[8]['wall_sec']} | {t8:,.0f} |
+| local[32] (4N) | {results[32]['rolled_points']:,} | {results[32]['wall_sec']} | {t32:,.0f} |
+
+**Scaling efficiency** = throughput(4N) / (4 × throughput(N)) = **{eff:.3f}**
+(target ≥ 0.8, BASELINE.json).
+
+Reference baseline: the reference publishes no throughput numbers
+(BASELINE.md provenance table); its workload is a single 116-row series in
+one Python process, which this pipeline exceeds by construction at any SF.
+""")
+    print(f"wrote BENCH/BASELINE.md")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
