@@ -272,6 +272,19 @@ def q_gorilla_pack(spark, sf_dir):
     return pack_rollup_gorilla(tier, "mean_y")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: each event enriched with the most recent 1m-rollup mean
+    (bucket_start ≤ event ts) of its source. Oracle: DuckDB native ASOF JOIN."""
+    from forecaster_spark.operators.asof import asof_join
+
+    left = _ev(spark, sf_dir)
+    t1m = rollup_raw(left, "1m", exact=True).select(
+        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("m1")
+    )
+    out = asof_join(left.drop("y"), t1m)
+    return out.select("source", "event_id", "m1_r", F.col("ts_r").cast("timestamp_ntz").alias("ts_r"))
+
+
 def q_backcast_fill(spark, sf_dir):
     s = _ev(spark, sf_dir).withColumn(
         "y", F.when(F.col("event_id") % 11 == 5, F.lit(0.0)).otherwise(F.col("y"))
@@ -305,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
         "gorilla_pack_events_1m": q_gorilla_pack,
         "backcast_fill_events": q_backcast_fill,
+        "asof_join_events_1m": q_asof_join,
     }
 
 
@@ -511,4 +525,8 @@ SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 10""",
+        "asof_join_events_1m": _ROLLUP_SQL + """
+SELECT e.source, e.event_id, t.mean_y AS m1_r, t.bucket_start AS ts_r
+FROM (SELECT event_type AS source, ts, event_id FROM events) e
+ASOF LEFT JOIN t1m t ON e.source = t.source AND e.ts >= t.bucket_start""",
     }

@@ -1,0 +1,90 @@
+"""As-of join and retention operators.
+
+Spark has no native ASOF JOIN (the reference has no joins at all —
+SURVEY.md §2.7); time-series engines need one constantly (enrich each left
+row with the most recent right-side observation ≤ its timestamp).
+
+``asof_join`` implements it without any join at all: union the two sides
+with a side tag, run one window pass per source ordered by (ts, side), and
+carry the right side's values forward (locf) onto left rows. Cost = one
+shuffle on source + one sort — the same as a single window stage, versus the
+naive range-join's quadratic bucket explosion. Right-side ties on ts resolve
+to the latest right row ≤ ts (left rows sort after right rows at equal ts,
+matching standard ASOF semantics / pandas merge_asof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "source",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_s: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For each left row, attach the most recent right-side values with
+    right.ts ≤ left.ts (within ``tolerance_s`` if given). Output = left
+    columns + ``{value}{suffix}`` columns (+ ``{ts}{suffix}``)."""
+    value_cols = value_cols or [c for c in right.columns if c not in (on, ts)]
+    lt = left.select(
+        *left.columns,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp").alias("__rts"),
+    )
+    rt = right.select(
+        on,
+        ts,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on, ts)],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+        F.col(ts).cast("timestamp").alias("__rts"),
+    ).select(*lt.columns)  # align column order
+    u = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u
+    for c in value_cols:
+        filled = filled.withColumn(f"__rv_{c}", F.last(f"__rv_{c}", ignorenulls=True).over(w))
+    filled = filled.withColumn("__rts", F.last("__rts", ignorenulls=True).over(w))
+    out = filled.where(F.col("_side") == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.unix_timestamp(F.col(ts).cast("timestamp")) - F.unix_timestamp(F.col("__rts"))
+        ) <= tolerance_s
+        for c in value_cols:
+            out = out.withColumn(f"__rv_{c}", F.when(in_tol, F.col(f"__rv_{c}")))
+        out = out.withColumn("__rts", F.when(in_tol, F.col("__rts")))
+    renames = [F.col(c) for c in left.columns]
+    renames += [F.col(f"__rv_{c}").alias(f"{c}{suffix}") for c in value_cols]
+    renames += [F.col("__rts").alias(f"{ts}{suffix}")]
+    return out.select(*renames)
+
+
+def apply_retention(
+    tier: DataFrame, keep_buckets: int, step_seconds: int, bucket: str = "bucket_start"
+) -> DataFrame:
+    """Retention window per tier: keep only the newest ``keep_buckets``
+    buckets relative to the table's global max bucket (e.g. 1m tier keeps
+    7 days of minutes, 1h keeps 90 days, 1d keeps forever). A literal-free
+    filter on the partition column → partition pruning on date-partitioned
+    tables."""
+    # window functions are not allowed in WHERE — materialize the horizon as
+    # a column first, then filter (Catalyst still pushes the comparison down
+    # after the single global-max window)
+    horizon = F.max(bucket).over(Window.partitionBy())
+    cutoff = horizon - F.expr(f"INTERVAL {keep_buckets * step_seconds} SECONDS")
+    return (
+        tier.withColumn("__cutoff", cutoff)
+        .where(F.col(bucket) > F.col("__cutoff"))
+        .drop("__cutoff")
+    )

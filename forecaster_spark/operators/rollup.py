@@ -42,6 +42,7 @@ def rollup_raw(
     ts: str = "ts",
     exact: bool = False,
     tie_break: bool = True,
+    checksum_col: str | None = None,
 ) -> DataFrame:
     """Roll raw points into one tier:
     groupBy(source, date_trunc(unit, ts)). first/last are min_by/max_by on
@@ -53,9 +54,15 @@ def rollup_raw(
     sums are order-dependent at the ulp level, which matters for cross-engine
     verification and for reproducible lineage checksums at cluster scale. The
     exact output carries ``sum_micro`` for further cascading.
+
+    ``checksum_col`` adds a wrapping-long content checksum per bucket
+    (sum of the per-row checksums — order-independent), carried up the tier
+    cascade: the per-doc token-array invariant (BASELINE.json input_hint)
+    becomes verifiable at every retention tier.
     """
     unit = TIERS[tier]
     g = series.groupBy("source", F.date_trunc(unit, F.col(ts)).alias("bucket_start"))
+    chk = [F.sum(checksum_col).alias("chk")] if checksum_col else []
     if tie_break:
         # deterministic under duplicate ts (lexicographic (ts, y)); struct
         # min/max forces SortAggregate — use only when ts may collide
@@ -78,6 +85,7 @@ def rollup_raw(
             first,
             last,
             sm.alias("sum_micro"),
+            *chk,
         )
     return g.agg(
         F.count(y).alias("cnt"),
@@ -87,6 +95,7 @@ def rollup_raw(
         (F.sum(y) / F.count(y)).alias("mean_y"),
         first,
         last,
+        *chk,
     )
 
 
@@ -96,6 +105,7 @@ def rollup_cascade(lower: DataFrame, tier: str, exact: bool = False) -> DataFram
     g = lower.groupBy("source", F.date_trunc(unit, "bucket_start").alias("bucket_start"))
     first = F.min_by("first_y", "bucket_start").alias("first_y")
     last = F.max_by("last_y", "bucket_start").alias("last_y")
+    chk = [F.sum("chk").alias("chk")] if "chk" in lower.columns else []
     if exact:
         sm = F.sum("sum_micro")
         return g.agg(
@@ -107,6 +117,7 @@ def rollup_cascade(lower: DataFrame, tier: str, exact: bool = False) -> DataFram
             first,
             last,
             sm.alias("sum_micro"),
+            *chk,
         )
     return g.agg(
         F.sum("cnt").alias("cnt"),
@@ -116,6 +127,7 @@ def rollup_cascade(lower: DataFrame, tier: str, exact: bool = False) -> DataFram
         (F.sum("sum_y") / F.sum("cnt")).alias("mean_y"),
         first,
         last,
+        *chk,
     )
 
 

@@ -35,17 +35,28 @@ def run_rollup_pipeline(
     gapfill_method: str = "locf",
     pack_value: str = "mean_y",
     cadence_s: int = 7,
+    carry_checksum: bool = True,
 ) -> dict:
     """Run (or resume) the full pipeline; returns {tier: rolled_point_count}
-    plus lineage/metrics handles."""
+    plus lineage/metrics handles.
+
+    ``carry_checksum`` propagates the per-doc token-array checksum into a
+    per-bucket ``chk`` column at every tier (the bit-exactness invariant —
+    this is what forces the token column scan, i.e. the dominant I/O+CPU at
+    10^12-sequence scale; disable for signal-only reruns)."""
     runner = StageRunner(spark, out_root)
 
+    chk = "tok_checksum" if carry_checksum else None
     series = seriesify(corpus, cadence_s=cadence_s)
 
     if n_salt:
-        t1m_fn = lambda: salted_rollup_raw(series, "1m", n_salt=n_salt, exact=exact)  # noqa: E731
+        t1m_fn = lambda: salted_rollup_raw(  # noqa: E731
+            series, "1m", n_salt=n_salt, exact=exact, checksum_col=chk
+        )
     else:
-        t1m_fn = lambda: rollup_raw(series, "1m", exact=exact, tie_break=False)  # noqa: E731
+        t1m_fn = lambda: rollup_raw(  # noqa: E731
+            series, "1m", exact=exact, tie_break=False, checksum_col=chk
+        )
 
     t1m = runner.stage("rollup_1m", t1m_fn)
     t1h = runner.stage("rollup_1h", lambda: rollup_cascade(t1m, "1h", exact=exact))

@@ -44,12 +44,14 @@ def salted_rollup_raw(
     ts: str = "ts",
     n_salt: int = 16,
     exact: bool = True,
+    checksum_col: str | None = None,
 ) -> DataFrame:
     """Two-phase (salted) raw→tier rollup; output ≡ ``rollup_raw(...,
     exact=exact, tie_break=True)`` by construction and by test."""
     unit = TIERS[tier]
     salt = F.pmod(F.xxhash64(F.col(ts)), F.lit(n_salt)).alias("_salt")
     sm = F.sum(F.round(F.col(y) * MICRO).cast("long"))
+    chk1 = [F.sum(checksum_col).alias("_chk_part")] if checksum_col else []
     phase1 = (
         series.groupBy(
             "source", F.date_trunc(unit, F.col(ts)).alias("bucket_start"), salt
@@ -60,9 +62,11 @@ def salted_rollup_raw(
             F.min(F.struct(F.col(ts).alias("t"), F.col(y).alias("v"))).alias("first_s"),
             F.max(F.struct(F.col(ts).alias("t"), F.col(y).alias("v"))).alias("last_s"),
             (sm if exact else F.sum(y).cast("double")).alias("_sum_part"),
+            *chk1,
         )
     )
     sm2 = F.sum("_sum_part")
+    chk2 = [F.sum("_chk_part").alias("chk")] if checksum_col else []
     merged = phase1.groupBy("source", "bucket_start").agg(
         F.sum("cnt").alias("cnt"),
         ((sm2 / MICRO) if exact else sm2).alias("sum_y"),
@@ -72,5 +76,6 @@ def salted_rollup_raw(
         F.min("first_s").getField("v").alias("first_y"),
         F.max("last_s").getField("v").alias("last_y"),
         *([sm2.alias("sum_micro")] if exact else []),
+        *chk2,
     )
     return merged

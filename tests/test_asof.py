@@ -1,0 +1,72 @@
+"""As-of join vs pandas merge_asof; retention windows."""
+
+import numpy as np
+import pandas as pd
+
+from forecaster_spark.operators.asof import apply_retention, asof_join
+from forecaster_spark.operators.rollup import rollup_raw
+from tests.conftest import mk_series_pdf
+
+
+def _sides(seed=3):
+    rng = np.random.default_rng(seed)
+    frames_l, frames_r = [], []
+    for s in ("a", "b"):
+        lts = pd.Timestamp("2025-01-01") + pd.to_timedelta(np.sort(rng.choice(5000, 300, replace=False)), unit="s")
+        rts = pd.Timestamp("2025-01-01") + pd.to_timedelta(np.sort(rng.choice(5000, 120, replace=False)), unit="s")
+        frames_l.append(pd.DataFrame({"source": s, "ts": lts, "y": rng.normal(size=len(lts))}))
+        frames_r.append(pd.DataFrame({"source": s, "ts": rts, "price": rng.normal(size=len(rts))}))
+    return pd.concat(frames_l, ignore_index=True), pd.concat(frames_r, ignore_index=True)
+
+
+def test_asof_join_matches_pandas(spark):
+    lpdf, rpdf = _sides()
+    got = (
+        asof_join(spark.createDataFrame(lpdf), spark.createDataFrame(rpdf))
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf.sort_values("ts").rename(columns={"price": "price_r", "ts": "ts_r"}),
+            left_on="ts",
+            right_on="ts_r",
+            by="source",
+            direction="backward",
+        )
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["price_r"], want["price_r"], equal_nan=True)
+    assert (got["ts_r"].fillna(pd.Timestamp(0)) == want["ts_r"].fillna(pd.Timestamp(0))).all()
+
+
+def test_asof_join_tolerance(spark):
+    lpdf, rpdf = _sides()
+    got = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf), tolerance_s=30
+    ).toPandas()
+    want = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf.sort_values("ts").rename(columns={"price": "price_r"}),
+        on="ts",
+        by="source",
+        direction="backward",
+        tolerance=pd.Timedelta(seconds=30),
+    )
+    got = got.sort_values(["source", "ts"]).reset_index(drop=True)
+    want = want.sort_values(["source", "ts"]).reset_index(drop=True)
+    assert np.allclose(got["price_r"], want["price_r"], equal_nan=True)
+
+
+def test_retention(spark):
+    pdf = mk_series_pdf(n=3000, n_sources=2)
+    tier = rollup_raw(spark.createDataFrame(pdf), "1m")
+    kept = apply_retention(tier, keep_buckets=3, step_seconds=60).toPandas()
+    full = tier.toPandas()
+    mx = full["bucket_start"].max()
+    want = full[full["bucket_start"] > mx - pd.Timedelta(seconds=180)]
+    assert len(kept) == len(want)
+    assert kept["bucket_start"].min() > mx - pd.Timedelta(seconds=181)

@@ -19,11 +19,33 @@ from tests.conftest import assert_df_equal, mk_series_pdf
 def test_salted_equals_unsalted(spark):
     corpus = gen_corpus(spark, 4000)
     series = seriesify(corpus)
-    plain = rollup_raw(series, "1m", exact=True).toPandas()
-    salted = salted_rollup_raw(series, "1m", n_salt=8, exact=True).toPandas()
+    plain = rollup_raw(series, "1m", exact=True, checksum_col="tok_checksum").toPandas()
+    salted = salted_rollup_raw(
+        series, "1m", n_salt=8, exact=True, checksum_col="tok_checksum"
+    ).toPandas()
     assert_df_equal(
         salted, plain, sort_cols=["source", "bucket_start"], check_dtype=False, check_like=True
     )
+
+
+def test_checksum_carries_through_cascade(spark):
+    """Token-array bit-exactness invariant at every retention tier: the chk
+    column at each tier equals the wrapping sum of per-doc checksums."""
+    from pyspark.sql import functions as F
+    from forecaster_spark.operators.rollup import rollup_cascade
+
+    corpus = gen_corpus(spark, 2000)
+    series = seriesify(corpus)
+    t1m = rollup_raw(series, "1m", checksum_col="tok_checksum", tie_break=False)
+    t1d = rollup_cascade(rollup_cascade(t1m, "1h"), "1d")
+    total_raw = series.agg(F.sum("tok_checksum")).first()[0]
+    assert t1m.agg(F.sum("chk")).first()[0] == total_raw
+    assert t1d.agg(F.sum("chk")).first()[0] == total_raw
+    # tampering with one token would change chk: simulate by altering y? —
+    # instead check per-source equality, a finer grain
+    per_src_raw = {r["source"]: r["s"] for r in series.groupBy("source").agg(F.sum("tok_checksum").alias("s")).collect()}
+    per_src_1d = {r["source"]: r["s"] for r in t1d.groupBy("source").agg(F.sum("chk").alias("s")).collect()}
+    assert per_src_raw == per_src_1d
 
 
 def test_hot_source_detection(spark):
