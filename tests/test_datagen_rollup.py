@@ -37,7 +37,7 @@ def test_gen_corpus_matches_pandas_oracle_and_is_partition_invariant(spark):
 
 def test_seriesify_schema_and_checksum(spark):
     corpus = gen_corpus(spark, 500)
-    s = seriesify(corpus)
+    s = seriesify(corpus, checksum="poly_native")
     pdf = s.orderBy("source", "seq").limit(200).toPandas()
     assert list(pdf.columns) == ["source", "seq", "ts", "y", "n_tok", "tok_checksum", "doc_id"]
     assert (pdf["y"] == pdf["n_tok"].astype(float)).all()
@@ -45,7 +45,7 @@ def test_seriesify_schema_and_checksum(spark):
     one = pdf[pdf.source == pdf.source.iloc[0]]
     dt = one["ts"].diff().dropna().dt.total_seconds()
     assert (dt == 7.0).all()
-    # checksum is deterministic & matches a python recompute
+    # polynomial checksum matches a python recompute
     row = corpus.select("doc_id", "tokens", token_checksum(F.col("tokens")).alias("c")).first()
     acc = 0
     for t in row["tokens"]:
@@ -53,6 +53,18 @@ def test_seriesify_schema_and_checksum(spark):
         if acc >= 1 << 63:
             acc -= 1 << 64
     assert acc == row["c"]
+    # the vectorized Arrow kernel is bit-identical to the native fold
+    a = seriesify(corpus, checksum="poly_native").select("doc_id", "tok_checksum").toPandas()
+    b = seriesify(corpus, checksum="poly").select("doc_id", "tok_checksum").toPandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_n", "_f"))
+    assert (merged.tok_checksum_n == merged.tok_checksum_f).all()
+    # the default xxhash checksum is deterministic across runs/partitionings
+    x1 = seriesify(corpus, checksum="xxhash").select("doc_id", "tok_checksum").toPandas()
+    x2 = seriesify(gen_corpus(spark, 500, partitions=3), checksum="xxhash").select(
+        "doc_id", "tok_checksum"
+    ).toPandas()
+    mx = x1.merge(x2, on="doc_id", suffixes=("_1", "_2"))
+    assert (mx.tok_checksum_1 == mx.tok_checksum_2).all()
 
 
 def _pandas_rollup(pdf, freq):

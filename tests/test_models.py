@@ -32,6 +32,12 @@ CONFIGS = [
     dict(hh=4, p=4, q=3, spec=1, mode="direct", scaler="minmax", exo=True, skip=2),
     dict(hh=3, p=4, mode="ar_yw", yw_method="mle", exo=False),
     dict(hh=3, p=4, mode="ar_yw", yw_method="sm_ols", exo=False),
+    # ARX_Symb_D: symbolic design + direct multi-output fit (arx_symb_d.py)
+    dict(hh=3, p=3, q=2, design="symb", mode="direct", scaler="minmax", exo=True, skip=2),
+    # symbolic recursive with ENDO×EXO cross terms (arx_symb.py cross=True)
+    dict(hh=3, p=3, q=2, spec=2, design="symb", cross=True, scaler="minmax", exo=True, skip=2),
+    # AR_YW adjusted (bias-corrected Yule-Walker)
+    dict(hh=3, p=4, mode="ar_yw", yw_method="adjusted", exo=False),
 ]
 
 
