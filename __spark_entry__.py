@@ -285,6 +285,64 @@ def q_asof_join(spark, sf_dir):
     return out.select("source", "event_id", "m1_r", F.col("ts_r").cast("timestamp_ntz").alias("ts_r"))
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (engine breadth: classic OLAP agg via
+    built-ins; micro-exact sums for cross-engine determinism)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    m = 1_000_000
+
+    def s(expr):
+        return F.sum(F.round(expr * m).cast("long"))
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (s(F.col("l_quantity")) / m).alias("sum_qty"),
+            (s(F.col("l_extendedprice")) / m).alias("sum_base_price"),
+            (s(disc_price) / m).alias("sum_disc_price"),
+            (s(charge) / m).alias("sum_charge"),
+            (s(F.col("l_quantity")) / m / F.count(F.lit(1))).alias("avg_qty"),
+            (s(F.col("l_discount")) / m / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 events per source by value (deterministic tie-break by id)."""
+    from pyspark.sql import Window
+
+    s = _ev(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("y"), F.asc("event_id"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("source", "event_id", "y", "rnk")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: per-user session ids via cumsum of gap>30min flags."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn(
+            "session_id",
+            F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
 def q_backcast_fill(spark, sf_dir):
     s = _ev(spark, sf_dir).withColumn(
         "y", F.when(F.col("event_id") % 11 == 5, F.lit(0.0)).otherwise(F.col("y"))
@@ -319,6 +377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_pack_events_1m": q_gorilla_pack,
         "backcast_fill_events": q_backcast_fill,
         "asof_join_events_1m": q_asof_join,
+        "tpch_q1_lineitem": q_tpch_q1,
+        "topk_per_group_events": q_topk_per_group,
+        "sessionize_events": q_sessionize,
     }
 
 
@@ -529,4 +590,32 @@ QUALIFY rank <= 10""",
 SELECT e.source, e.event_id, t.mean_y AS m1_r, t.bucket_start AS ts_r
 FROM (SELECT event_type AS source, ts, event_id FROM events) e
 ASOF LEFT JOIN t1m t ON e.source = t.source AND e.ts >= t.bucket_start""",
+        "tpch_q1_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+       sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS avg_qty,
+       sum(CAST(round(l_discount * 1000000) AS BIGINT)) / 1000000.0 / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "topk_per_group_events": """
+SELECT source, event_id, y, rnk FROM (
+  SELECT event_type AS source, event_id, value AS y,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS INTEGER) AS rnk
+  FROM events
+) WHERE rnk <= 3""",
+        "sessionize_events": """
+SELECT user_id, event_id,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)""",
     }
