@@ -25,10 +25,9 @@ EPOCH0 = "2025-01-01 00:00:00"
 DEFAULT_CADENCE_S = 7  # prime vs 60 so 1m buckets hold 8-9 points
 
 _MAX_LEN = 1 << 16
-_POW31 = np.empty(_MAX_LEN, dtype=np.uint64)
-_POW31[0] = 1
-for _i in range(1, _MAX_LEN):
-    _POW31[_i] = _POW31[_i - 1] * np.uint64(31)  # uint64 wraparound == mod 2^64
+# 31^k mod 2^64 (uint64 wraparound == Java long); built via python pow to
+# avoid numpy overflow warnings at import
+_POW31 = np.array([pow(31, k, 1 << 64) for k in range(_MAX_LEN)], dtype=np.uint64)
 
 
 def token_checksum(tokens: Column) -> Column:

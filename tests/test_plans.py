@@ -1,0 +1,75 @@
+"""Physical-plan audits (SURVEY.md §4): these encode the scale properties
+the operators rely on — column pruning reaching the parquet scan, filter
+pushdown, hash (not sort) aggregation with map-side partials, broadcast for
+small sides — so a regression that silently degrades the plan fails CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from forecaster_spark.operators import features as FT
+from forecaster_spark.operators.rollup import rollup_raw, rollup_tiers
+from forecaster_spark.operators.seriesify import events_as_series
+
+
+def plan(df, mode="formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(qe, mode)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_rollup_scan_prunes_columns(events):
+    p = plan(rollup_raw(events_as_series(events), "1m", tie_break=False))
+    scan = p[p.index("Scan parquet"):]
+    read_schema = [l for l in scan.splitlines() if "ReadSchema" in l][0]
+    assert "ts" in read_schema and "event_type" in read_schema and "value" in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_rollup_fast_path_hash_aggregates(events):
+    t = rollup_tiers(events_as_series(events), tie_break=False)
+    p = plan(t["1d"], mode="simple")  # simple prints the plan once
+    assert "SortAggregate" not in p
+    assert p.count("HashAggregate") >= 6  # partial+final per tier
+    # exactly 3 shuffles: raw→1m, 1m→1h, 1h→1d
+    assert p.count("Exchange") == 3
+
+
+def test_rollup_tie_break_uses_sort_aggregate_knowingly(events):
+    p = plan(rollup_raw(events_as_series(events), "1m", tie_break=True))
+    assert "SortAggregate" in p  # documented cost of deterministic ties
+
+
+def test_filter_pushdown_reaches_scan(events):
+    df = events.where(F.col("event_type") == "click").select("event_id")
+    p = plan(df)
+    assert "PushedFilters" in p and "event_type" in p[p.index("PushedFilters"):]
+
+
+def test_window_features_single_shuffle(events):
+    s = events_as_series(events)
+    out = FT.with_leads(FT.with_lags(s, "y", 4), "y", 3)
+    p = plan(out, mode="simple")
+    # all lags+leads share one window partitioning → exactly one Exchange
+    assert p.count("Exchange") == 1
+    assert p.count("Window") >= 1
+
+
+def test_minmax_params_broadcast(events):
+    s = events_as_series(events)
+    out = FT.transform_minmax(s, FT.fit_minmax(s, ["y"]), ["y"])
+    assert "BroadcastHashJoin" in plan(out)
+
+
+def test_tpch_q1_pushdown(spark):
+    import __spark_entry__ as em
+
+    p = plan(em.q_tpch_q1(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in p
+    tail = p[p.index("PushedFilters"):]
+    assert "l_shipdate" in tail.splitlines()[0]
+    assert "HashAggregate" in p
