@@ -343,6 +343,121 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue: selective filter → single global agg.
+    The filters push down to the parquet scan (PushedFilters in explain)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    m = 1_000_000
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(F.round(rev * m).cast("long")) / m).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q3_CUT = "1998-06-01"
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (adapted to the testdata star schema):
+    broadcast the filtered customer dim into orders, shuffle-join lineitem,
+    top-10 orders by micro-exact revenue (tie-break by orderkey)."""
+    cust = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(_Q3_CUT))
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(_Q3_CUT))
+    m = 1_000_000
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(F.round(rev * m).cast("long")) / m).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"), "revenue")
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-like: revenue per nation for ASIA-region customers, 1996-97.
+    nation/region are broadcast dims; the fact-side join order lets Catalyst
+    keep one shuffle (orders⋈lineitem on orderkey)."""
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    m = 1_000_000
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dim = cust.join(
+        F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.round(rev * m).cast("long")) / m).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_rollup_cube(spark, sf_dir):
+    """Grouping-sets breadth: GROUP BY ROLLUP(event_type, day) — per-type
+    daily, per-type total, and grand total in one pass (partial aggregation
+    applies per grouping set; no raw rescan per level)."""
+    ev = read_table(spark, sf_dir, "events")
+    m = 1_000_000
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .rollup(F.col("event_type").alias("source"), F.col("day"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(F.round(F.col("value") * m).cast("long")) / m).alias("sum_v"),
+        )
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    """Distinct aggregation: exact user cardinality per event_type (Spark
+    expands distinct into a two-phase partial agg — still one raw scan)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("source")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_token_histogram(spark, sf_dir):
+    """Token histogram: explode BPE-ish segments → top-50 by count (the
+    vocabulary-stats primitive for training-data pipelines)."""
+    from forecaster_spark.operators.textops import BPE_ISH
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(50)
+    )
+
+
 def q_backcast_fill(spark, sf_dir):
     s = _ev(spark, sf_dir).withColumn(
         "y", F.when(F.col("event_id") % 11 == 5, F.lit(0.0)).otherwise(F.col("y"))
@@ -378,6 +493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backcast_fill_events": q_backcast_fill,
         "asof_join_events_1m": q_asof_join,
         "tpch_q1_lineitem": q_tpch_q1,
+        "tpch_q6_lineitem": q_tpch_q6,
+        "tpch_q3_top_orders": q_tpch_q3,
+        "nation_revenue_join": q_nation_revenue,
+        "rollup_cube_events": q_rollup_cube,
+        "distinct_users_events": q_distinct_users,
+        "token_histogram_documents": q_token_histogram,
         "topk_per_group_events": q_topk_per_group,
         "sessionize_events": q_sessionize,
     }
@@ -602,6 +723,46 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q6_lineitem": """
+SELECT sum(CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)) / 1000000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "tpch_q3_top_orders": f"""
+SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '{_Q3_CUT}' AND l_shipdate > TIMESTAMP '{_Q3_CUT}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10""",
+        "nation_revenue_join": """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue,
+       count(*) AS n_items
+FROM customer, orders, lineitem, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name""",
+        "rollup_cube_events": """
+SELECT event_type AS source, date_trunc('day', ts) AS day,
+       count(*) AS cnt,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_v
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))""",
+        "distinct_users_events": """
+SELECT event_type AS source, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1""",
+        "token_histogram_documents": f"""
+SELECT tok, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY cnt DESC, tok ASC
+LIMIT 50""",
         "topk_per_group_events": """
 SELECT source, event_id, y, rnk FROM (
   SELECT event_type AS source, event_id, value AS y,

@@ -45,22 +45,31 @@ _TS_CLASSES = (
 
 
 class _BitWriter:
-    __slots__ = ("chunks",)
+    """Linear-time bit packer: bits accumulate in a small int and whole bytes
+    flush into a bytearray. (A single big-int accumulator re-copies the whole
+    buffer on every shift — quadratic in block size, measured ~15 s for one
+    64Ki-point block vs milliseconds here.)"""
+
+    __slots__ = ("buf", "acc", "nacc")
 
     def __init__(self):
-        self.chunks: list[tuple[int, int]] = []  # (value, nbits)
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
 
     def write(self, value: int, nbits: int):
-        self.chunks.append((value & ((1 << nbits) - 1), nbits))
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
 
     def tobytes(self) -> bytes:
-        total = sum(n for _, n in self.chunks)
-        acc = 0
-        for v, n in self.chunks:
-            acc = (acc << n) | v
-        pad = (-total) % 8
-        acc <<= pad
-        return acc.to_bytes((total + pad) // 8, "big")
+        out = bytes(self.buf)
+        if self.nacc:
+            out += bytes([(self.acc << (8 - self.nacc)) & 0xFF])
+        return out
 
 
 class _BitReader:
@@ -189,7 +198,7 @@ def pack_rollup_gorilla(
     value_col: str = "mean_y",
     partition: str = "source",
     bucket: str = "bucket_start",
-    max_points_per_block: int = 65536,
+    max_points_per_block: int = 8192,
 ) -> DataFrame:
     """Pack a rollup tier into Gorilla blocks: one row per (source, block)
     with columns (source, block_id, n_points, ts_min, ts_max, blob binary).
@@ -220,6 +229,24 @@ def pack_rollup_gorilla(
 
     schema = "source string, block_id long, n_points long, ts_min long, ts_max long, blob binary"
     return with_block.groupBy(partition, "_block_id").applyInPandas(encode, schema=schema)
+
+
+def pack_tiers_gorilla(
+    tiers: dict[str, DataFrame],
+    value_col: str = "mean_y",
+    max_points_per_block: int = 8192,
+) -> DataFrame:
+    """Pack every retention tier in ONE plan (union with a ``tier`` column):
+    one Spark job / one stage commit instead of one per tier — the per-stage
+    scheduling+commit overhead is fixed cost that would otherwise triple.
+    Block ids stay per-tier (bucket seconds / span), so blocks never mix
+    tiers."""
+    packed = None
+    for name, df in tiers.items():
+        p = pack_rollup_gorilla(df, value_col, max_points_per_block=max_points_per_block)
+        p = p.select(F.lit(name).alias("tier"), *p.columns)
+        packed = p if packed is None else packed.unionByName(p)
+    return packed
 
 
 def unpack_rollup_gorilla(packed: DataFrame, value_col: str = "mean_y") -> DataFrame:

@@ -115,6 +115,12 @@ def fill_bucket_gaps(
     grid = explode(sequence(min_bucket, max_bucket, interval)) per source —
     the grid is generated distributed (no driver loop) and joined back on
     (source, bucket): one shuffle keyed like the tier itself.
+
+    Skew note: both the grid explode and the fill window partition by
+    ``source`` alone, so one giant source serializes into one task. Fine for
+    moderate series; for hot-source corpora use
+    :func:`fill_bucket_gaps_blocked` (bounded partitions, identical output
+    for ``method='locf'``).
     """
     bounds = tier.groupBy(partition).agg(
         F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
@@ -136,3 +142,114 @@ def fill_bucket_gaps(
             else:
                 raise ValueError(f"unknown fill method {method!r}")
     return joined
+
+
+def fill_bucket_gaps_blocked(
+    tier: DataFrame,
+    step_seconds: int,
+    fill_cols: list[str] | None = None,
+    partition: str = "source",
+    bucket: str = "bucket_start",
+    block_buckets: int = 8192,
+    method: str = "locf",
+) -> DataFrame:
+    """Skew-bounded gap-fill: identical output to ``fill_bucket_gaps(...,
+    method='locf')`` but every task is capped at ``block_buckets`` rows, so a
+    source spanning years cannot serialize the stage (the classic distributed
+    prefix-scan decomposition — LOCF is a running ``last ignorenulls``, i.e.
+    an associative scan):
+
+    1. per-source bounds → per-(source, block) grid rows: two nested
+       ``sequence``/``explode`` steps (block list is tiny, within-block grid
+       is ≤ ``block_buckets``), so even generation is distributed;
+    2. left-join the tier rows onto the grid on (source, bucket) — the join
+       key is fine-grained, AQE handles residual skew;
+    3. phase A: per-(source, block) last non-null of each fill column
+       (``max_by`` over non-null rows — hash agg, no sort);
+    4. phase B: running LOCF *across blocks* on the tiny per-block table
+       (#blocks rows per source) → carry-in value per block;
+    5. phase C: within-block window (partition (source, block), ≤
+       ``block_buckets`` rows) + ``coalesce(within-block locf, carry-in)``.
+    """
+    if method != "locf":
+        raise ValueError("blocked gap-fill implements method='locf' only")
+    fill_cols = fill_cols or []
+    step = F.lit(step_seconds)
+    blk_span = F.lit(block_buckets * step_seconds)
+
+    bounds = tier.groupBy(partition).agg(
+        F.unix_timestamp(F.min(bucket)).alias("_lo"), F.unix_timestamp(F.max(bucket)).alias("_hi")
+    )
+    # block index is absolute (epoch // span) so tier rows can compute it
+    # without knowing per-source bounds
+    blocks = bounds.select(
+        partition,
+        "_lo",
+        "_hi",
+        F.explode(
+            F.sequence(F.floor(F.col("_lo") / blk_span), F.floor(F.col("_hi") / blk_span))
+        ).alias("_blk"),
+    )
+    grid = blocks.select(
+        partition,
+        "_blk",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.greatest(F.col("_blk") * blk_span, F.col("_lo")),
+                    F.least(F.col("_blk") * blk_span + blk_span - step, F.col("_hi")),
+                    step,
+                ),
+                lambda s: F.timestamp_seconds(s),
+            )
+        ).alias(bucket),
+    )
+
+    joined = grid.join(tier, on=[partition, bucket], how="left").withColumn(
+        "is_gap", F.col("cnt").isNull() if "cnt" in tier.columns else F.lit(False)
+    )
+    if not fill_cols:
+        return joined.drop("_blk")
+
+    # phase A: last non-null per (source, block) per fill column — computed
+    # from the TIER (grid gaps are null, so they cannot contribute): the agg
+    # input is the smaller table and does not depend on the join above
+    lasts = tier.groupBy(
+        partition, F.floor(F.unix_timestamp(bucket) / blk_span).alias("_blk")
+    ).agg(
+        *[
+            F.max_by(c, F.when(F.col(c).isNotNull(), F.col(bucket))).alias(f"_last_{c}")
+            for c in fill_cols
+        ]
+    )
+    # phase B: carry-in = last non-null from any *earlier* block (running
+    # locf over the per-block table, which has #blocks rows per source).
+    # lasts only holds blocks that contain tier rows; joining it onto the
+    # full block list first means fully-empty blocks inherit the carry too.
+    all_blocks = blocks.select(partition, "_blk")
+    keyed = all_blocks.join(lasts, on=[partition, "_blk"], how="left")
+    w_blocks = (
+        Window.partitionBy(partition).orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = keyed.select(
+        partition,
+        "_blk",
+        *[
+            F.last(f"_last_{c}", ignorenulls=True).over(w_blocks).alias(f"_carry_{c}")
+            for c in fill_cols
+        ],
+    )
+    # phase C: within-block locf, falling back to the block's carry-in.
+    # carries is #sources × #blocks rows — broadcast it so the only shuffle
+    # of the big table is the within-block window sort itself
+    out = joined.join(F.broadcast(carries), on=[partition, "_blk"], how="left")
+    w_in = (
+        Window.partitionBy(partition, "_blk")
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in fill_cols:
+        out = out.withColumn(
+            c, F.coalesce(F.last(c, ignorenulls=True).over(w_in), F.col(f"_carry_{c}"))
+        )
+    return out.drop("_blk", *[f"_carry_{c}" for c in fill_cols])

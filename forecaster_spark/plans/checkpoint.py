@@ -69,6 +69,12 @@ class StageRunner:
     def is_committed(self, stage: str) -> bool:
         return os.path.exists(f"{self._path(stage)}/{MANIFEST}")
 
+    def manifest(self, stage: str) -> dict:
+        """Committed stage's manifest (rows/checksum/n_partitions) — row
+        counts without a Spark job."""
+        with open(f"{self._path(stage)}/{MANIFEST}") as f:
+            return json.load(f)
+
     def stage(self, name: str, build_fn, partition_cols: list[str] | None = None) -> DataFrame:
         """Return the stage output, computing+committing it if needed.
 

@@ -7,17 +7,20 @@ Shuffle budget (the scale argument):
   - 1m rollup: ONE shuffle of partial aggregates (map-side combine first);
     optional salting for pathological bucket floods;
   - 1h / 1d: shuffles of *tier partials* (≥60× / ≥1440× smaller than raw);
-  - gap-fill: window over (source) — one shuffle of the 1m tier;
-  - Gorilla pack: groupBy (source, block) on tier rows — bounded groups.
-Raw data is scanned exactly once regardless of tier count.
+  - gap-fill: blocked two-phase LOCF — every task bounded by the block size,
+    a hot source spanning years cannot serialize the stage;
+  - Gorilla pack: ONE stage for all tiers, groupBy (source, block) on tier
+    rows — bounded groups, single commit.
+Raw data is scanned exactly once regardless of tier count; tier row counts
+come from stage manifests (no extra jobs).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from forecaster_spark.functions.gorilla import pack_rollup_gorilla
-from forecaster_spark.operators.gapfill import fill_bucket_gaps
+from forecaster_spark.functions.gorilla import pack_tiers_gorilla
+from forecaster_spark.operators.gapfill import fill_bucket_gaps_blocked
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw
 from forecaster_spark.operators.seriesify import seriesify
 from forecaster_spark.plans.checkpoint import StageRunner
@@ -36,6 +39,7 @@ def run_rollup_pipeline(
     pack_value: str = "mean_y",
     cadence_s: int = 7,
     carry_checksum: bool = True,
+    checksum: str = "xxhash",
 ) -> dict:
     """Run (or resume) the full pipeline; returns {tier: rolled_point_count}
     plus lineage/metrics handles.
@@ -43,11 +47,16 @@ def run_rollup_pipeline(
     ``carry_checksum`` propagates the per-doc token-array checksum into a
     per-bucket ``chk`` column at every tier (the bit-exactness invariant —
     this is what forces the token column scan, i.e. the dominant I/O+CPU at
-    10^12-sequence scale; disable for signal-only reruns)."""
+    10^12-sequence scale; disable for signal-only reruns).
+
+    ``checksum`` picks the per-doc implementation (see
+    :func:`forecaster_spark.operators.seriesify.seriesify`): "xxhash"
+    (native, scan-speed) or "poly" (the reference-exact polynomial via the
+    Arrow kernel — the faithful token-array invariant, ~3× the scan cost)."""
     runner = StageRunner(spark, out_root)
 
     chk = "tok_checksum" if carry_checksum else None
-    series = seriesify(corpus, cadence_s=cadence_s)
+    series = seriesify(corpus, cadence_s=cadence_s, checksum=checksum)
 
     if n_salt:
         t1m_fn = lambda: salted_rollup_raw(  # noqa: E731
@@ -64,16 +73,21 @@ def run_rollup_pipeline(
 
     tiers = {"1m": t1m, "1h": t1h, "1d": t1d}
 
-    runner.stage(
-        "gapfill_1m",
-        lambda: fill_bucket_gaps(t1m, TIER_STEP_S["1m"], ["mean_y"], method=gapfill_method),
-    )
-    for tier_name, tier_df in tiers.items():
-        runner.stage(
-            f"gorilla_{tier_name}",
-            lambda df=tier_df: pack_rollup_gorilla(df, pack_value),
+    if gapfill_method == "locf":
+        gap_fn = lambda: fill_bucket_gaps_blocked(  # noqa: E731
+            t1m, TIER_STEP_S["1m"], ["mean_y"], method="locf"
         )
+    else:  # interp has no blocked variant (needs a forward pass too)
+        from forecaster_spark.operators.gapfill import fill_bucket_gaps
 
-    counts = {name: df.count() for name, df in tiers.items()}
+        gap_fn = lambda: fill_bucket_gaps(  # noqa: E731
+            t1m, TIER_STEP_S["1m"], ["mean_y"], method=gapfill_method
+        )
+    runner.stage("gapfill_1m", gap_fn)
+    runner.stage("gorilla", lambda: pack_tiers_gorilla(tiers, pack_value))
+
+    # tier row counts come from the stage manifests (written at commit) —
+    # no extra count() jobs on the checkpointed outputs
+    counts = {name: runner.manifest(f"rollup_{name}")["rows"] for name in tiers}
     counts["total_rolled_points"] = sum(counts.values())
     return {"counts": counts, "runner": runner}

@@ -31,6 +31,22 @@ def main(argv=None):
     ap.add_argument("--salt", type=int, default=0, help="salt buckets for the raw rollup (0=off)")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (sandbox only)")
     ap.add_argument("--no-exact", action="store_true", help="plain double sums")
+    ap.add_argument(
+        "--checksum",
+        default="xxhash",
+        choices=["xxhash", "poly", "poly_native"],
+        help="per-doc token checksum: xxhash (native, scan-speed) or poly "
+        "(reference-exact polynomial, Arrow kernel)",
+    )
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=1,
+        help="run the pipeline N times (fresh output dir per run, suffix _r{i}); "
+        "one JSON line per run. Run 0 doubles as JVM/JIT/codegen warm-up for "
+        "steady-state benchmarking — a cluster job amortizes that warm-up "
+        "over hours, so steady-state is what scales.",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("rollup_pipeline", cpus=args.cpus)
@@ -39,22 +55,27 @@ def main(argv=None):
     else:
         corpus = read_corpus(spark, args.corpus)
 
-    t0 = time.time()
-    result = run_rollup_pipeline(
-        spark, corpus, args.out, exact=not args.no_exact, n_salt=args.salt or None
-    )
-    wall = time.time() - t0
-    counts = result["counts"]
-    print(
-        json.dumps(
-            {
-                "wall_sec": round(wall, 3),
-                "rolled_points": counts["total_rolled_points"],
-                "rolled_points_per_sec": round(counts["total_rolled_points"] / wall, 1),
-                "tiers": {k: v for k, v in counts.items() if k != "total_rolled_points"},
-            }
+    for i in range(args.runs):
+        out = args.out if args.runs == 1 else f"{args.out}_r{i}"
+        t0 = time.time()
+        result = run_rollup_pipeline(
+            spark, corpus, out, exact=not args.no_exact, n_salt=args.salt or None,
+            checksum=args.checksum,
         )
-    )
+        wall = time.time() - t0
+        counts = result["counts"]
+        print(
+            json.dumps(
+                {
+                    "run": i,
+                    "wall_sec": round(wall, 3),
+                    "rolled_points": counts["total_rolled_points"],
+                    "rolled_points_per_sec": round(counts["total_rolled_points"] / wall, 1),
+                    "tiers": {k: v for k, v in counts.items() if k != "total_rolled_points"},
+                }
+            ),
+            flush=True,
+        )
     spark.stop()
 
 

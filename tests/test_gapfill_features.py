@@ -5,7 +5,13 @@ import numpy as np
 import pandas as pd
 
 from forecaster_spark.operators import features as FT
-from forecaster_spark.operators.gapfill import backcast_fill, fill_bucket_gaps, linear_interp, locf
+from forecaster_spark.operators.gapfill import (
+    backcast_fill,
+    fill_bucket_gaps,
+    fill_bucket_gaps_blocked,
+    linear_interp,
+    locf,
+)
 from forecaster_spark.operators.rollup import rollup_raw
 from forecaster_spark.oracle import ref
 from tests.conftest import mk_series_pdf
@@ -68,6 +74,51 @@ def test_fill_bucket_gaps(spark):
         assert (dt == 60).all()          # dense grid
         assert g["mean_y"].notna().all()  # locf filled
         assert g["is_gap"].any()
+
+
+def test_fill_bucket_gaps_blocked_equals_plain(spark):
+    """The skew-bounded two-phase LOCF produces the identical densified +
+    filled table as the per-source-window version, including with blocks
+    small enough that gaps span block boundaries."""
+    pdf = mk_series_pdf(n=600, n_sources=3)
+    pdf = pdf[~((pdf.ts.dt.minute % 5).isin([1, 2]))]  # multi-bucket gaps
+    tier = rollup_raw(spark.createDataFrame(pdf), "1m")
+    plain = (
+        fill_bucket_gaps(tier, 60, ["mean_y"], method="locf")
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    for block_buckets in (7, 64):  # force cross-block carry, then few blocks
+        blocked = (
+            fill_bucket_gaps_blocked(tier, 60, ["mean_y"], block_buckets=block_buckets)
+            .toPandas()
+            .sort_values(["source", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            blocked[plain.columns], plain, check_dtype=False
+        )
+
+
+def test_pack_tiers_gorilla_single_stage(spark):
+    """Multi-tier pack ≡ per-tier packs, tier column added."""
+    from forecaster_spark.functions.gorilla import pack_rollup_gorilla, pack_tiers_gorilla
+    from forecaster_spark.operators.rollup import rollup_tiers
+
+    pdf = mk_series_pdf(n=400, n_sources=2)
+    tiers = rollup_tiers(spark.createDataFrame(pdf))
+    allp = pack_tiers_gorilla(tiers, "mean_y").toPandas()
+    assert set(allp["tier"]) == {"1m", "1h", "1d"}
+    for name, df in tiers.items():
+        solo = pack_rollup_gorilla(df, "mean_y").toPandas().sort_values(["source", "block_id"]).reset_index(drop=True)
+        sub = (
+            allp[allp.tier == name]
+            .drop(columns="tier")
+            .sort_values(["source", "block_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(sub, solo, check_dtype=False)
 
 
 def test_lags_match_oracle(spark):

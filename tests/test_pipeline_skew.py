@@ -66,7 +66,7 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     # metrics/lineage recorded for every stage
     runner = r1["runner"]
     stages = {r["stage"] for r in runner.metrics().collect()}
-    assert {"rollup_1m", "rollup_1h", "rollup_1d", "gapfill_1m", "gorilla_1m", "gorilla_1h", "gorilla_1d"} <= stages
+    assert {"rollup_1m", "rollup_1h", "rollup_1d", "gapfill_1m", "gorilla"} <= stages
 
     # simulate crash: delete the 1d output, keep 1m/1h → resume recomputes
     # only what's missing and totals are identical
