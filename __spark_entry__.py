@@ -251,6 +251,19 @@ def q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def q_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN (coarse k-means cells + multi-probe) — deterministic, so the
+    rows-only check is stable across runs/partitionings."""
+    from forecaster_spark.operators.similarity import cosine_topk_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return cosine_topk_ivf(
+        emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id", "rank")
+
+
 # -- model kernels / codec (non-SQL-expressible → rows-only checks) ----------
 
 def q_arx_forecast(spark, sf_dir):
@@ -417,6 +430,45 @@ def q_nation_revenue(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-like: revenue share of 'PROMO%' parts per month of 1997.
+    part is a broadcast dim; the conditional aggregate stays in one pass."""
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    m = 1_000_000
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            (F.sum(F.round(promo * m).cast("long")) / m).alias("promo_revenue"),
+            (F.sum(F.round(rev * m).cast("long")) / m).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_supplier_volume(spark, sf_dir):
+    """Top-10 suppliers by shipped quantity (broadcast supplier dim,
+    deterministic tie-break by suppkey)."""
+    sup = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    m = 1_000_000
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            (F.sum(F.round(F.col("l_quantity") * m).cast("long")) / m).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
 def q_rollup_cube(spark, sf_dir):
     """Grouping-sets breadth: GROUP BY ROLLUP(event_type, day) — per-type
     daily, per-type total, and grand total in one pass (partial aggregation
@@ -487,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
+        "cosine_topk_ivf_embeddings": q_cosine_topk_ivf,
         "arx_forecast_events_1h": q_arx_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
         "gorilla_pack_events_1m": q_gorilla_pack,
@@ -496,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_lineitem": q_tpch_q6,
         "tpch_q3_top_orders": q_tpch_q3,
         "nation_revenue_join": q_nation_revenue,
+        "promo_revenue_part_join": q_promo_revenue,
+        "supplier_volume_topk": q_supplier_volume,
         "rollup_cube_events": q_rollup_cube,
         "distinct_users_events": q_distinct_users,
         "token_histogram_documents": q_token_histogram,
@@ -748,6 +803,25 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name""",
+        "promo_revenue_part_join": """
+SELECT date_trunc('month', l_shipdate) AS month,
+       sum(CAST(round(CASE WHEN p_type LIKE 'PROMO%'
+                           THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END * 1000000) AS BIGINT)) / 1000000.0 AS promo_revenue,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS total_revenue,
+       count(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1""",
+        "supplier_volume_topk": """
+SELECT s_suppkey, s_name,
+       sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0 AS total_qty,
+       count(*) AS n_items
+FROM lineitem, supplier
+WHERE l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY total_qty DESC, s_suppkey ASC
+LIMIT 10""",
         "rollup_cube_events": """
 SELECT event_type AS source, date_trunc('day', ts) AS day,
        count(*) AS cnt,

@@ -118,6 +118,117 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on L2-normalized vectors (spherical
+    k-means ≈ cosine clustering).
+
+    Deterministic: init = the ``n_centroids`` lowest-id vectors (no RNG, no
+    partition dependence); each Lloyd iteration is one distributed pass —
+    assignment in an Arrow kernel (batch matmul against the closed-over
+    centroid matrix), centroid update via posexplode + groupBy(cluster, pos)
+    avg (a hash agg over n_centroids × dim cells). Centroids are tiny and
+    live on the driver between iterations, exactly like a parameter server
+    round."""
+    init = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>"))
+        .toPandas()
+    )
+    C = np.stack(init.iloc[:, 0].to_numpy()).astype(np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, C, vec_col=vec_col).select(
+            "cluster", F.col(vec_col).cast("array<double>").alias("v")
+        )
+        cells = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        C = C.copy()
+        sums: dict[int, np.ndarray] = {}
+        for r in cells:
+            sums.setdefault(r["cluster"], np.zeros(dim))[r["pos"]] = r["m"]
+        for cl, vec in sums.items():
+            n = np.linalg.norm(vec)
+            if n > 0:
+                C[cl] = vec / n
+    return C
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", out: str = "cluster"
+) -> DataFrame:
+    """Nearest-centroid id per row (cosine): one numpy matmul per Arrow
+    batch against the closed-over (tiny) centroid matrix."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim), rows unit-norm
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out, assign(F.col(vec_col)))
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus partitioned into centroid cells (one pass);
+    each query probes its ``n_probe`` nearest cells; exact cosine rerank on
+    the probed cells only. Corpus-side work is linear + one equi-join on
+    cluster id — the classic inverted-file scale path (higher recall than
+    one-bucket LSH at the same candidate budget because probe order follows
+    the quantizer geometry)."""
+    C = ivf_centroids(corpus, dim, n_centroids, n_iter, id_col, vec_col)
+    cells = ivf_assign(corpus, C, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        "cluster",
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(probes(F.col(vec_col))).alias("cluster"),
+    )
+    cand = cells.join(F.broadcast(q), "cluster").where(F.col("neighbor_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     dim: int,

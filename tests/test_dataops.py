@@ -140,6 +140,27 @@ def test_cosine_topk_lsh_recall(spark, emb):
     assert (ann.cosine <= 1.0 + 1e-9).all()
 
 
+def test_cosine_topk_ivf_recall(spark, emb):
+    from forecaster_spark.operators.similarity import cosine_topk_ivf
+
+    q = emb.where(F.col("vec_id") < 5)
+    brute = cosine_topk_brute(emb, q, k=3).toPandas()
+    ann = cosine_topk_ivf(emb, q, dim=16, k=3, n_centroids=4, n_probe=2).toPandas()
+    # with 4 cells and 2 probes, half the corpus is scanned → rank-1 recall
+    # should be high on 40 vectors
+    b1 = brute[brute["rank"] == 1].set_index("query_id").neighbor_id
+    a1 = ann[ann["rank"] == 1].set_index("query_id").neighbor_id
+    hits = sum(a1.get(qid, -1) == b1[qid] for qid in b1.index)
+    assert hits >= 3
+    assert (ann.groupby("query_id").size() <= 3).all()
+    # determinism: identical output on a second run (no RNG anywhere)
+    ann2 = cosine_topk_ivf(emb, q, dim=16, k=3, n_centroids=4, n_probe=2).toPandas()
+    pd.testing.assert_frame_equal(
+        ann.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        ann2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
 def test_embedding_neardup(spark, emb):
     out = embedding_neardup_pairs(emb, dim=16, threshold=0.95, n_planes=4).toPandas()
     assert (0, 1) in set(zip(out.id_a, out.id_b))
