@@ -177,8 +177,21 @@ def fill_bucket_gaps_blocked(
     step = F.lit(step_seconds)
     blk_span = F.lit(block_buckets * step_seconds)
 
-    bounds = tier.groupBy(partition).agg(
-        F.unix_timestamp(F.min(bucket)).alias("_lo"), F.unix_timestamp(F.max(bucket)).alias("_hi")
+    # ONE aggregation pass over the tier yields both the per-(source, block)
+    # last-non-null values (phase A) and, via a second tiny re-agg, the
+    # per-source bounds — the tier is scanned once, not three times
+    per_blk = tier.groupBy(
+        partition, F.floor(F.unix_timestamp(bucket) / blk_span).alias("_blk")
+    ).agg(
+        F.unix_timestamp(F.min(bucket)).alias("_blo"),
+        F.unix_timestamp(F.max(bucket)).alias("_bhi"),
+        *[
+            F.max_by(c, F.when(F.col(c).isNotNull(), F.col(bucket))).alias(f"_last_{c}")
+            for c in fill_cols
+        ],
+    )
+    bounds = per_blk.groupBy(partition).agg(
+        F.min("_blo").alias("_lo"), F.max("_bhi").alias("_hi")
     )
     # block index is absolute (epoch // span) so tier rows can compute it
     # without knowing per-source bounds
@@ -211,17 +224,9 @@ def fill_bucket_gaps_blocked(
     if not fill_cols:
         return joined.drop("_blk")
 
-    # phase A: last non-null per (source, block) per fill column — computed
-    # from the TIER (grid gaps are null, so they cannot contribute): the agg
-    # input is the smaller table and does not depend on the join above
-    lasts = tier.groupBy(
-        partition, F.floor(F.unix_timestamp(bucket) / blk_span).alias("_blk")
-    ).agg(
-        *[
-            F.max_by(c, F.when(F.col(c).isNotNull(), F.col(bucket))).alias(f"_last_{c}")
-            for c in fill_cols
-        ]
-    )
+    # phase A outputs (the per-block last-non-null values) come from the
+    # single per_blk aggregation above
+    lasts = per_blk.select(partition, "_blk", *[f"_last_{c}" for c in fill_cols])
     # phase B: carry-in = last non-null from any *earlier* block (running
     # locf over the per-block table, which has #blocks rows per source).
     # lasts only holds blocks that contain tier rows; joining it onto the
