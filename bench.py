@@ -51,6 +51,11 @@ def main():
     sf = _sf_from_dir(sf_dir)
     spark = get_spark("bench", cpus=cpus)
 
+    # warm the JVM/JIT/python-worker pool once (a fresh session's first job
+    # carries ~6 s of one-time warm-up that would otherwise be booked to
+    # whichever query runs first)
+    _force(spark.range(100_000).selectExpr("id", "xxhash64(id) h"))
+
     query_times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
