@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator: cross-batch LOCF gap-fill via
+``applyInPandasWithState`` (north-rule "custom stateful operator" slot).
+
+Windowed aggregates cannot carry a value *across* micro-batches; LOCF needs
+exactly that — the last observation of a series may live many batches back.
+State per ``source`` is (last_ts_us, last_y): each batch sorts its rows by
+event time, fills nulls with a running last-observation that is seeded from
+state, then writes the new tail observation back to state.
+
+Correctness contract: within-source event-time order across batches (e.g.
+a Kafka topic partitioned by source). Out-of-order rows inside one batch are
+handled (sorted); across batches they would need a watermark-buffered
+reorder stage in front, which the 1m rollup's watermark already provides at
+tier granularity.
+
+Scale: state is O(#sources) — two scalars per key; batch work is the same
+vectorized ffill as the batch operator, partitioned by source hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("y", DoubleType()),
+        StructField("filled", BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [StructField("last_ts_us", LongType()), StructField("last_y", DoubleType())]
+)
+
+
+def _locf_batch(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    (source,) = key
+    last_ts_us, last_y = state.get if state.exists else (None, None)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values("ts")
+        y = pdf["y"]
+        filled = y.isna()
+        if last_y is not None:
+            y = y.ffill().fillna(last_y)
+        else:
+            y = y.ffill()
+        tail = y.dropna()
+        if len(tail):
+            last_y = float(tail.iloc[-1])
+            last_ts_us = int(pdf["ts"].iloc[-1].value // 1000)
+        yield pd.DataFrame(
+            {"source": source, "ts": pdf["ts"], "y": y, "filled": filled & y.notna()}
+        )
+    state.update((last_ts_us, last_y))
+
+
+def stream_locf(stream: DataFrame) -> DataFrame:
+    """Streaming LOCF over a ``(source, ts, y)`` stream; nulls fill from the
+    last observation, carried across micro-batches in keyed state."""
+    return stream.groupBy("source").applyInPandasWithState(
+        _locf_batch,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_locf_to_memory(spark, input_dir: str, query_name: str = "locf_stream") -> DataFrame:
+    """Drive a parquet-directory stream (one file per micro-batch) through
+    the stateful LOCF and return the collected output (test harness)."""
+    stream = (
+        spark.readStream.schema("source string, ts timestamp, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        stream_locf(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

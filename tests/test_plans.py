@@ -73,3 +73,37 @@ def test_tpch_q1_pushdown(spark):
     tail = p[p.index("PushedFilters"):]
     assert "l_shipdate" in tail.splitlines()[0]
     assert "HashAggregate" in p
+
+
+def test_tpch_q6_filters_pushed(spark):
+    import __spark_entry__ as em
+
+    p = plan(em.q_tpch_q6(spark, "/root/testdata/sf0.001"))
+    tail = p[p.index("PushedFilters"):].splitlines()[0]
+    # every predicate reaches the parquet scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in tail
+
+
+def test_join_queries_broadcast_dims(spark):
+    """Q3/Q5-like/Q14-like: dimension sides broadcast (no shuffle of the
+    fact table for the dim joins); at most one fact-fact shuffle join."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    for q, n_bcast_min in ((em.q_tpch_q3, 2), (em.q_nation_revenue, 3), (em.q_promo_revenue, 1)):
+        p = plan(q(spark, sf), mode="simple")
+        assert p.count("BroadcastHashJoin") >= n_bcast_min, q.__name__
+    # Q5-like keeps exactly one shuffle join: orders⋈lineitem on orderkey
+    p5 = plan(em.q_nation_revenue(spark, sf), mode="simple")
+    assert p5.count("SortMergeJoin") + p5.count("ShuffledHashJoin") <= 1
+
+
+def test_rollup_cube_single_scan(spark):
+    """GROUP BY ROLLUP computes all grouping sets off one scan (Expand),
+    not one scan per level."""
+    import __spark_entry__ as em
+
+    p = plan(em.q_rollup_cube(spark, "/root/testdata/sf0.001"), mode="simple")
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p
