@@ -69,6 +69,9 @@ def main():
     gen_corpus(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
     corpus = spark.read.parquet(corpus_path)
 
+    # steady-state protocol (same as tools/bench_scaling.py): one warm-up
+    # run absorbs plan compile + python-worker spin-up, then the timed run
+    run_rollup_pipeline(spark, corpus, f"{work}/rollup_warm")
     out_root = f"{work}/rollup"
     t0 = time.time()
     result = run_rollup_pipeline(spark, corpus, out_root)
