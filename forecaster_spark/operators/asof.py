@@ -27,10 +27,18 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance_s: int | None = None,
     suffix: str = "_r",
+    block_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right-side values with
     right.ts ≤ left.ts (within ``tolerance_s`` if given). Output = left
-    columns + ``{value}{suffix}`` columns (+ ``{ts}{suffix}``)."""
+    columns + ``{value}{suffix}`` columns (+ ``{ts}{suffix}``).
+
+    ``block_s`` bounds skew: with it, the window partitions by (source,
+    ⌊ts/block_s⌋) — every sort task is capped at one time block — and the
+    last right-side values of earlier blocks are carried in via a tiny
+    broadcast table (the same distributed prefix-scan decomposition as
+    ``fill_bucket_gaps_blocked``). Without it one giant source serializes
+    into a single window task. Identical output by construction and test."""
     value_cols = value_cols or [c for c in right.columns if c not in (on, ts)]
     lt = left.select(
         *left.columns,
@@ -47,16 +55,43 @@ def asof_join(
         F.col(ts).cast("timestamp").alias("__rts"),
     ).select(*lt.columns)  # align column order
     u = lt.unionByName(rt)
+
+    rvs = [f"__rv_{c}" for c in value_cols] + ["__rts"]
+    if block_s is None:
+        part = [on]
+    else:
+        u = u.withColumn(
+            "_blk", F.floor(F.unix_timestamp(F.col(ts).cast("timestamp")) / block_s)
+        )
+        part = [on, "_blk"]
+        # per-(source, block) last right-side values (right ts assumed
+        # unique per source, as rollup buckets are; ties would resolve
+        # arbitrarily), locf'd across ALL observed blocks — including blocks
+        # holding only left rows, which must inherit the carry too
+        lasts = u.where(F.col("_side") == 0).groupBy(on, "_blk").agg(
+            *[F.max_by(c, F.col(ts)).alias(c) for c in rvs]
+        )
+        all_blocks = u.select(on, "_blk").distinct()
+        wb = Window.partitionBy(on).orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+        carries = all_blocks.join(lasts, on=[on, "_blk"], how="left").select(
+            on, "_blk", *[F.last(c, ignorenulls=True).over(wb).alias(f"__carry_{c}") for c in rvs]
+        )
+        u = u.join(F.broadcast(carries), on=[on, "_blk"], how="left")
+
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*part)
         .orderBy(F.col(ts), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u
-    for c in value_cols:
-        filled = filled.withColumn(f"__rv_{c}", F.last(f"__rv_{c}", ignorenulls=True).over(w))
-    filled = filled.withColumn("__rts", F.last("__rts", ignorenulls=True).over(w))
+    for c in rvs:
+        run = F.last(c, ignorenulls=True).over(w)
+        filled = filled.withColumn(
+            c, F.coalesce(run, F.col(f"__carry_{c}")) if block_s is not None else run
+        )
     out = filled.where(F.col("_side") == 1)
+    if block_s is not None:
+        out = out.drop("_blk", *[f"__carry_{c}" for c in rvs])
     if tolerance_s is not None:
         in_tol = (
             F.unix_timestamp(F.col(ts).cast("timestamp")) - F.unix_timestamp(F.col("__rts"))

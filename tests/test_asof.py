@@ -70,3 +70,26 @@ def test_retention(spark):
     want = full[full["bucket_start"] > mx - pd.Timedelta(seconds=180)]
     assert len(kept) == len(want)
     assert kept["bucket_start"].min() > mx - pd.Timedelta(seconds=181)
+
+
+def test_asof_join_blocked_equals_plain(spark):
+    """Skew-bounded as-of (block_s) ≡ per-source-window as-of, with blocks
+    small enough that many left rows depend on cross-block carry, and with
+    tolerance interacting with the carry."""
+    lpdf, rpdf = _sides(seed=11)
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    for kwargs in ({}, {"tolerance_s": 45}):
+        plain = (
+            asof_join(l, r, **kwargs)
+            .toPandas()
+            .sort_values(["source", "ts"])
+            .reset_index(drop=True)
+        )
+        for block_s in (97, 1200):
+            blocked = (
+                asof_join(l, r, block_s=block_s, **kwargs)
+                .toPandas()
+                .sort_values(["source", "ts"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(blocked[plain.columns], plain, check_dtype=False)
