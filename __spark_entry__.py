@@ -287,15 +287,34 @@ def q_gorilla_pack(spark, sf_dir):
 
 def q_asof_join(spark, sf_dir):
     """As-of join: each event enriched with the most recent 1m-rollup mean
-    (bucket_start ≤ event ts) of its source. Oracle: DuckDB native ASOF JOIN."""
+    (bucket_start ≤ event ts) of its source — using the skew-bounded blocked
+    path (block_s), so the scale variant is what the DuckDB native ASOF JOIN
+    oracle certifies."""
     from forecaster_spark.operators.asof import asof_join
 
     left = _ev(spark, sf_dir)
     t1m = rollup_raw(left, "1m", exact=True).select(
         "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("m1")
     )
-    out = asof_join(left.drop("y"), t1m)
+    out = asof_join(left.drop("y"), t1m, block_s=3600)
     return out.select("source", "event_id", "m1_r", F.col("ts_r").cast("timestamp_ntz").alias("ts_r"))
+
+
+def q_gapfill_grid(spark, sf_dir):
+    """Blocked two-phase LOCF gap-fill of the 1m tier onto its dense bucket
+    grid (the TimescaleDB time_bucket_gapfill analogue) — the skew-bounded
+    pipeline path, certified against a DuckDB generate_series + window
+    oracle."""
+    from forecaster_spark.operators.gapfill import fill_bucket_gaps_blocked
+
+    t1m = rollup_raw(_events_series(spark, sf_dir), "1m", exact=True)
+    out = fill_bucket_gaps_blocked(t1m, 60, ["mean_y"], block_buckets=512)
+    return out.select(
+        "source",
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "mean_y",
+        "is_gap",
+    )
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -545,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_pack_events_1m": q_gorilla_pack,
         "backcast_fill_events": q_backcast_fill,
         "asof_join_events_1m": q_asof_join,
+        "gapfill_grid_events_1m": q_gapfill_grid,
         "tpch_q1_lineitem": q_tpch_q1,
         "tpch_q6_lineitem": q_tpch_q6,
         "tpch_q3_top_orders": q_tpch_q3,
@@ -766,6 +786,22 @@ QUALIFY rank <= 10""",
 SELECT e.source, e.event_id, t.mean_y AS m1_r, t.bucket_start AS ts_r
 FROM (SELECT event_type AS source, ts, event_id FROM events) e
 ASOF LEFT JOIN t1m t ON e.source = t.source AND e.ts >= t.bucket_start""",
+        "gapfill_grid_events_1m": _ROLLUP_SQL + """
+, bounds AS (
+  SELECT source, min(bucket_start) AS lo, max(bucket_start) AS hi FROM t1m GROUP BY 1
+), grid AS (
+  SELECT source, unnest(generate_series(lo, hi, INTERVAL 60 SECONDS)) AS bucket_start
+  FROM bounds
+), j AS (
+  SELECT g.source, g.bucket_start, t.mean_y, t.cnt IS NULL AS is_gap
+  FROM grid g LEFT JOIN t1m t USING (source, bucket_start)
+)
+SELECT source, bucket_start,
+       last_value(mean_y IGNORE NULLS) OVER (
+         PARTITION BY source ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_y,
+       is_gap
+FROM j""",
         "tpch_q1_lineitem": """
 SELECT l_returnflag, l_linestatus,
        sum(CAST(round(l_quantity * 1000000) AS BIGINT)) / 1000000.0 AS sum_qty,
