@@ -273,6 +273,31 @@ def q_arx_forecast(spark, sf_dir):
     return forecast_long(s, hh=4, p=4, spec=2, skip=2)
 
 
+def q_arx_direct_forecast(spark, sf_dir):
+    """ARX_D direct multi-horizon (one regression per horizon — C2/A3)."""
+    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
+        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    )
+    return forecast_long(s, hh=4, p=4, spec=2, skip=2, mode="direct")
+
+
+def q_ar_yw_forecast(spark, sf_dir):
+    """AR via Yule-Walker autocovariance fit (A4), dynamic recursion (C1)."""
+    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
+        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    )
+    return forecast_long(s, hh=4, p=4, skip=4, mode="ar_yw")
+
+
+def q_arx_symb_forecast(spark, sf_dir):
+    """ARX_Symb: symbolic transforms (x^1.5, sqrt, log1p) + MinMax scaling
+    with scale-corrected recursion (P2/W7/W8)."""
+    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
+        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    )
+    return forecast_long(s, hh=3, p=3, spec=1, skip=3, design="symb", scaler="minmax")
+
+
 def q_arx_qof_roll(spark, sf_dir):
     s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
         "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
@@ -560,6 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
         "cosine_topk_ivf_embeddings": q_cosine_topk_ivf,
         "arx_forecast_events_1h": q_arx_forecast,
+        "arx_direct_forecast_events_1h": q_arx_direct_forecast,
+        "ar_yw_forecast_events_1h": q_ar_yw_forecast,
+        "arx_symb_forecast_events_1h": q_arx_symb_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
         "gorilla_pack_events_1m": q_gorilla_pack,
         "backcast_fill_events": q_backcast_fill,
