@@ -43,6 +43,7 @@ def rollup_raw(
     exact: bool = False,
     tie_break: bool = True,
     checksum_col: str | None = None,
+    keep_ts: bool = False,
 ) -> DataFrame:
     """Roll raw points into one tier:
     groupBy(source, date_trunc(unit, ts)). first/last are min_by/max_by on
@@ -59,10 +60,17 @@ def rollup_raw(
     (sum of the per-row checksums — order-independent), carried up the tier
     cascade: the per-doc token-array invariant (BASELINE.json input_hint)
     becomes verifiable at every retention tier.
+
+    ``keep_ts`` carries ``first_ts``/``last_ts`` per bucket — required for
+    *same-grain* incremental merging (:func:`merge_rollup_increment`): when a
+    later batch adds rows to an existing bucket, first/last can only be
+    merged by comparing the actual observation timestamps.
     """
     unit = TIERS[tier]
     g = series.groupBy("source", F.date_trunc(unit, F.col(ts)).alias("bucket_start"))
     chk = [F.sum(checksum_col).alias("chk")] if checksum_col else []
+    if keep_ts:
+        chk = [F.min(ts).alias("first_ts"), F.max(ts).alias("last_ts"), *chk]
     if tie_break:
         # deterministic under duplicate ts (lexicographic (ts, y)); struct
         # min/max forces SortAggregate — use only when ts may collide
@@ -127,6 +135,56 @@ def rollup_cascade(lower: DataFrame, tier: str, exact: bool = False) -> DataFram
         (F.sum("sum_y") / F.sum("cnt")).alias("mean_y"),
         first,
         last,
+        *chk,
+    )
+
+
+def merge_rollup_increment(existing: DataFrame, delta: DataFrame, exact: bool = False) -> DataFrame:
+    """Incremental continuous-aggregate refresh (TimescaleDB-style): merge a
+    new batch's tier partials into an existing tier at the SAME grain.
+    Buckets touched by both sides merge with the full algebra — cnt/sums
+    add, min/max fold, first/last resolve by the carried ``first_ts`` /
+    ``last_ts`` (both inputs must come from ``rollup_raw(..., keep_ts=True)``)
+    — untouched buckets pass through. ``merged ≡ rollup_raw(all raw rows)``
+    is asserted in tests; the raw history is never rescanned.
+
+    Scale: cost is one union + one hash-agg keyed (source, bucket) — i.e.
+    proportional to |existing tier| + |delta|, independent of raw history
+    size. With date-partitioned tiers, only partitions overlapping the delta
+    need rewriting (merge-on-read engines push this further).
+    """
+    for c in ("first_ts", "last_ts"):
+        if c not in existing.columns or c not in delta.columns:
+            raise ValueError("merge requires tiers built with keep_ts=True")
+    u = existing.unionByName(delta)
+    g = u.groupBy("source", "bucket_start")
+    first = F.min_by("first_y", "first_ts").alias("first_y")
+    last = F.max_by("last_y", "last_ts").alias("last_y")
+    span = [F.min("first_ts").alias("first_ts"), F.max("last_ts").alias("last_ts")]
+    chk = [F.sum("chk").alias("chk")] if "chk" in u.columns else []
+    if exact:
+        sm = F.sum("sum_micro")
+        return g.agg(
+            F.sum("cnt").alias("cnt"),
+            (sm / MICRO).alias("sum_y"),
+            F.min("min_y").alias("min_y"),
+            F.max("max_y").alias("max_y"),
+            (sm / MICRO / F.sum("cnt")).alias("mean_y"),
+            first,
+            last,
+            sm.alias("sum_micro"),
+            *span,
+            *chk,
+        )
+    return g.agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_y").alias("sum_y"),
+        F.min("min_y").alias("min_y"),
+        F.max("max_y").alias("max_y"),
+        (F.sum("sum_y") / F.sum("cnt")).alias("mean_y"),
+        first,
+        last,
+        *span,
         *chk,
     )
 

@@ -40,6 +40,7 @@ def run_rollup_pipeline(
     cadence_s: int = 7,
     carry_checksum: bool = True,
     checksum: str = "xxhash",
+    partition_tiers: bool = False,
 ) -> dict:
     """Run (or resume) the full pipeline; returns {tier: rolled_point_count}
     plus lineage/metrics handles.
@@ -67,9 +68,28 @@ def run_rollup_pipeline(
             series, "1m", exact=exact, tie_break=False, checksum_col=chk
         )
 
-    t1m = runner.stage("rollup_1m", t1m_fn)
-    t1h = runner.stage("rollup_1h", lambda: rollup_cascade(t1m, "1h", exact=exact))
-    t1d = runner.stage("rollup_1d", lambda: rollup_cascade(t1h, "1d", exact=exact))
+    if partition_tiers:
+        # hive-partition each tier by bucket date → time-range reads and
+        # retention drops prune whole partitions (PartitionFilters in the
+        # scan); off by default at CI scale where file-count overhead wins
+        from pyspark.sql import functions as _F
+
+        def _dated(fn):
+            return lambda: fn().withColumn("bucket_date", _F.to_date("bucket_start"))
+
+        pcols = ["bucket_date"]
+        t1m = runner.stage("rollup_1m", _dated(t1m_fn), partition_cols=pcols)
+        t1h = runner.stage(
+            "rollup_1h", _dated(lambda: rollup_cascade(t1m.drop("bucket_date"), "1h", exact=exact)), partition_cols=pcols
+        )
+        t1d = runner.stage(
+            "rollup_1d", _dated(lambda: rollup_cascade(t1h.drop("bucket_date"), "1d", exact=exact)), partition_cols=pcols
+        )
+        t1m, t1h, t1d = (df.drop("bucket_date") for df in (t1m, t1h, t1d))
+    else:
+        t1m = runner.stage("rollup_1m", t1m_fn)
+        t1h = runner.stage("rollup_1h", lambda: rollup_cascade(t1m, "1h", exact=exact))
+        t1d = runner.stage("rollup_1d", lambda: rollup_cascade(t1h, "1d", exact=exact))
 
     tiers = {"1m": t1m, "1h": t1h, "1d": t1d}
 

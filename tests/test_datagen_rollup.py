@@ -104,3 +104,25 @@ def test_cascade_first_last(spark):
     want = _pandas_rollup(pdf, "1h")
     assert_df_equal(t1h, want, sort_cols=["source", "bucket_start"],
                     check_dtype=False, check_exact=False, rtol=1e-12)
+
+
+def test_incremental_merge_equals_full_rollup(spark):
+    """Continuous-aggregate refresh: rollup(first batch) merged with
+    rollup(second batch) ≡ rollup(all rows), bit-exact in exact mode —
+    including buckets split across the batch boundary (first/last resolved
+    by carried first_ts/last_ts) and the token checksum."""
+    from forecaster_spark.operators.rollup import merge_rollup_increment
+
+    corpus = gen_corpus(spark, 3000)
+    series = seriesify(corpus).withColumn("par", F.col("seq") % 3)
+    # split NOT on time: every bucket receives rows from both batches
+    a = series.where(F.col("par") < 2).drop("par")
+    b = series.where(F.col("par") == 2).drop("par")
+    kw = dict(exact=True, keep_ts=True, checksum_col="tok_checksum", tie_break=False)
+    merged = merge_rollup_increment(
+        rollup_raw(a, "1m", **kw), rollup_raw(b, "1m", **kw), exact=True
+    ).toPandas()
+    full = rollup_raw(series.drop("par"), "1m", **kw).toPandas()
+    assert_df_equal(
+        merged, full, sort_cols=["source", "bucket_start"], check_dtype=False, check_like=True
+    )

@@ -93,3 +93,27 @@ def test_stage_runner_checksum_stability(spark, tmp_path):
     df1 = runner.stage("s1", lambda: spark.createDataFrame(pdf).repartition(4))
     df2 = runner.stage("s1", lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")))
     assert df1.count() == df2.count() == len(pdf)
+
+
+def test_partitioned_tiers_prune_and_match(spark, tmp_path):
+    """partition_tiers=True: tier outputs hive-partitioned by bucket_date —
+    a date filter prunes partitions at the scan (PartitionFilters), and the
+    tier contents equal the unpartitioned run."""
+    corpus = gen_corpus(spark, 3000)
+    out_p = str(tmp_path / "part")
+    out_u = str(tmp_path / "flat")
+    # hourly cadence → the corpus spans many days, so several date partitions
+    run_rollup_pipeline(spark, corpus, out_p, partition_tiers=True, cadence_s=3600)
+    run_rollup_pipeline(spark, corpus, out_u, cadence_s=3600)
+
+    t1m = spark.read.parquet(f"{out_p}/rollup_1m")
+    dates = [r[0] for r in t1m.select("bucket_date").distinct().collect()]
+    assert len(dates) > 1
+    q = t1m.where(t1m.bucket_date == dates[0])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_date" in plan[plan.index("PartitionFilters"):].splitlines()[0]
+
+    import pandas as pd
+    a = t1m.drop("bucket_date").toPandas().sort_values(["source", "bucket_start"]).reset_index(drop=True)
+    b = spark.read.parquet(f"{out_u}/rollup_1m").toPandas().sort_values(["source", "bucket_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
