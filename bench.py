@@ -70,12 +70,15 @@ def main():
     corpus = spark.read.parquet(corpus_path)
 
     # steady-state protocol (same as tools/bench_scaling.py): one warm-up
-    # run absorbs plan compile + python-worker spin-up, then the timed run
+    # run absorbs plan compile + python-worker spin-up, then best of two
+    # timed runs (at sf0.1 the pipeline is job-latency-bound and single
+    # runs jitter ±30%)
     run_rollup_pipeline(spark, corpus, f"{work}/rollup_warm")
-    out_root = f"{work}/rollup"
-    t0 = time.time()
-    result = run_rollup_pipeline(spark, corpus, out_root)
-    pipeline_wall = time.time() - t0
+    pipeline_wall = float("inf")
+    for i in range(2):
+        t0 = time.time()
+        result = run_rollup_pipeline(spark, corpus, f"{work}/rollup_{i}")
+        pipeline_wall = min(pipeline_wall, time.time() - t0)
     points = result["counts"]["total_rolled_points"]
     rps = points / pipeline_wall
 
