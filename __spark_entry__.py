@@ -298,6 +298,30 @@ def q_arx_symb_forecast(spark, sf_dir):
     return forecast_long(s, hh=3, p=3, spec=1, skip=3, design="symb", scaler="minmax")
 
 
+def q_arx_exo_forecast(spark, sf_dir):
+    """ARX with an exogenous regressor (W2/W6 hide path): per-source hourly
+    mean value forecast with the hourly event count as exo input."""
+    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.col("mean_y").alias("y"),
+        F.col("cnt").cast("double").alias("x_cnt"),
+    )
+    return forecast_long(s, exo_cols=["x_cnt"], hh=3, p=3, q=2, spec=1, skip=3)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing: deterministic synthetic assets →
+    Arrow feature-extraction kernel (decode seam stubbed with content-hash
+    features; schema/partitioning/batch shape are the real thing)."""
+    from forecaster_spark.operators.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, 400)
+    return extract_features(assets, decode="fake", dim=8).select(
+        "asset_id", "mime", "n_bytes", "width", "height", "n_frames", "mean_luma"
+    )
+
+
 def q_arx_qof_roll(spark, sf_dir):
     s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
         "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
@@ -588,7 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arx_direct_forecast_events_1h": q_arx_direct_forecast,
         "ar_yw_forecast_events_1h": q_ar_yw_forecast,
         "arx_symb_forecast_events_1h": q_arx_symb_forecast,
+        "arx_exo_forecast_events_1h": q_arx_exo_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
+        "multimodal_features_synth": q_multimodal_features,
         "gorilla_pack_events_1m": q_gorilla_pack,
         "backcast_fill_events": q_backcast_fill,
         "asof_join_events_1m": q_asof_join,
