@@ -334,6 +334,20 @@ def q_gorilla_pack(spark, sf_dir):
     return pack_rollup_gorilla(tier, "mean_y")
 
 
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Gorilla codec certified end-to-end by the SQL oracle: the 1m tier is
+    packed (delta-of-delta ts + XOR doubles) and decoded again; the decoded
+    values must be BIT-identical to the plain rollup SQL — i.e. the codec is
+    lossless under the DuckDB comparison, not just row-count-stable."""
+    from forecaster_spark.functions.gorilla import unpack_rollup_gorilla
+
+    tier = rollup_raw(_events_series(spark, sf_dir), "1m", exact=True)
+    packed = pack_rollup_gorilla(tier, "mean_y")
+    return unpack_rollup_gorilla(packed, "mean_y").select(
+        "source", F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"), "mean_y"
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: each event enriched with the most recent 1m-rollup mean
     (bucket_start ≤ event ts) of its source — using the skew-bounded blocked
@@ -616,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
         "multimodal_features_synth": q_multimodal_features,
         "gorilla_pack_events_1m": q_gorilla_pack,
+        "gorilla_roundtrip_events_1m": q_gorilla_roundtrip,
         "backcast_fill_events": q_backcast_fill,
         "asof_join_events_1m": q_asof_join,
         "gapfill_grid_events_1m": q_gapfill_grid,
@@ -836,6 +851,7 @@ SELECT query_id, neighbor_id,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 10""",
+        "gorilla_roundtrip_events_1m": _ROLLUP_SQL + "SELECT source, bucket_start, mean_y FROM t1m",
         "asof_join_events_1m": _ROLLUP_SQL + """
 SELECT e.source, e.event_id, t.mean_y AS m1_r, t.bucket_start AS ts_r
 FROM (SELECT event_type AS source, ts, event_id FROM events) e
