@@ -108,12 +108,22 @@ def rollup_raw(
 
 
 def rollup_cascade(lower: DataFrame, tier: str, exact: bool = False) -> DataFrame:
-    """Next tier from the partials of the tier below (no raw rescan)."""
+    """Next tier from the partials of the tier below (no raw rescan).
+    ``first_ts``/``last_ts`` (from ``keep_ts=True``) propagate as min/max —
+    and then give exact first/last merging too — so
+    :func:`merge_rollup_increment` works at every tier, not just the raw
+    one."""
     unit = TIERS[tier]
     g = lower.groupBy("source", F.date_trunc(unit, "bucket_start").alias("bucket_start"))
-    first = F.min_by("first_y", "bucket_start").alias("first_y")
-    last = F.max_by("last_y", "bucket_start").alias("last_y")
+    if "first_ts" in lower.columns:
+        first = F.min_by("first_y", "first_ts").alias("first_y")
+        last = F.max_by("last_y", "last_ts").alias("last_y")
+    else:
+        first = F.min_by("first_y", "bucket_start").alias("first_y")
+        last = F.max_by("last_y", "bucket_start").alias("last_y")
     chk = [F.sum("chk").alias("chk")] if "chk" in lower.columns else []
+    if "first_ts" in lower.columns:
+        chk = [F.min("first_ts").alias("first_ts"), F.max("last_ts").alias("last_ts"), *chk]
     if exact:
         sm = F.sum("sum_micro")
         return g.agg(

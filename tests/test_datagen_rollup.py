@@ -126,3 +126,25 @@ def test_incremental_merge_equals_full_rollup(spark):
     assert_df_equal(
         merged, full, sort_cols=["source", "bucket_start"], check_dtype=False, check_like=True
     )
+
+
+def test_incremental_merge_at_cascaded_tiers(spark):
+    """keep_ts propagates through the cascade, so incremental refresh works
+    at 1h/1d too: merge(cascade(rollup(a)), cascade(rollup(b))) ≡
+    cascade(rollup(all)) bit-exactly."""
+    from forecaster_spark.operators.rollup import merge_rollup_increment
+
+    corpus = gen_corpus(spark, 3000)
+    series = seriesify(corpus).withColumn("par", F.col("seq") % 2)
+    a = series.where(F.col("par") == 0).drop("par")
+    b = series.where(F.col("par") == 1).drop("par")
+    kw = dict(exact=True, keep_ts=True, checksum_col="tok_checksum", tie_break=False)
+
+    def t1h(s):
+        return rollup_cascade(rollup_raw(s, "1m", **kw), "1h", exact=True)
+
+    merged = merge_rollup_increment(t1h(a), t1h(b), exact=True).toPandas()
+    full = t1h(series.drop("par")).toPandas()
+    assert_df_equal(
+        merged, full, sort_cols=["source", "bucket_start"], check_dtype=False, check_like=True
+    )
