@@ -334,6 +334,16 @@ def q_gorilla_pack(spark, sf_dir):
     return pack_rollup_gorilla(tier, "mean_y")
 
 
+def q_retention_1m(spark, sf_dir):
+    """Retention window on the 1m tier: keep the newest 600 minute-buckets
+    relative to the tier's global max bucket (TimescaleDB retention-policy
+    analogue; with date-partitioned tiers this prunes whole partitions)."""
+    from forecaster_spark.operators.asof import apply_retention
+
+    t1m = rollup_raw(_events_series(spark, sf_dir), "1m", exact=True)
+    return apply_retention(t1m, keep_buckets=600, step_seconds=60).select(*ROLLUP_ORDER)
+
+
 def q_gorilla_roundtrip(spark, sf_dir):
     """Gorilla codec certified end-to-end by the SQL oracle: the 1m tier is
     packed (delta-of-delta ts + XOR doubles) and decoded again; the decoded
@@ -631,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_synth": q_multimodal_features,
         "gorilla_pack_events_1m": q_gorilla_pack,
         "gorilla_roundtrip_events_1m": q_gorilla_roundtrip,
+        "retention_1m_events": q_retention_1m,
         "backcast_fill_events": q_backcast_fill,
         "asof_join_events_1m": q_asof_join,
         "gapfill_grid_events_1m": q_gapfill_grid,
@@ -852,6 +863,10 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= 10""",
         "gorilla_roundtrip_events_1m": _ROLLUP_SQL + "SELECT source, bucket_start, mean_y FROM t1m",
+        "retention_1m_events": _ROLLUP_SQL + """
+SELECT source, bucket_start, cnt, sum_y, min_y, max_y, mean_y, first_y, last_y
+FROM t1m
+WHERE bucket_start > (SELECT max(bucket_start) FROM t1m) - INTERVAL 36000 SECONDS""",
         "asof_join_events_1m": _ROLLUP_SQL + """
 SELECT e.source, e.event_id, t.mean_y AS m1_r, t.bucket_start AS ts_r
 FROM (SELECT event_type AS source, ts, event_id FROM events) e
