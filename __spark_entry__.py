@@ -84,8 +84,10 @@ WITH series AS (
 
 _CASCADE_1H = """
 , t1h AS (
+  -- DuckDB sum(BIGINT) returns HUGEINT (→ float64 in pandas); CAST back to
+  -- BIGINT so the driver's value-hash sees the same int64 dtype as Spark
   SELECT source, date_trunc('hour', bucket_start) AS bucket_start,
-         sum(cnt) AS cnt, sum(sum_micro) / 1000000.0 AS sum_y,
+         CAST(sum(cnt) AS BIGINT) AS cnt, sum(sum_micro) / 1000000.0 AS sum_y,
          min(min_y) AS min_y, max(max_y) AS max_y,
          sum(sum_micro) / 1000000.0 / sum(cnt) AS mean_y,
          min_by(first_y, bucket_start) AS first_y,
@@ -230,8 +232,13 @@ def q_simhash(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
+    """Bottom-k k-gram sketch, exploded to (doc_id, pos, fp) rows — scalar
+    columns so the driver's canonical sort can order them (an array<long>
+    cell is unhashable in the harness's lexsort)."""
     docs = read_table(spark, sf_dir, "documents")
-    return with_fingerprint(docs).select("doc_id", "fingerprint")
+    return with_fingerprint(docs).select(
+        "doc_id", F.posexplode("fingerprint").alias("pos", "fp")
+    )
 
 
 def q_cosine_topk_brute(spark, sf_dir):
@@ -606,7 +613,7 @@ def q_backcast_fill(spark, sf_dir):
     s = _ev(spark, sf_dir).withColumn(
         "y", F.when(F.col("event_id") % 11 == 5, F.lit(0.0)).otherwise(F.col("y"))
     )
-    return backcast_fill(s, ["y"], order="ts").select("source", "event_id", "y")
+    return backcast_fill(s, ["y"], order=["ts", "event_id"]).select("source", "event_id", "y")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -675,7 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d_cascade_events": _ROLLUP_SQL + _CASCADE_1H + """
 , t1d AS (
   SELECT source, date_trunc('day', bucket_start) AS bucket_start,
-         sum(cnt) AS cnt, sum(sum_micro) / 1000000.0 AS sum_y,
+         CAST(sum(cnt) AS BIGINT) AS cnt, sum(sum_micro) / 1000000.0 AS sum_y,
          min(min_y) AS min_y, max(max_y) AS max_y,
          sum(sum_micro) / 1000000.0 / sum(cnt) AS mean_y,
          min_by(first_y, bucket_start) AS first_y,

@@ -64,12 +64,15 @@ def asof_join(
             "_blk", F.floor(F.unix_timestamp(F.col(ts).cast("timestamp")) / block_s)
         )
         part = [on, "_blk"]
-        # per-(source, block) last right-side values (right ts assumed
-        # unique per source, as rollup buckets are; ties would resolve
-        # arbitrarily), locf'd across ALL observed blocks — including blocks
-        # holding only left rows, which must inherit the carry too
+        # per-(source, block) last *non-null* right-side value per column
+        # (max_by over a ts keyed only on non-null rows — a plain max_by(c, ts)
+        # would take the latest row's value even when NULL, diverging from the
+        # plain path's last(ignorenulls) per column), locf'd across ALL
+        # observed blocks — including blocks holding only left rows, which
+        # must inherit the carry too. Right ts assumed unique per source, as
+        # rollup buckets are; ties would resolve arbitrarily.
         lasts = u.where(F.col("_side") == 0).groupBy(on, "_blk").agg(
-            *[F.max_by(c, F.col(ts)).alias(c) for c in rvs]
+            *[F.max_by(c, F.when(F.col(c).isNotNull(), F.col(ts))).alias(c) for c in rvs]
         )
         all_blocks = u.select(on, "_blk").distinct()
         wb = Window.partitionBy(on).orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -110,16 +113,17 @@ def apply_retention(
 ) -> DataFrame:
     """Retention window per tier: keep only the newest ``keep_buckets``
     buckets relative to the table's global max bucket (e.g. 1m tier keeps
-    7 days of minutes, 1h keeps 90 days, 1d keeps forever). A literal-free
-    filter on the partition column → partition pruning on date-partitioned
-    tables."""
-    # window functions are not allowed in WHERE — materialize the horizon as
-    # a column first, then filter (Catalyst still pushes the comparison down
-    # after the single global-max window)
-    horizon = F.max(bucket).over(Window.partitionBy())
-    cutoff = horizon - F.expr(f"INTERVAL {keep_buckets * step_seconds} SECONDS")
-    return (
-        tier.withColumn("__cutoff", cutoff)
-        .where(F.col(bucket) > F.col("__cutoff"))
-        .drop("__cutoff")
-    )
+    7 days of minutes, 1h keeps 90 days, 1d keeps forever).
+
+    The horizon is resolved to a driver-side scalar first (one tiny agg job —
+    a max with map-side partials, no shuffle of the tier rows), then applied
+    as a LITERAL filter. An unpartitioned ``max().over(Window.partitionBy())``
+    would funnel the whole tier through one window task — a 1m tier at
+    10^12-row scale is itself huge — and a non-literal predicate can't prune
+    date partitions. The literal comparison pushes down to the parquet scan
+    and prunes whole date partitions on partitioned tiers."""
+    horizon = tier.agg(F.max(bucket).alias("h")).collect()[0]["h"]
+    if horizon is None:  # empty tier
+        return tier
+    cutoff = F.lit(horizon) - F.expr(f"INTERVAL {keep_buckets * step_seconds} SECONDS")
+    return tier.where(F.col(bucket) > cutoff)

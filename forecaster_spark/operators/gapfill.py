@@ -82,14 +82,17 @@ def linear_interp(df: DataFrame, col: str, partition: str = "source", ts: str = 
 
 
 def backcast_fill(
-    df: DataFrame, cols: list[str], partition: str = "source", order: str = "ts"
+    df: DataFrame, cols: list[str], partition: str = "source", order="ts"
 ) -> DataFrame:
-    """Reference-exact backfill: in each series (ordered by ``order``), the
-    leading zeros of each column are replaced right-to-left by the weighted
-    backcast mean of the following q_mean=2 values (weights [1,2]/3 on the
-    reversed slice). Semantics: Util/build_matrix.py:22-86 ✔exec.
+    """Reference-exact backfill: in each series (ordered by ``order`` — pass
+    a list like ["ts", "event_id"] to tie-break duplicate timestamps, else
+    output order is partitioning-dependent), the leading zeros of each column
+    are replaced right-to-left by the weighted backcast mean of the following
+    q_mean=2 values (weights [1,2]/3 on the reversed slice). Semantics:
+    Util/build_matrix.py:22-86 ✔exec.
     """
     out_schema = df.schema
+    order = _order_cols(order)
 
     def fill(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)

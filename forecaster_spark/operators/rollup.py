@@ -155,8 +155,10 @@ def merge_rollup_increment(existing: DataFrame, delta: DataFrame, exact: bool = 
     Buckets touched by both sides merge with the full algebra — cnt/sums
     add, min/max fold, first/last resolve by the carried ``first_ts`` /
     ``last_ts`` (both inputs must come from ``rollup_raw(..., keep_ts=True)``)
-    — untouched buckets pass through. ``merged ≡ rollup_raw(all raw rows)``
-    is asserted in tests; the raw history is never rescanned.
+    — untouched buckets pass through. With ``exact=True`` (integer micro-unit
+    sums) ``merged ≡ rollup_raw(all raw rows)`` bit-exactly, as asserted in
+    tests; in float mode sum_y/mean_y agree only to add-order ulp drift. The
+    raw history is never rescanned either way.
 
     Scale: cost is one union + one hash-agg keyed (source, bucket) — i.e.
     proportional to |existing tier| + |delta|, independent of raw history

@@ -64,7 +64,12 @@ def _locf_batch(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Ite
         tail = y.dropna()
         if len(tail):
             last_y = float(tail.iloc[-1])
-            last_ts_us = int(pdf["ts"].iloc[-1].value // 1000)
+        # state ts must track the last *real* observation, not the batch's
+        # final (possibly filled) row — otherwise state holds an inconsistent
+        # (ts, value) pair the moment ts feeds staleness/timeout logic
+        real_ts = pdf["ts"][~filled.to_numpy()]
+        if len(real_ts):
+            last_ts_us = int(real_ts.iloc[-1].value // 1000)
         yield pd.DataFrame(
             {"source": source, "ts": pdf["ts"], "y": y, "filled": filled & y.notna()}
         )

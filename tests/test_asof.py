@@ -93,3 +93,28 @@ def test_asof_join_blocked_equals_plain(spark):
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(blocked[plain.columns], plain, check_dtype=False)
+
+
+def test_asof_join_blocked_null_right_values(spark):
+    """Right-side value columns containing NULLs: the blocked carry must take
+    the last NON-NULL value per column (last(ignorenulls) semantics), not the
+    value at the block's latest right row."""
+    lpdf, rpdf = _sides(seed=7)
+    # null out a deterministic ~third of right values, including block tails
+    rpdf = rpdf.copy()
+    rpdf.loc[rpdf.index % 3 == 0, "price"] = np.nan
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    plain = (
+        asof_join(l, r)
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    for block_s in (97, 1200):
+        blocked = (
+            asof_join(l, r, block_s=block_s)
+            .toPandas()
+            .sort_values(["source", "ts"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(blocked[plain.columns], plain, check_dtype=False)
