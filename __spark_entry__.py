@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from forecaster_spark.functions import xhash_sql
 from forecaster_spark.functions.gorilla import pack_rollup_gorilla
 from forecaster_spark.models.kernels import forecast_long, qof_table
 from forecaster_spark.models.metrics import qof_native
@@ -855,6 +856,12 @@ WITH wset AS (
 SELECT a.doc_id AS doc_id,
        len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
 FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
+        # -- cross-engine hash pipelines (xhash/xhash_sql mirror pair) ------
+        "minhash_lsh_pairs_documents": xhash_sql.minhash_lsh_pairs_sql(
+            num_perm=32, bands=8, verify_jaccard=0.4
+        ),
+        "simhash_documents": xhash_sql.simhash_sql(),
+        "fingerprint_documents": xhash_sql.fingerprint_sql(),
         "cosine_topk_brute_embeddings": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8

@@ -1,0 +1,230 @@
+"""DuckDB SQL mirrors of :mod:`xhash` — single-statement generators so the
+driver's oracle can recompute minhash/simhash/fingerprint value-for-value.
+
+uint64 wraparound arithmetic is emulated with HUGEINT mod 2^64:
+- ``umul``     : (a·b) mod 2^64 via 32-bit limb decomposition (a full
+                 HUGEINT product of two 64-bit values would overflow 127 bits)
+- splitmix64   : staged as lateral-alias column chains (DuckDB resolves
+                 SELECT aliases left-to-right), keeping every generated
+                 expression O(1) in size — a naively nested splitmix repeats
+                 its input ~72×.
+
+All generators return complete single statements (CTEs only, no macros) —
+the driver executes oracle SQL with one ``con.execute``.
+"""
+
+from __future__ import annotations
+
+from forecaster_spark.functions import xhash
+
+W = 1 << 64  # 2^64
+B32 = 1 << 32
+
+C = int(xhash.C)
+PHI = int(xhash.PHI)
+M1 = int(xhash.M1)
+M2 = int(xhash.M2)
+
+
+def umul(a: str, b: str) -> str:
+    """(a·b) mod 2^64 for HUGEINT column refs a, b in [0, 2^64)."""
+    return (
+        f"((({a})%{B32})*(({b})%{B32})"
+        f" + (((({a})//{B32})*(({b})%{B32}) + (({a})%{B32})*(({b})//{B32})) % {B32}) * {B32}"
+        f") % {W}"
+    )
+
+
+def umul_c(a: str, b: int) -> str:
+    """(a·const) mod 2^64 with the constant's limbs folded in."""
+    b %= W
+    blo, bhi = b % B32, b // B32
+    return (
+        f"((({a})%{B32})*{blo}"
+        f" + (((({a})//{B32})*{blo} + (({a})%{B32})*{bhi}) % {B32}) * {B32}"
+        f") % {W}"
+    )
+
+
+def splitmix_cols(x: str, out: str) -> str:
+    """Comma-joined SELECT items computing ``out`` = splitmix64(x) through
+    intermediate lateral aliases ``{out}__0..4`` (input x must be a HUGEINT
+    expression in [0, 2^64); each stage references the previous ≤3 times)."""
+    a = [f"{out}__{i}" for i in range(5)]
+    return ", ".join(
+        [
+            f"(({x}) + {PHI}) % {W} AS {a[0]}",
+            f"xor({a[0]}, {a[0]} // {1 << 30}) AS {a[1]}",
+            f"{umul_c(a[1], M1)} AS {a[2]}",
+            f"xor({a[2]}, {a[2]} // {1 << 27}) AS {a[3]}",
+            f"{umul_c(a[3], M2)} AS {a[4]}",
+            f"xor({a[4]}, {a[4]} // {1 << 31}) AS {out}",
+        ]
+    )
+
+
+def to_int64(x: str) -> str:
+    """uint64-in-HUGEINT → its int64 two's-complement value (BIGINT)."""
+    return f"CAST(CASE WHEN ({x}) >= {1 << 63} THEN ({x}) - {W} ELSE ({x}) END AS BIGINT)"
+
+
+def _pow_list(n: int) -> str:
+    return "[" + ", ".join(str(int(v)) for v in xhash.pow_table(n)) + "]"
+
+
+def _bit_list() -> str:
+    return "[" + ", ".join(str(1 << b) for b in range(64)) + "]"
+
+
+def word_hash_ctes(doc_source_sql: str, max_word_len: int = 256) -> str:
+    """CTE chain from ``doc_source_sql`` (must yield (doc_id, text)) to
+    ``wh(doc_id, wpos, h)`` — h = splitmix64(Σ_i cp_i·C^i) per whitespace
+    word of lower(text), empty words hashing to splitmix64(0) (they arise
+    from leading/trailing whitespace under split's keep-empty semantics)."""
+    return f"""
+docs_w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+           FROM ({doc_source_sql}) WHERE text IS NOT NULL),
+wr0 AS (SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM docs_w),
+wr AS (SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0),
+wchars AS (SELECT doc_id, wpos, w, unnest(range(length(w))) AS cpos FROM wr),
+wterm AS (
+  SELECT doc_id, wpos,
+         CAST(unicode(substr(w, cpos+1, 1)) AS HUGEINT) AS c,
+         ({_pow_list(max_word_len)})[cpos+1] AS pw,
+         {umul("c", "pw")} AS term
+  FROM wchars
+),
+wpoly AS (SELECT doc_id, wpos, sum(term) % {W} AS h0 FROM wterm GROUP BY doc_id, wpos),
+whp AS (SELECT wr.doc_id, wr.wpos, coalesce(h0, 0) AS h0
+        FROM wr LEFT JOIN wpoly USING (doc_id, wpos)),
+wh AS (SELECT doc_id, wpos, {splitmix_cols("h0", "h")} FROM whp)
+"""
+
+
+def simhash_sql(doc_source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """Full oracle for ``simhash(documents)`` → (doc_id, simhash BIGINT):
+    64-bit bit-majority over the per-word hashes (+1 for a set bit, −1
+    otherwise; signature bit set where the sum is positive)."""
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+bitsrc AS (SELECT doc_id, h, unnest(range(64)) AS b FROM wh),
+bitcnt AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // ({_bit_list()})[b+1]) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bitsrc GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(coalesce(sum(CASE WHEN s > 0 THEN ({_bit_list()})[b+1] ELSE 0 END), 0) AS HUGEINT) % {W} AS v
+  FROM bitcnt GROUP BY doc_id
+)
+SELECT doc_id, {to_int64("v")} AS simhash FROM sig"""
+
+
+def shingle_ctes(k: int = 3) -> str:
+    """wh → ``shd(doc_id, sh)``: distinct word-k-shingle hashes
+    sh = splitmix64(Σ_{{j<k}} h_{{i+j}}·C^j); docs with <k words combine all
+    their words into one shingle (mirroring the kernel's short-doc path)."""
+    assert k == 3, "SQL mirror unrolled for k=3"
+    return f"""
+led AS (
+  SELECT doc_id, wpos, h AS h0_, lead(h, 1) OVER w AS h1_, lead(h, 2) OVER w AS h2_,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM wh WINDOW w AS (PARTITION BY doc_id ORDER BY wpos)
+),
+gfull AS (
+  SELECT doc_id, (h0_ + {umul_c("h1_", C)} + {umul_c("h2_", (C * C) % W)}) % {W} AS g0
+  FROM led WHERE m >= 3 AND h2_ IS NOT NULL
+),
+gshort AS (
+  SELECT doc_id, (h0_ + coalesce({umul_c("h1_", C)}, 0)) % {W} AS g0
+  FROM led WHERE m < 3 AND wpos = 0
+),
+gsm AS (SELECT doc_id, {splitmix_cols("g0", "sh")}
+        FROM (SELECT * FROM gfull UNION ALL SELECT * FROM gshort)),
+shd AS (SELECT DISTINCT doc_id, sh FROM gsm)
+"""
+
+
+def minhash_lsh_pairs_sql(
+    num_perm: int = 32,
+    bands: int = 8,
+    verify_jaccard: float = 0.4,
+    seed: int = 42,
+    doc_source_sql: str = "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+) -> str:
+    """Full oracle for ``minhash_lsh_pairs`` → (id_a, id_b, jaccard):
+    shingles → per-perm min of splitmix64(sh ^ salt_j) → per-band fold hash →
+    band-bucket self-join candidates → exact shingle-Jaccard ≥ threshold."""
+    rpb = num_perm // bands
+    assert rpb == 4, "SQL mirror unrolled for 4 rows/band"
+    salts = xhash.minhash_salts(num_perm, seed)
+    salt_rows = ", ".join(f"({j}, {int(s)})" for j, s in enumerate(salts))
+    # band fold: acc0=0 → a1 = splitmix(b0); a_{i+1} = splitmix(umul(a_i,C)^b_i)
+    folds = [f"f1 AS (SELECT doc_id, band_id, b1, b2, b3, {splitmix_cols('b0', 'a1')} FROM bpiv)"]
+    for i in (2, 3, 4):
+        prev, keep = f"a{i-1}", ", ".join(f"b{j}" for j in range(i, rpb))
+        keep = (keep + ", ") if keep else ""
+        folds.append(
+            f"f{i} AS (SELECT doc_id, band_id, {keep}{umul_c(prev, C)} AS m{i}_, "
+            f"{splitmix_cols(f'xor(m{i}_, b{i-1})', f'a{i}')} FROM f{i-1})"
+        )
+    folds_sql = ",\n".join(folds)
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+{shingle_ctes()},
+salts(perm, salt) AS (VALUES {salt_rows}),
+mh AS (SELECT doc_id, perm, {splitmix_cols("xor(sh, salt)", "v")} FROM shd, salts),
+sig AS (SELECT doc_id, perm, min(v) AS v FROM mh GROUP BY doc_id, perm),
+bpiv AS (
+  SELECT doc_id, perm // {rpb} AS band_id,
+         max(CASE WHEN perm % {rpb} = 0 THEN v END) AS b0,
+         max(CASE WHEN perm % {rpb} = 1 THEN v END) AS b1,
+         max(CASE WHEN perm % {rpb} = 2 THEN v END) AS b2,
+         max(CASE WHEN perm % {rpb} = 3 THEN v END) AS b3
+  FROM sig GROUP BY doc_id, perm // {rpb}
+),
+{folds_sql},
+bt AS (SELECT doc_id, band_id, a{rpb} AS bh FROM f{rpb}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bt a JOIN bt b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list(sh) AS s FROM shd GROUP BY doc_id)
+SELECT id_a, id_b,
+       len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))) >= {verify_jaccard}"""
+
+
+def fingerprint_sql(
+    k: int = 8,
+    keep: int = 4,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+    max_len: int = 4096,
+) -> str:
+    """Full oracle for the exploded fingerprint query → (doc_id, pos, fp):
+    bottom-``keep`` distinct splitmix64 rolling k-gram codepoint hashes of
+    lower(text); texts shorter than k hash their codepoint sum."""
+    pw = xhash.pow_table(k)
+    leads = ", ".join(
+        f"lead(c, {j}) OVER wc AS l{j}" if j else "c AS l0" for j in range(k)
+    )
+    # g[i] = Σ_j cp[i+j]·C^(k-1-j): l_j carries coefficient C^(k-1-j)
+    terms = " + ".join(umul_c(f"l{j}", int(pw[k - 1 - j])) for j in range(k))
+    return f"""
+WITH d AS (SELECT doc_id, lower(text) AS t FROM ({doc_source_sql}) WHERE text IS NOT NULL),
+chars AS (SELECT doc_id, unnest(range(length(t))) AS cpos, t FROM d),
+cp AS (SELECT doc_id, cpos, CAST(unicode(substr(t, cpos+1, 1)) AS HUGEINT) AS c FROM chars),
+led AS (SELECT doc_id, cpos, {leads}, count(*) OVER (PARTITION BY doc_id) AS n
+        FROM cp WINDOW wc AS (PARTITION BY doc_id ORDER BY cpos)),
+gfull AS (SELECT doc_id, ({terms}) % {W} AS g0 FROM led WHERE n >= {k} AND l{k-1} IS NOT NULL),
+gshort AS (SELECT doc_id, sum(c) % {W} AS g0 FROM cp
+           GROUP BY doc_id HAVING count(*) < {k}),
+gempty AS (SELECT doc_id, CAST(0 AS HUGEINT) AS g0 FROM d WHERE length(t) = 0),
+gsm AS (SELECT doc_id, {splitmix_cols("g0", "g")}
+        FROM (SELECT * FROM gfull UNION ALL SELECT * FROM gshort UNION ALL SELECT * FROM gempty)),
+uq AS (SELECT DISTINCT doc_id, g FROM gsm),
+rk AS (SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS pos FROM uq)
+SELECT doc_id, CAST(pos AS INT) AS pos, {to_int64("g")} AS fp
+FROM rk WHERE pos < {keep}"""

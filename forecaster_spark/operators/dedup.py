@@ -1,7 +1,7 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All hot paths are native Catalyst expressions (JVM-side, codegen); Python
-appears only in the SimHash bit-counting kernel (Arrow-vectorized numpy).
+All hot paths are native Catalyst expressions (JVM-side, codegen) or
+Arrow-vectorized numpy kernels; no per-row Python anywhere.
 
 - exact dedup          : content-hash groupBy — one shuffle on the hash.
 - MinHash + LSH        : shingle → K minhash perms → B bands → bucket
@@ -15,6 +15,12 @@ appears only in the SimHash bit-counting kernel (Arrow-vectorized numpy).
 - n-gram Jaccard       : exact similarity for candidate verification
                          (array_intersect/array_union — native).
 
+Hashing uses the cross-engine primitives in
+:mod:`forecaster_spark.functions.xhash` (splitmix64 over codepoint
+polynomials) so every pipeline here is value-reproducible in DuckDB SQL
+(``xhash_sql``) — the driver's oracle certifies minhash/simhash end-to-end
+instead of a rows-only check.
+
 At 10^12 docs the only state that grows is the band table (K/B rows per
 doc), which shuffles on uniformly-distributed hashes — the design scales by
 bucket count, never by pairwise comparisons across the corpus.
@@ -27,6 +33,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from forecaster_spark.functions import xhash
+from forecaster_spark.functions.xhash import splitmix64 as _splitmix
 
 
 def with_content_hash(df: DataFrame, cols: list[str], out: str = "content_hash") -> DataFrame:
@@ -42,72 +51,60 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataF
     return h.join(keep, ["content_hash", id_col], "left_semi").drop("content_hash")
 
 
-_SM_PHI = np.uint64(0x9E3779B97F4A7C15)
-_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
-_SM_M2 = np.uint64(0x94D049BB133111EB)
-
-
-def _splitmix(x: np.ndarray) -> np.ndarray:
-    x = (x + _SM_PHI).astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x *= _SM_M1
-    x ^= x >> np.uint64(27)
-    x *= _SM_M2
-    x ^= x >> np.uint64(31)
-    return x
+def _lower_words(text_col: str):
+    return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles") -> DataFrame:
     """Distinct hashed word k-shingles as array<long>.
 
-    Words split natively (codegen); per-word hashes via one interpreted
-    ``transform(words, xxhash64)`` pass; the k-gram rolling combination +
-    dedup runs vectorized in an Arrow kernel. (A pure-expression version —
-    transform(sequence) → slice → concat_ws → xxhash per shingle — never
-    enters WholeStageCodegen: higher-order lambdas are interpreted per
-    element, measured ~5 s for 5k docs vs <1 s here.)"""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    word_hashes = F.transform(words, lambda w: F.xxhash64(w))
+    Words split natively (codegen); word hashing + the k-gram rolling
+    combination + dedup run vectorized in ONE Arrow kernel over the batch's
+    flat word stream (``xhash.word_hash_flat``: one UTF-32 decode + segmented
+    power-weighted sums). A pure-expression version — transform(sequence) →
+    slice → concat_ws → hash per shingle — never enters WholeStageCodegen:
+    higher-order lambdas are interpreted per element, measured ~5 s for 5k
+    docs vs <1 s here. NULL text propagates as NULL (no kernel crash)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def grams(h: pd.Series) -> pd.Series:
-        rows = h.to_numpy()
+    def grams(words_s: pd.Series) -> pd.Series:
+        rows = words_s.to_numpy()
         n = len(rows)
         out_rows = np.empty(n, dtype=object)
         if n == 0:
             return pd.Series(out_rows)
-        lens = np.fromiter((len(a) for a in rows), dtype=np.int64, count=n)
-        flat = (
-            np.concatenate([np.asarray(a, dtype=np.int64) for a in rows]).view(np.uint64)
-            if lens.sum()
-            else np.empty(0, np.uint64)
-        )
-        # rolling combine over the flat stream: g[i] = mix(Σ_j h[i+j]·C^j);
+        flat_words: list[str] = []
+        lens = np.zeros(n, np.int64)
+        for i, ws in enumerate(rows):
+            if ws is not None:
+                flat_words.extend(ws)
+                lens[i] = len(ws)
+        flat = xhash.word_hash_flat(flat_words)
+        powers = xhash.pow_table(k)  # wraparound-safe C^j (scalar mult warns)
+        # rolling combine over the flat stream: g[i] = splitmix(Σ_j h[i+j]·C^j);
         # positions whose window crosses a row boundary are masked out below
-        C = np.uint64(0x100000001B3)
         g = np.zeros(max(len(flat) - (k - 1), 0), dtype=np.uint64)
-        mult = np.uint64(1)
         for j in range(k):
-            g += flat[j : len(flat) - (k - 1) + j] * mult
-            mult *= C
+            g += flat[j : len(flat) - (k - 1) + j] * powers[j]
         g = _splitmix(g)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         for i in range(n):
+            if rows[i] is None:
+                out_rows[i] = None
+                continue
             m = lens[i]
             if m >= k:
                 u = np.unique(g[starts[i] : starts[i] + m - k + 1])
             elif m > 0:  # short doc: one shingle over all its words
-                acc, mult = np.uint64(0), np.uint64(1)
-                for j in range(m):
-                    acc += flat[starts[i] + j] * mult
-                    mult *= C
+                pw = powers if m <= k else xhash.pow_table(int(m))
+                acc = (flat[starts[i] : starts[i] + m] * pw[:m]).sum(dtype=np.uint64)
                 u = _splitmix(np.array([acc], dtype=np.uint64))
             else:
                 u = np.array([0], dtype=np.uint64)
             out_rows[i] = u.view(np.int64)
         return pd.Series(out_rows)
 
-    return df.withColumn(out, grams(word_hashes))
+    return df.withColumn(out, grams(_lower_words(text_col)))
 
 
 def minhash_signature(
@@ -118,13 +115,16 @@ def minhash_signature(
     (n_shingles × num_perm) outer min per row — the per-perm
     transform+array_min expression chain is interpreted (no codegen) and was
     ~8× slower."""
-    salts = _splitmix(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1))
+    salts = xhash.minhash_salts(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(sh: pd.Series) -> pd.Series:
         rows = sh.to_numpy()
         out_rows = np.empty(len(rows), dtype=object)
         for i, a in enumerate(rows):
+            if a is None:
+                out_rows[i] = None
+                continue
             u = np.asarray(a, dtype=np.int64).view(np.uint64)
             if len(u) == 0:
                 out_rows[i] = np.zeros(num_perm, dtype=np.int64)
@@ -139,19 +139,25 @@ def minhash_signature(
 def lsh_bands(
     df: DataFrame, id_col: str = "doc_id", sig_col: str = "minhash", bands: int = 8
 ) -> DataFrame:
-    """Split the signature into B bands → (id, band_id, band_hash) rows."""
-    num_perm_expr = F.size(F.col(sig_col))
-    rows_per_band = (num_perm_expr / bands).cast("int")
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    exploded = df.select(
-        F.col(id_col), F.explode(band_ids).alias("band_id"), F.col(sig_col)
-    )
-    band_slice = F.slice(
-        F.col(sig_col), F.col("band_id") * rows_per_band + 1, rows_per_band
-    )
-    return exploded.select(
-        id_col, "band_id", F.xxhash64(F.concat_ws(",", band_slice.cast("array<string>"))).alias("band_hash")
-    )
+    """Split the signature into B bands → (id, band_id, band_hash) rows.
+    Band hashes fold each band's values through splitmix64 in one batched
+    numpy pass (``xhash.fold_bands``) — the previous slice+concat_ws+hash
+    expression chain was interpreted per element."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_hashes(sig: pd.Series) -> pd.Series:
+        rows = sig.to_numpy()
+        out = np.empty(len(rows), dtype=object)
+        ok = [i for i, a in enumerate(rows) if a is not None]
+        if ok:
+            m = np.stack([np.asarray(rows[i], dtype=np.int64) for i in ok]).view(np.uint64)
+            acc = xhash.fold_bands(m, bands).view(np.int64)
+            for j, i in enumerate(ok):
+                out[i] = acc[j]
+        return pd.Series(out)
+
+    bh = df.select(id_col, band_hashes(F.col(sig_col)).alias("_bh"))
+    return bh.select(id_col, F.posexplode("_bh").alias("band_id", "band_hash"))
 
 
 def minhash_lsh_pairs(
@@ -182,12 +188,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify_jaccard is not None:
+        # candidate pairs are tiny by LSH construction — broadcast them into
+        # the (big) shingle table twice, so full shingle arrays are never
+        # shuffled; only pair-matched rows carry arrays forward
         sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
         sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size(F.array_union("sh_a", "sh_b"))
         pairs = (
-            pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+            sh_b.join(F.broadcast(sh_a.join(F.broadcast(pairs), "id_a")), "id_b")
             .withColumn("jaccard", inter / union)
             .where(F.col("jaccard") >= verify_jaccard)
             .select("id_a", "id_b", "jaccard")
@@ -209,32 +218,54 @@ def ngram_jaccard(
     )
 
 
+_BIT_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 @F.pandas_udf(T.LongType())
-def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+def _simhash_from_words(words_s: pd.Series) -> pd.Series:
     """64-bit SimHash from per-word hashes: for each bit, +1 if set else −1,
-    summed over words; sign of the sum gives the signature bit. Arrow batch
-    in, numpy bit-twiddling inside."""
-    out = np.empty(len(hashes), dtype=np.int64)
-    for i, arr in enumerate(hashes):
-        if arr is None or len(arr) == 0:
-            out[i] = 0
-            continue
-        h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-        counts = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 sums)
-        sig = np.uint64(0)
-        for b in np.flatnonzero(counts > 0):
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
+    summed over words; sign of the sum gives the signature bit. Fully
+    vectorized over the batch's flat word stream (bit matrix + segmented
+    reduceat), chunked to bound peak memory; NULL/empty → 0."""
+    rows = words_s.to_numpy()
+    n = len(rows)
+    out = np.zeros(n, dtype=np.int64)
+    flat_words: list[str] = []
+    lens = np.zeros(n, np.int64)
+    for i, ws in enumerate(rows):
+        if ws is not None:
+            flat_words.extend(ws)
+            lens[i] = len(ws)
+    if not flat_words:
+        return pd.Series(out)
+    wh = xhash.word_hash_flat(flat_words)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    nz = np.flatnonzero(lens > 0)
+    # chunk over rows so the (words × 64) bit matrix stays ≤ ~32 MB
+    chunk_words = 1 << 18
+    lo = 0
+    while lo < len(nz):
+        hi = lo + 1
+        while hi < len(nz) and ends[nz[hi - 1]] - starts[nz[lo]] < chunk_words:
+            hi += 1
+        rsel = nz[lo:hi]
+        seg = wh[starts[rsel[0]] : ends[rsel[-1]]]
+        bits = ((seg[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int16)
+        counts = np.add.reduceat(bits, (starts[rsel] - starts[rsel[0]]).astype(np.int64), axis=0)
+        counts = counts * 2 - lens[rsel][:, None]
+        sigs = ((counts > 0).astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[rsel] = sigs.view(np.int64)
+        lo = hi
     return pd.Series(out)
 
 
 def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    """SimHash signature over word hashes. Word hashing stays native; only
-    the bit-majority runs in the Arrow kernel."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    word_hashes = F.transform(words, lambda w: F.xxhash64(w))
-    return df.withColumn(out, _simhash_from_hashes(word_hashes))
+    """SimHash signature over cross-engine word hashes (splitmix64 codepoint
+    polynomials — DuckDB-reproducible, see ``xhash_sql.simhash_sql``)."""
+    return df.withColumn(out, _simhash_from_words(_lower_words(text_col)))
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash") -> DataFrame:

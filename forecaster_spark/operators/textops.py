@@ -94,40 +94,34 @@ def with_fingerprint(
     near-identical texts share most sketch elements (winnowing-style
     fingerprint usable as a blocking/join key via explode).
 
-    Runs as one Arrow kernel — polynomial rolling hash over the raw UTF-8
-    bytes, vectorized with numpy, bottom-k via partition. (The expression
-    form — transform(sequence) + substr + xxhash per gram — is interpreted,
-    not codegen'd, and was ~5× slower.)"""
-    C = np.uint64(0x100000001B3)
-    MIX1, MIX2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+    Runs as one Arrow kernel — splitmix64 of a polynomial rolling hash over
+    the Unicode codepoints (UTF-32 decode, vectorized with numpy), bottom-k
+    via partition. Codepoint arithmetic (not UTF-8 bytes) so DuckDB can
+    recompute the sketch value-for-value (``xhash_sql.fingerprint_sql`` —
+    the driver's oracle certifies this end-to-end). NULL text → NULL.
+    (The expression form — transform(sequence) + substr + hash per gram —
+    is interpreted, not codegen'd, and was ~5× slower.)"""
+    from forecaster_spark.functions import xhash
 
-    def _fin(x: np.ndarray) -> np.ndarray:
-        x = x.copy()
-        x ^= x >> np.uint64(30)
-        x *= MIX1
-        x ^= x >> np.uint64(27)
-        x *= MIX2
-        x ^= x >> np.uint64(31)
-        return x
+    powers = xhash.pow_table(k)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sketch(texts: pd.Series) -> pd.Series:
         out_rows = np.empty(len(texts), dtype=object)
         for i, s in enumerate(texts):
-            b = np.frombuffer(s.lower().encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
-            n = len(b)
+            if s is None:
+                out_rows[i] = None
+                continue
+            cps = xhash.codepoints(s.lower())
+            n = len(cps)
             if n < k:
-                g = np.array([_fin(np.array([b.sum() if n else 0], dtype=np.uint64))[0]], dtype=np.uint64)
+                g = np.array([cps.sum(dtype=np.uint64)], dtype=np.uint64)
             else:
-                # g[i] = Σ_j b[i+j]·C^(k-1-j): cumulative polynomial trick —
-                # p[i] = Σ_{t<i} b[t]·C^t ; window sum via p[i+k]-p[i] needs
-                # modular division, so instead build by strided adds (k adds)
+                # g[i] = Σ_j cp[i+j]·C^(k-1-j), built by k strided adds
                 g = np.zeros(n - k + 1, dtype=np.uint64)
-                mult = np.uint64(1)
-                for j in range(k - 1, -1, -1):
-                    g += b[j : n - k + 1 + j] * mult
-                    mult *= C
-                g = _fin(g)
+                for j in range(k):
+                    g += cps[j : n - k + 1 + j] * powers[k - 1 - j]
+            g = xhash.splitmix64(g)
             u = np.unique(g)
             out_rows[i] = np.sort(u)[: min(keep, len(u))].view(np.int64)
         return pd.Series(out_rows)
