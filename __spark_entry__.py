@@ -338,8 +338,14 @@ def q_arx_qof_roll(spark, sf_dir):
 
 
 def q_gorilla_pack(spark, sf_dir):
+    """Pack the 1m tier into Gorilla blocks; the contract exposes the block
+    STATS (count/span per (source, block)) which a SQL oracle can recompute
+    — the blob payload itself is certified losslessly by the separate
+    gorilla_roundtrip query (decode ≡ plain rollup SQL)."""
     tier = rollup_raw(_events_series(spark, sf_dir), "1m", tie_break=True)
-    return pack_rollup_gorilla(tier, "mean_y")
+    return pack_rollup_gorilla(tier, "mean_y").select(
+        "source", "block_id", "n_points", "ts_min", "ts_max"
+    )
 
 
 def q_retention_1m(spark, sf_dir):
@@ -611,10 +617,46 @@ def q_token_histogram(spark, sf_dir):
 
 
 def q_backcast_fill(spark, sf_dir):
-    s = _ev(spark, sf_dir).withColumn(
-        "y", F.when(F.col("event_id") % 11 == 5, F.lit(0.0)).otherwise(F.col("y"))
+    """Reference-exact weighted backcast (W4/W5): zero out each series'
+    first 6 rows (a leading-zero prefix the backcast must fill right-to-left
+    as repeated (1/3)·next) plus scattered mid-series zeros (which must stay
+    zero — only LEADING zeros are missing-value sentinels)."""
+    from pyspark.sql import Window
+
+    s = _ev(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("ts", "event_id")
+    s = s.withColumn(
+        "y",
+        F.when(
+            (F.row_number().over(w) <= 6) | (F.col("event_id") % 97 == 5), F.lit(0.0)
+        ).otherwise(F.col("y")),
     )
     return backcast_fill(s, ["y"], order=["ts", "event_id"]).select("source", "event_id", "y")
+
+
+def q_stream_rollup_1m(spark, sf_dir):
+    """Structured Streaming 1m rollup ≡ batch oracle: the events series is
+    streamed file-by-file (4 micro-batches, watermarked event-time windows,
+    complete mode) through the same exact-sum aggregate algebra as the batch
+    tier; the final streamed state must equal the batch rollup SQL
+    bit-for-bit — cross-micro-batch accumulation is what's certified."""
+    import tempfile
+
+    from forecaster_spark.streaming.rollup_stream import SERIES_SCHEMA, stream_rollup_1m
+
+    d = tempfile.mkdtemp(prefix="contract_stream_")
+    _events_series(spark, sf_dir).repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.schema(SERIES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    rolled = stream_rollup_1m(stream, watermark="10 minutes", tie_break=True, exact=True)
+    qname = "contract_stream_rollup_1m"
+    q = rolled.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select(*ROLLUP_ORDER)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -664,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram_documents": q_token_histogram,
         "topk_per_group_events": q_topk_per_group,
         "sessionize_events": q_sessionize,
+        "stream_rollup_1m_events": q_stream_rollup_1m,
     }
 
 
@@ -877,6 +920,43 @@ SELECT query_id, neighbor_id,
 FROM scored
 QUALIFY rank <= 10""",
         "gorilla_roundtrip_events_1m": _ROLLUP_SQL + "SELECT source, bucket_start, mean_y FROM t1m",
+        "stream_rollup_1m_events": _ROLLUP_SQL + _SEL + "t1m",
+        "gorilla_pack_events_1m": """
+WITH series AS (
+  SELECT event_type AS source, ts FROM events
+), t1m AS (
+  SELECT source, date_trunc('minute', ts) AS bucket_start FROM series GROUP BY 1, 2
+)
+SELECT source,
+       CAST(floor(epoch(bucket_start) / 491520.0) AS BIGINT) AS block_id,
+       count(*) AS n_points,
+       CAST(min(epoch(bucket_start)) AS BIGINT) AS ts_min,
+       CAST(max(epoch(bucket_start)) AS BIGINT) AS ts_max
+FROM t1m GROUP BY 1, 2""",
+        "backcast_fill_events": """
+WITH RECURSIVE nulled AS (
+  SELECT event_type AS source, ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+), zeroed AS (
+  SELECT source, event_id, rn,
+         CASE WHEN rn <= 6 OR event_id % 97 = 5 THEN 0.0 ELSE value END AS y
+  FROM nulled
+), firstnz AS (
+  SELECT source, min(rn) AS j0 FROM zeroed WHERE y <> 0.0 GROUP BY source
+), fill(source, rn, val) AS (
+  -- right-to-left weighted backcast over the leading-zero prefix: each fill
+  -- is w0*next + w1*current with current = 0.0, i.e. exactly (1/3)*next per
+  -- step (w = [1,2]/3 on the reversed slice; Util/build_matrix.py:22-65)
+  SELECT z.source, z.rn, z.y
+  FROM zeroed z JOIN firstnz f ON z.source = f.source AND z.rn = f.j0
+  UNION ALL
+  SELECT source, rn - 1, (1.0/3.0) * val FROM fill WHERE rn > 1
+)
+SELECT z.source, z.event_id, coalesce(CASE WHEN z.rn < f2.j0 THEN fl.val END, z.y) AS y
+FROM zeroed z
+LEFT JOIN firstnz f2 ON z.source = f2.source
+LEFT JOIN fill fl ON fl.source = z.source AND fl.rn = z.rn""",
         "retention_1m_events": _ROLLUP_SQL + """
 SELECT source, bucket_start, cnt, sum_y, min_y, max_y, mean_y, first_y, last_y
 FROM t1m

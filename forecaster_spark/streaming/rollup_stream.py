@@ -18,24 +18,33 @@ SERIES_SCHEMA = "source string, ts timestamp, y double"
 
 
 def stream_rollup_1m(
-    stream: DataFrame, watermark: str = "10 minutes", tie_break: bool = False
+    stream: DataFrame, watermark: str = "10 minutes", tie_break: bool = False, exact: bool = False
 ) -> DataFrame:
-    """Event-time windowed 1m rollup over a streaming series DataFrame."""
+    """Event-time windowed 1m rollup over a streaming series DataFrame.
+    ``exact=True`` sums in integer micro-units like the batch operator, so
+    the streamed result is bit-identical to the batch rollup regardless of
+    micro-batch boundaries (stream ≡ batch is the driver-checkable
+    invariant)."""
     if tie_break:
         first = F.min(F.struct(F.col("ts").alias("t"), F.col("y").alias("v"))).getField("v")
         last = F.max(F.struct(F.col("ts").alias("t"), F.col("y").alias("v"))).getField("v")
     else:
         first = F.min_by("y", "ts")
         last = F.max_by("y", "ts")
+    if exact:
+        sm = F.sum(F.round(F.col("y") * 1_000_000).cast("long"))
+        sum_y, mean_y = (sm / 1_000_000), (sm / 1_000_000 / F.count("y"))
+    else:
+        sum_y, mean_y = F.sum("y"), (F.sum("y") / F.count("y"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("source", F.window("ts", "1 minute"))
         .agg(
             F.count("y").alias("cnt"),
-            F.sum("y").alias("sum_y"),
+            sum_y.alias("sum_y"),
             F.min("y").alias("min_y"),
             F.max("y").alias("max_y"),
-            (F.sum("y") / F.count("y")).alias("mean_y"),
+            mean_y.alias("mean_y"),
             first.alias("first_y"),
             last.alias("last_y"),
         )
