@@ -28,7 +28,11 @@ from forecaster_spark.operators.dedup import dedup_exact, minhash_lsh_pairs, sim
 from forecaster_spark.operators.gapfill import backcast_fill, linear_interp, locf
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
 from forecaster_spark.operators.seriesify import events_as_series
-from forecaster_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
+from forecaster_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+    cosine_topk_lsh_sql,
+)
 from forecaster_spark.operators.textops import (
     STOPWORDS,
     with_fingerprint,
@@ -899,6 +903,9 @@ WITH wset AS (
 SELECT a.doc_id AS doc_id,
        len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
 FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
+        # hyperplane-LSH ANN: planes are a seeded deterministic matrix →
+        # inlined as literals; testdata embeddings are dim=64 at every SF
+        "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),
         # -- cross-engine hash pipelines (xhash/xhash_sql mirror pair) ------
         "minhash_lsh_pairs_documents": xhash_sql.minhash_lsh_pairs_sql(
             num_perm=32, bands=8, verify_jaccard=0.4

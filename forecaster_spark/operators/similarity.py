@@ -118,6 +118,50 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_lsh_sql(
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    query_filter: str = "vec_id < 8",
+) -> str:
+    """DuckDB oracle for :func:`cosine_topk_lsh`: the hyperplane matrix is
+    deterministic (seeded generator), so its values are inlined as literals
+    and the signature/bucket/rerank pipeline is recomputed in SQL. Float
+    caveat: numpy's blocked matmul and SQL's sequential sum can differ at
+    ulp level — a sign flip needs |dot| ≈ 1e-15 (dots are O(√dim)), so the
+    bucket assignment is deterministic in practice."""
+    planes = _planes(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({i}, {j}, {planes[i, j]!r})" for i in range(dim) for j in range(n_planes)
+    )
+    weights = ", ".join(str(1 << j) for j in range(n_planes))
+    return f"""
+WITH pl(i, j, p) AS (VALUES {rows}),
+ev AS (
+  SELECT vec_id, unnest(range({dim})) AS i, embedding FROM embeddings
+),
+ex AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x FROM ev),
+dots AS (SELECT vec_id, j, sum(x * p) AS d FROM ex JOIN pl USING (i) GROUP BY vec_id, j),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN ([{weights}])[j+1] ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+      FROM embeddings e JOIN buck b USING (vec_id)),
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+      FROM embeddings e JOIN buck b USING (vec_id) WHERE {query_filter}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cos
+  FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}"""
+
+
 def ivf_centroids(
     corpus: DataFrame,
     dim: int,
@@ -125,6 +169,8 @@ def ivf_centroids(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
+    seed: int = 42,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: k-means on L2-normalized vectors (spherical
     k-means ≈ cosine clustering).
@@ -135,9 +181,18 @@ def ivf_centroids(
     centroid matrix), centroid update via posexplode + groupBy(cluster, pos)
     avg (a hash agg over n_centroids × dim cells). Centroids are tiny and
     live on the driver between iterations, exactly like a parameter server
-    round."""
+    round.
+
+    ``train_fraction`` bounds the training cost at scale: each Lloyd pass
+    scans only a seeded Bernoulli sample of the corpus (ANN recall is
+    insensitive to the quantizer's training sample — probe cells are chosen
+    by geometry, the full corpus is still indexed). Default None = full-scan
+    training, the right call when the corpus is small (CI scale); at 10^12
+    rows pass e.g. 1e-4. Sampling is deterministic for a fixed input
+    partitioning (seeded per-partition)."""
+    train = corpus if train_fraction is None else corpus.sample(train_fraction, seed=seed)
     init = (
-        corpus.orderBy(id_col)
+        train.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(vec_col).cast("array<double>"))
         .toPandas()
@@ -146,7 +201,7 @@ def ivf_centroids(
     C /= np.linalg.norm(C, axis=1, keepdims=True)
 
     for _ in range(n_iter):
-        assigned = ivf_assign(corpus, C, vec_col=vec_col).select(
+        assigned = ivf_assign(train, C, vec_col=vec_col).select(
             "cluster", F.col(vec_col).cast("array<double>").alias("v")
         )
         cells = (
@@ -192,14 +247,16 @@ def cosine_topk_ivf(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned into centroid cells (one pass);
     each query probes its ``n_probe`` nearest cells; exact cosine rerank on
     the probed cells only. Corpus-side work is linear + one equi-join on
     cluster id — the classic inverted-file scale path (higher recall than
     one-bucket LSH at the same candidate budget because probe order follows
-    the quantizer geometry)."""
-    C = ivf_centroids(corpus, dim, n_centroids, n_iter, id_col, vec_col)
+    the quantizer geometry). ``train_fraction`` samples the quantizer's
+    training scans (see :func:`ivf_centroids`)."""
+    C = ivf_centroids(corpus, dim, n_centroids, n_iter, id_col, vec_col, train_fraction)
     cells = ivf_assign(corpus, C, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
