@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from forecaster_spark.functions import xhash_sql
+from forecaster_spark.models import exact_sql
 from forecaster_spark.functions.gorilla import pack_rollup_gorilla
 from forecaster_spark.models.kernels import forecast_long, qof_table
 from forecaster_spark.models.metrics import qof_native
@@ -278,27 +279,41 @@ def q_cosine_topk_ivf(spark, sf_dir):
 
 # -- model kernels / codec (non-SQL-expressible → rows-only checks) ----------
 
-def q_arx_forecast(spark, sf_dir):
-    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
-        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+def _hourly_int_series(spark, sf_dir):
+    """Hourly exact-sum rollup, floor-quantized to an integer-valued signal:
+    the cross-engine-deterministic input the exact forecast solver needs
+    (richer configs — p=4, trend, scalers — stay pinned by the 9-config
+    NumPy-oracle pytest matrix; these contract queries trade them for a
+    value-level DuckDB certificate of the full forecast pipeline)."""
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    return t.select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.floor("mean_y").cast("double").alias("y"),
     )
-    return forecast_long(s, hh=4, p=4, spec=2, skip=2)
+
+
+def q_arx_forecast(spark, sf_dir):
+    """ARX(p=2) in-sample recursive forecast with forge + rectify (C1/W7/P5),
+    exact solver: integer-Cramer OLS + fixed-order predict, certified
+    bit-for-bit by the generated SQL oracle (models/exact_sql.py)."""
+    return forecast_long(_hourly_int_series(spark, sf_dir), hh=4, p=2, spec=1, skip=2, solver="exact")
 
 
 def q_arx_direct_forecast(spark, sf_dir):
-    """ARX_D direct multi-horizon (one regression per horizon — C2/A3)."""
-    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
-        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    """ARX_D direct multi-horizon (one regression per horizon — C2/A3),
+    exact solver against the zero-tail lead targets (W3)."""
+    return forecast_long(
+        _hourly_int_series(spark, sf_dir), hh=4, p=2, spec=1, skip=2, mode="direct", solver="exact"
     )
-    return forecast_long(s, hh=4, p=4, spec=2, skip=2, mode="direct")
 
 
 def q_ar_yw_forecast(spark, sf_dir):
-    """AR via Yule-Walker autocovariance fit (A4), dynamic recursion (C1)."""
-    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
-        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    """AR via Yule-Walker autocovariance fit (A4), dynamic recursion (C1) —
+    exact integer Toeplitz solve on the centered series."""
+    return forecast_long(
+        _hourly_int_series(spark, sf_dir), hh=4, p=2, skip=2, mode="ar_yw", solver="exact"
     )
-    return forecast_long(s, hh=4, p=4, skip=4, mode="ar_yw")
 
 
 def q_arx_symb_forecast(spark, sf_dir):
@@ -903,6 +918,10 @@ WITH wset AS (
 SELECT a.doc_id AS doc_id,
        len(list_intersect(a.ws, b.ws)) / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
 FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
+        # exact-solver forecast pipelines (models/exact_sql.py mirrors)
+        "arx_forecast_events_1h": exact_sql.arx_recursive_sql(),
+        "arx_direct_forecast_events_1h": exact_sql.arx_direct_sql(),
+        "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
         # hyperplane-LSH ANN: planes are a seeded deterministic matrix →
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),

@@ -47,6 +47,7 @@ def _build(pdf: pd.DataFrame, order: str, y: str, exo_cols, cfg) -> RefARX:
         mode=cfg.get("mode", "recursive"),
         scaler=cfg.get("scaler"),
         yw_method=cfg.get("yw_method", "mle"),
+        solver=cfg.get("solver", "pinv"),
     )
 
 

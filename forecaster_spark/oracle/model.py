@@ -45,6 +45,7 @@ class RefARX:
         mode: str = "recursive",
         scaler: str | None = None,
         yw_method: str = "mle",
+        solver: str = "pinv",
     ):
         y = np.asarray(y, dtype=float)
         if xe is not None:
@@ -58,6 +59,12 @@ class RefARX:
         self.skip = p if skip is None else skip
         self.design, self.mode = design, mode
         self.yw_method = yw_method
+        # "exact": integer-Cramer fits + fixed-order predicts — bit-exact
+        # cross-engine (DuckDB oracle-able); requires integer-valued inputs
+        # and no scalers. "pinv" (default): BLAS least squares.
+        self.solver = solver
+        if solver == "exact" and scaler is not None:
+            raise ValueError("exact solver does not compose with scalers")
         self.n = len(y)
         self.tr_size = int((1.0 - self.TE_RATIO) * self.n)
         self.te_size = self.n - self.tr_size
@@ -102,20 +109,23 @@ class RefARX:
         """Train on (y_, X_) windows (defaults: full series). arx.py:203-226,
         arx_d.py:185-213, ar_yw.py:71-94. For direct mode y_ is the lead
         matrix window."""
+        exact = self.solver == "exact"
         if self.mode == "ar_yw":
             yw = self.y if y_ is None else y_
             if self.yw_method == "sm_ols":
                 self.params = ref.ar_autoreg_ols_fit(yw, self.p)
+            elif exact:
+                self.params = ref.ar_yule_walker_fit_exact(yw, self.p, self.yw_method)
             else:
                 self.params = ref.ar_yule_walker_fit(yw, self.p, self.yw_method)
         elif self.mode == "direct":
             Yw = self.Y if y_ is None else y_
             Xw = self.X if X_ is None else X_
-            self.params = ref.ols_fit_multi(Xw, Yw)
+            self.params = (ref.ols_fit_multi_exact if exact else ref.ols_fit_multi)(Xw, Yw)
         else:
             yw = self.y if y_ is None else y_
             Xw = self.X if X_ is None else X_
-            self.params = ref.ols_fit(Xw, yw)
+            self.params = (ref.ols_fit_exact if exact else ref.ols_fit)(Xw, yw)
         return self.params
 
     # -- forecasting -------------------------------------------------------
@@ -124,19 +134,23 @@ class RefARX:
         *scaled* space (matching the reference's internal y_fcast)."""
         t_st = self.skip if t_start == -1 else t_start
         t_en = self.n if t_end == -1 else t_end
+        ordered = self.solver == "exact"
         if self.mode == "ar_yw":
             yf = np.empty((t_en - t_st, self.hh))
             for t in range(t_st, t_en):
-                yf[t - t_st] = ref.ar_dynamic_forecast(self.y, self.params, t, self.hh)
+                yf[t - t_st] = ref.ar_dynamic_forecast(
+                    self.y, self.params, t, self.hh, ordered
+                )
             return yf
         if self.mode == "direct":
-            return ref.direct_forecast(self.X, self.params, t_st, t_en, self.nneg)
+            return ref.direct_forecast(self.X, self.params, t_st, t_en, self.nneg, ordered)
         return ref.recursive_forecast(
             self.X, self.params, t_st, t_en, self.hh,
             self.p, self.q, self.spec, self.n_exo, self.nneg,
             n_f_endo=self.n_f_endo, n_f_exo=self.n_f_exo, cross=self.cross,
             y_scaler=self.y_scaler if self.scaled else None,
             endo_scaler=self.endo_scaler if self.scaled else None,
+            ordered=ordered,
         )
 
     def inverse_y(self, arr: np.ndarray) -> np.ndarray:

@@ -235,6 +235,103 @@ def ols_fit_multi(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
     return np.linalg.pinv(X1) @ np.asarray(Y, dtype=float)
 
 
+# -- exact (cross-engine deterministic) solvers -----------------------------
+#
+# pinv/lstsq coefficients depend on BLAS blocking/FMA, so no SQL engine can
+# reproduce them bit-for-bit. For integer-valued inputs the normal equations
+# are exact integers; solving them by Cramer with arbitrary-precision
+# determinants and rounding ONLY at the final float(det_i)/float(det) gives
+# coefficients any engine with 128-bit integers reproduces exactly (DuckDB:
+# HUGEINT sums → CAST AS DOUBLE → one division). Same least-squares solution
+# as pinv up to conditioning; bit-exact across engines by construction.
+
+def _int_det(m: list[list[int]]) -> int:
+    """Exact integer determinant (Bareiss fraction-free elimination)."""
+    m = [row[:] for row in m]
+    n = len(m)
+    sign, prev = 1, 1
+    for i in range(n - 1):
+        if m[i][i] == 0:
+            for r in range(i + 1, n):
+                if m[r][i] != 0:
+                    m[i], m[r] = m[r], m[i]
+                    sign = -sign
+                    break
+            else:
+                return 0
+        for r in range(i + 1, n):
+            for c in range(i + 1, n):
+                m[r][c] = (m[r][c] * m[i][i] - m[r][i] * m[i][c]) // prev
+        prev = m[i][i]
+    return sign * m[-1][-1]
+
+
+def _as_int_cols(X1: np.ndarray) -> list[list[int]]:
+    cols = []
+    for j in range(X1.shape[1]):
+        c = X1[:, j]
+        ci = np.round(c)
+        if not np.array_equal(c, ci):
+            raise ValueError("exact solver requires integer-valued inputs")
+        cols.append([int(v) for v in ci])
+    return cols
+
+
+def ols_fit_exact(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """OLS with intercept for integer-valued (X, y) via exact integer normal
+    equations + Cramer; coefficients round once at float(det_j)/float(det)."""
+    X1 = np.column_stack((np.ones(len(X)), np.asarray(X, dtype=float)))
+    cols = _as_int_cols(X1)
+    yv = _as_int_cols(np.asarray(y, dtype=float).reshape(-1, 1))[0]
+    k1 = len(cols)
+    A = [[sum(a * b for a, b in zip(cols[i], cols[j])) for j in range(k1)] for i in range(k1)]
+    c = [sum(a * b for a, b in zip(cols[i], yv)) for i in range(k1)]
+    det = _int_det(A)
+    if det == 0:
+        raise ValueError("singular normal equations in exact OLS")
+    out = np.empty(k1)
+    for j in range(k1):
+        Aj = [[c[i] if jj == j else A[i][jj] for jj in range(k1)] for i in range(k1)]
+        out[j] = float(_int_det(Aj)) / float(det)
+    return out
+
+
+def ols_fit_multi_exact(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Per-column :func:`ols_fit_exact`, params stacked (k+1, hh)."""
+    Y = np.asarray(Y, dtype=float)
+    return np.column_stack([ols_fit_exact(X, Y[:, h]) for h in range(Y.shape[1])])
+
+
+def ar_yule_walker_fit_exact(y: np.ndarray, p: int, method: str = "mle") -> np.ndarray:
+    """Yule-Walker (mle) for integer-valued y with exact arithmetic: center
+    as z_t = n·y_t − Σy (integers), so the Toeplitz system scaled by n³ is
+    the integer system [ΣZ_|i−j|]·φ = [ΣZ_k]; solve by Cramer, round once
+    per coefficient. Values equal :func:`ar_yule_walker_fit` up to solver
+    rounding; bit-reproducible in SQL."""
+    if method != "mle":
+        raise ValueError("exact Yule-Walker implements method='mle' only")
+    yv = _as_int_cols(np.asarray(y, dtype=float).reshape(-1, 1))[0]
+    n = len(yv)
+    sy = sum(yv)
+    z = [n * v - sy for v in yv]
+    Z = [sum(z[t] * z[t + k] for t in range(n - k)) for k in range(p + 1)]
+    A = [[Z[abs(i - j)] for j in range(p)] for i in range(p)]
+    c = [Z[k] for k in range(1, p + 1)]
+    det = _int_det(A)
+    if det == 0:
+        raise ValueError("singular Yule-Walker system in exact fit")
+    phi = np.empty(p)
+    for j in range(p):
+        Aj = [[c[i] if jj == j else A[i][jj] for jj in range(p)] for i in range(p)]
+        phi[j] = float(_int_det(Aj)) / float(det)
+    mean = float(sy) / n
+    acc = 0.0
+    for v in phi:
+        acc = acc + v
+    intercept = mean * (1.0 - acc)
+    return np.concatenate(([intercept], phi))
+
+
 def ar_yule_walker_fit(y: np.ndarray, p: int, method: str = "mle") -> np.ndarray:
     """AR(p) via Yule-Walker on the demeaned series, intercept =
     mean(y)·(1−Σφ). ``method='adjusted'`` divides autocovariance lag k by
@@ -270,7 +367,9 @@ def ar_autoreg_ols_fit(y: np.ndarray, p: int) -> np.ndarray:
     return ols_fit(lags, y[rows])
 
 
-def ar_dynamic_forecast(y: np.ndarray, params: np.ndarray, t: int, hh: int) -> np.ndarray:
+def ar_dynamic_forecast(
+    y: np.ndarray, params: np.ndarray, t: int, hh: int, ordered: bool = False
+) -> np.ndarray:
     """hh-step dynamic AR forecast from origin ``t``: lags before t come from
     actual y, at/after t from the model's own forecasts — the semantics of
     ``AutoReg.predict(params, start=t, end=t+hh−1, dynamic=True)`` called in
@@ -281,7 +380,12 @@ def ar_dynamic_forecast(y: np.ndarray, params: np.ndarray, t: int, hh: int) -> n
     out = np.empty(hh)
     for h in range(hh):
         hist = buf[::-1][:p]  # most recent first
-        val = c + float(np.dot(phi[: len(hist)], hist))
+        if ordered:
+            val = c
+            for j in range(len(hist)):
+                val = val + phi[j] * hist[j]
+        else:
+            val = c + float(np.dot(phi[: len(hist)], hist))
         out[h] = val
         buf.append(val)
     return out
@@ -394,8 +498,17 @@ def _hide_exo_block(z: np.ndarray, h: int) -> np.ndarray:
     return np.column_stack((z[:, h - 1 :], np.repeat(last, h - 1, axis=1)))
 
 
-def _predict(params: np.ndarray, X: np.ndarray, nneg: bool) -> np.ndarray:
-    yp = params[0] + X @ params[1:]
+def _predict(params: np.ndarray, X: np.ndarray, nneg: bool, ordered: bool = False) -> np.ndarray:
+    if ordered:
+        # fixed left-to-right accumulation (b0 + x0·b1) + x1·b2 + … — the
+        # order a SQL engine's left-associative expression uses, so exact-
+        # solver forecasts are bit-reproducible cross-engine (X @ params
+        # delegates to BLAS whose blocking/FMA differs)
+        yp = np.full(len(X), params[0])
+        for j in range(X.shape[1]):
+            yp = yp + X[:, j] * params[j + 1]
+    else:
+        yp = params[0] + X @ params[1:]
     return np.maximum(yp, 0.0) if nneg else yp
 
 
@@ -416,6 +529,7 @@ def recursive_forecast(
     y_scaler=None,
     endo_scaler=None,
     f_endo=DEFAULT_SYMB_FUNCS,
+    ordered: bool = False,
 ) -> np.ndarray:
     """Multi-horizon recursive forecast over rows [t_st, t_en).
 
@@ -430,7 +544,7 @@ def recursive_forecast(
     Xw = X[t_st:t_en]
     n = t_en - t_st
     yf = np.zeros((n, hh))
-    yf[:, 0] = _predict(params, Xw, nneg)
+    yf[:, 0] = _predict(params, Xw, nneg, ordered)
     n_trend = spec - 1
 
     for h in range(2, hh + 1):
@@ -467,7 +581,7 @@ def recursive_forecast(
                 for k in range(n_exo_series):
                     parts.append(_hide_exo_block(Xw[:, exo0 + k * q : exo0 + (k + 1) * q], h))
             Xh = np.column_stack(parts)
-        yf[:, h - 1] = _predict(params, Xh, nneg)
+        yf[:, h - 1] = _predict(params, Xh, nneg, ordered)
     return yf
 
 
@@ -491,12 +605,19 @@ def _scale_correction(yfh, f_endo, y_scaler, endo_scaler):
 
 
 def direct_forecast(
-    X: np.ndarray, params: np.ndarray, t_st: int, t_en: int, nneg: bool = True
+    X: np.ndarray, params: np.ndarray, t_st: int, t_en: int, nneg: bool = True,
+    ordered: bool = False,
 ) -> np.ndarray:
     """Direct multi-horizon forecast: ŷ = [1|X]·params, clipped at 0 when
-    nneg. params shape (k+1, hh). Reference: arx_d.py:216-253."""
+    nneg. params shape (k+1, hh). Reference: arx_d.py:216-253. ``ordered``
+    uses the fixed-accumulation predict per horizon (see :func:`_predict`)."""
     Xw = X[t_st:t_en]
-    yp = params[0] + Xw @ params[1:]
+    if ordered:
+        yp = np.column_stack(
+            [_predict(params[:, h], Xw, False, True) for h in range(params.shape[1])]
+        )
+    else:
+        yp = params[0] + Xw @ params[1:]
     return np.maximum(yp, 0.0) if nneg else yp
 
 

@@ -136,3 +136,31 @@ def test_qof_native_matches_oracle(spark):
     const = pd.DataFrame({"source": ["c"] * 5, "h": [1] * 5, "y_true": [2.0] * 5, "y_hat": [1.0] * 5})
     row = qof_native(spark.createDataFrame(const), ["source", "h"]).toPandas().iloc[0]
     assert row["r2"] == 0.0
+
+
+def test_exact_solver_matches_pinv_and_is_deterministic():
+    """solver='exact' (integer-Cramer fit + fixed-order predict) is the same
+    least-squares solution as pinv up to conditioning, for every mode."""
+    import numpy as np
+
+    from forecaster_spark.oracle.model import RefARX
+
+    rng = np.random.default_rng(7)
+    y = np.floor(rng.uniform(0, 300, 150))
+    for mode in ("recursive", "direct", "ar_yw"):
+        a = RefARX(y, hh=4, p=2, spec=1, skip=2, mode=mode, solver="exact").in_sample()
+        b = RefARX(y, hh=4, p=2, spec=1, skip=2, mode=mode).in_sample()
+        assert np.allclose(a, b, rtol=1e-8, atol=1e-8), mode
+        # bit-determinism across repeated runs
+        a2 = RefARX(y, hh=4, p=2, spec=1, skip=2, mode=mode, solver="exact").in_sample()
+        assert (a == a2).all(), mode
+
+
+def test_exact_solver_rejects_non_integer_inputs():
+    import numpy as np
+    import pytest as _pytest
+
+    from forecaster_spark.oracle import ref
+
+    with _pytest.raises(ValueError, match="integer-valued"):
+        ref.ols_fit_exact(np.array([[1.5], [2.0], [3.0]]), np.array([1.0, 2.0, 3.0]))
