@@ -338,14 +338,17 @@ def q_arx_exo_forecast(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal binary-column plumbing: deterministic synthetic assets →
-    Arrow feature-extraction kernel (decode seam stubbed with content-hash
-    features; schema/partitioning/batch shape are the real thing)."""
+    """Multimodal binary columns: deterministic synthetic assets (real BMP/
+    WAV payloads + opaque video bytes) → Arrow feature-extraction kernel in
+    ``auto`` mode — BMP and WAV are REALLY decoded (pure-numpy codecs:
+    parsed dimensions, Rec.601 luma, sample rate, RMS); only the video seam
+    stays stubbed with content-hash features."""
     from forecaster_spark.operators.multimodal import extract_features, synth_assets
 
     assets = synth_assets(spark, 400)
-    return extract_features(assets, decode="fake", dim=8).select(
-        "asset_id", "mime", "n_bytes", "width", "height", "n_frames", "mean_luma"
+    return extract_features(assets, decode="auto", dim=8).select(
+        "asset_id", "mime", "n_bytes", "width", "height", "n_frames",
+        "mean_luma", "sample_rate", "rms", "decoded",
     )
 
 

@@ -2,25 +2,31 @@
 typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing — schemas, partitioning, kernel signatures, batch
-shapes — is real and tested; the actual media decode is STUBBED because no
-image/audio library ships in this container:
+shapes — is real and tested, and two decoders are REAL pure-numpy codecs
+(no media libraries ship in this container, but these formats need none):
 
-- ``decode="strict"`` raises ``NotImplementedError`` (the seam where
-  PIL/librosa/pyav would plug in);
-- ``decode="fake"`` derives deterministic pseudo-features from the payload
-  bytes (seeded by content hash) so downstream plumbing, tests, and plans
-  can run end to end.
+- ``image/bmp``  : uncompressed 24-bit BITMAPINFOHEADER — parsed width/
+                   height/pixels; features = Rec.601 luma mean + a
+                   block-averaged luma thumbnail vector.
+- ``audio/wav``  : RIFF PCM16 mono — parsed sample rate/samples; features =
+                   RMS + per-block RMS energy vector.
+- ``video/mp4``  : still a stubbed seam (container demuxing genuinely needs
+                   pyav); ``decode="strict"`` raises on it.
+
+Decode modes: ``"strict"`` (decode or raise), ``"auto"`` (decode supported
+formats, deterministic fake features otherwise), ``"fake"`` (all fake —
+pure-plumbing runs).
 
 Scale notes: payloads stay columnar (Parquet binary) and are only
-materialized inside the kernel batch; feature extraction is
-embarrassingly parallel, so the operator repartitions by asset hash —
-uniform, no skew. ``maxRecordsPerBatch`` bounds Arrow batch memory when
-payloads are large.
+materialized inside the kernel batch; feature extraction is embarrassingly
+parallel, so the operator repartitions by asset hash — uniform, no skew.
+``maxRecordsPerBatch`` bounds Arrow batch memory when payloads are large.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -39,29 +45,122 @@ ASSET_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "asset_id string, mime string, n_bytes long, width int, height int, "
-    "n_frames int, mean_luma double, feature array<float>"
+    "n_frames int, mean_luma double, sample_rate int, rms double, "
+    "decoded boolean, feature array<float>"
 )
 
 
+# -- pure-numpy codecs -------------------------------------------------------
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    pad = np.zeros((h, row_size - w * 3), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + np.concatenate([bgr, pad], axis=1).tobytes()
+
+
+def bmp_decode(blob: bytes) -> np.ndarray:
+    """Inverse of :func:`bmp_encode` → (h, w, 3) uint8 RGB."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, w, h, _planes, bpp = struct.unpack_from("<IiiHH", blob, 14)
+    if bpp != 24 or hdr_size < 40:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp})")
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(blob, np.uint8, count=row_size * abs(h), offset=off).reshape(
+        abs(h), row_size
+    )
+    img = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if h > 0 else img  # bottom-up unless height negative
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def wav_decode(blob: bytes) -> tuple[np.ndarray, int]:
+    """Inverse of :func:`wav_encode` → (int16 samples, sample_rate); walks
+    RIFF chunks, PCM16 mono only."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sr, samples = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, sz = struct.unpack_from("<4sI", blob, pos)
+        body = blob[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt_tag, n_ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1 or n_ch != 1 or bits != 16:
+                raise ValueError("unsupported WAV variant (PCM16 mono only)")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + sz + (sz & 1)
+    if sr is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    return samples, sr
+
+
+def _luma(img: np.ndarray) -> np.ndarray:
+    """Rec.601 luma plane (float64) of an (h, w, 3) RGB image."""
+    return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+
+
+def _block_means(v: np.ndarray, dim: int) -> np.ndarray:
+    """dim block means over a 1-D float array (thumbnail/energy vector)."""
+    n = len(v)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    idx = (np.arange(dim + 1) * n) // dim
+    sums = np.concatenate([[0.0], np.cumsum(v)])
+    cnt = np.maximum(idx[1:] - idx[:-1], 1)
+    return ((sums[idx[1:]] - sums[idx[:-1]]) / cnt).astype(np.float32)
+
+
+# -- synthetic asset corpus --------------------------------------------------
+
 def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic asset table (payload bytes derived from the
-    id — no RNG state, partition-invariant)."""
+    """Deterministic synthetic asset table with REAL format payloads: BMP
+    images and WAV audio (content seeded per id — no RNG state, partition-
+    invariant), plus opaque video/mp4 stand-in bytes for the stubbed seam."""
 
     def gen(batches):
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
-                mime = ["image/png", "audio/wav", "video/mp4"][i % 3]
-                payload = (h * (8 + i % 17))[: 64 + (i % 512)]
-                rows.append(
-                    (
-                        f"asset-{i:08d}",
-                        mime,
-                        payload,
-                        {"w": str(16 + i % 64), "h": str(16 + (i * 7) % 64), "frames": str(1 + i % 24)},
+                rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+                kind = i % 3
+                if kind == 0:
+                    w, ht = 8 + i % 24, 8 + (i * 7) % 24
+                    payload = bmp_encode(
+                        rng.integers(0, 256, (ht, w, 3), dtype=np.uint8)
                     )
-                )
+                    mime, meta = "image/bmp", {"w": str(w), "h": str(ht)}
+                elif kind == 1:
+                    sr = [8000, 16000][i % 2]
+                    t = np.arange(256 + i % 256)
+                    wave = 8000.0 * np.sin(2 * np.pi * t * (100 + i % 50) / sr)
+                    payload = wav_encode(
+                        (wave + rng.normal(0, 500, len(t))).astype(np.int16), sr
+                    )
+                    mime, meta = "audio/wav", {"sr": str(sr)}
+                else:
+                    payload = (h * (8 + i % 17))[: 64 + (i % 512)]
+                    mime, meta = "video/mp4", {"frames": str(1 + i % 24)}
+                rows.append((f"asset-{i:08d}", mime, payload, meta))
             yield pd.DataFrame(rows, columns=["asset_id", "mime", "payload", "meta"])
 
     return spark.range(n).mapInPandas(gen, schema=ASSET_SCHEMA)
@@ -73,34 +172,68 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def extract_features(df: DataFrame, decode: str = "fake", dim: int = 16) -> DataFrame:
+def extract_features(df: DataFrame, decode: str = "auto", dim: int = 16) -> DataFrame:
     """Decode/feature-extract kernel. Batch shape: one Arrow record batch of
     (asset_id, mime, payload, meta) in → one batch of typed features out.
-    Real decoders slot into the ``strict`` branch per mime type."""
+
+    Per mime: BMP → parsed width/height + mean luma + block-luma thumbnail;
+    WAV → parsed sample_rate + RMS + block-energy vector; video (and any
+    undecodable payload in ``auto``) → deterministic content-hash fake
+    features. ``strict`` raises where no real decoder exists."""
+    if decode not in ("strict", "auto", "fake"):
+        raise ValueError(f"unknown decode mode {decode!r}")
+
+    def one(mime: str, payload: bytes, meta) -> dict:
+        out = {
+            "n_bytes": len(payload), "width": None, "height": None,
+            "n_frames": None, "mean_luma": None, "sample_rate": None,
+            "rms": None, "decoded": False, "feature": None,
+        }
+        if decode != "fake" and mime == "image/bmp":
+            img = bmp_decode(payload)
+            luma = _luma(img)
+            out.update(
+                width=img.shape[1], height=img.shape[0], n_frames=1,
+                mean_luma=float(luma.mean()), decoded=True,
+                feature=_block_means(luma.ravel(), dim),
+            )
+            return out
+        if decode != "fake" and mime == "audio/wav":
+            samples, sr = wav_decode(payload)
+            x = samples.astype(np.float64)
+            out.update(
+                sample_rate=sr, n_frames=len(samples),
+                rms=float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                decoded=True, feature=_block_means(np.abs(x), dim),
+            )
+            return out
+        if decode == "strict":
+            raise NotImplementedError(
+                f"media decode for {mime} requires pyav/PIL — not in this "
+                "container; decoded formats: image/bmp, audio/wav"
+            )
+        meta = meta or {}
+        out.update(
+            width=int(meta["w"]) if "w" in meta else None,
+            height=int(meta["h"]) if "h" in meta else None,
+            n_frames=int(meta["frames"]) if "frames" in meta else None,
+            mean_luma=float(
+                np.frombuffer(payload[:32].ljust(32, b"\0"), dtype=np.uint8).mean()
+            ),
+            feature=_fake_features(payload, dim),
+        )
+        return out
 
     def kernel(batches):
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "media decode requires PIL/librosa/pyav — not in this container; "
-                    "use decode='fake' for deterministic plumbing features"
-                )
-            metas = pdf["meta"]
-            payloads = pdf["payload"]
-            feats = [_fake_features(p, dim) for p in payloads]
-            luma = [float(np.frombuffer(p[:32].ljust(32, b"\0"), dtype=np.uint8).mean()) for p in payloads]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "width": metas.map(lambda m: int(m.get("w", 0))).astype("int32"),
-                    "height": metas.map(lambda m: int(m.get("h", 0))).astype("int32"),
-                    "n_frames": metas.map(lambda m: int(m.get("frames", 1))).astype("int32"),
-                    "mean_luma": luma,
-                    "feature": feats,
-                }
-            )
+            recs = [
+                one(m, p, mt)
+                for m, p, mt in zip(pdf["mime"], pdf["payload"], pdf["meta"])
+            ]
+            out = pd.DataFrame(recs)
+            out.insert(0, "mime", pdf["mime"].to_numpy())
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out
 
     # uniform repartition by asset hash: payload sizes vary, ids don't skew
     return df.repartition(F.crc32(F.col("asset_id"))).mapInPandas(kernel, schema=FEATURE_SCHEMA)

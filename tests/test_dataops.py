@@ -169,7 +169,7 @@ def test_embedding_neardup(spark, emb):
 def test_multimodal_plumbing(spark):
     assets = synth_assets(spark, 60)
     pdf = assets.toPandas()
-    assert len(pdf) == 60 and set(pdf.mime) == {"image/png", "audio/wav", "video/mp4"}
+    assert len(pdf) == 60 and set(pdf.mime) == {"image/bmp", "audio/wav", "video/mp4"}
     feats = extract_features(assets, decode="fake", dim=8).toPandas()
     assert len(feats) == 60
     assert feats.feature.map(len).eq(8).all()
@@ -179,9 +179,55 @@ def test_multimodal_plumbing(spark):
     a = feats.sort_values("asset_id").feature.map(tuple).tolist()
     b = f2.sort_values("asset_id").feature.map(tuple).tolist()
     assert a == b
-    # strict mode surfaces the stub seam
+    # strict mode decodes bmp/wav for real and surfaces the video stub seam
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_features(assets, decode="strict").collect()
+    strict = extract_features(
+        assets.where(F.col("mime") != "video/mp4"), decode="strict", dim=8
+    ).toPandas()
+    assert strict.decoded.all()
     fs = frame_sample(assets, every_n=4).toPandas()
     assert len(fs) > 0
     assert (fs.frame_idx % 4 == 0).all()
+
+
+def test_multimodal_real_decode(spark):
+    """BMP/WAV codecs round-trip bit-exactly, and the strict kernel computes
+    the true parsed dimensions / luma / sample-rate / RMS for hand-built
+    fixture payloads."""
+    import pandas as _pd
+
+    from forecaster_spark.operators.multimodal import (
+        bmp_decode,
+        bmp_encode,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width → row pad
+    assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+    samples = rng.integers(-30000, 30000, 777).astype(np.int16)
+    s2, sr = wav_decode(wav_encode(samples, 16000))
+    assert sr == 16000 and np.array_equal(s2, samples)
+
+    flat = np.full((4, 4, 3), 100, dtype=np.uint8)  # luma exactly 100
+    const_wav = np.full(64, 1000, dtype=np.int16)  # RMS exactly 1000
+    assets = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "asset_id": ["img-0", "wav-0"],
+                "mime": ["image/bmp", "audio/wav"],
+                "payload": [bmp_encode(flat), wav_encode(const_wav, 8000)],
+                "meta": [{}, {}],
+            }
+        ),
+        schema="asset_id string, mime string, payload binary, meta map<string,string>",
+    )
+    out = extract_features(assets, decode="strict", dim=4).toPandas().set_index("asset_id")
+    assert out.loc["img-0", "width"] == 4 and out.loc["img-0", "height"] == 4
+    assert out.loc["img-0", "mean_luma"] == pytest.approx(100.0)
+    assert out.loc["wav-0", "sample_rate"] == 8000
+    assert out.loc["wav-0", "rms"] == pytest.approx(1000.0)
+    assert out.loc["wav-0", "n_frames"] == 64
+    assert list(out.loc["wav-0", "feature"]) == [1000.0] * 4
