@@ -326,15 +326,18 @@ def q_arx_symb_forecast(spark, sf_dir):
 
 
 def q_arx_exo_forecast(spark, sf_dir):
-    """ARX with an exogenous regressor (W2/W6 hide path): per-source hourly
-    mean value forecast with the hourly event count as exo input."""
-    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
+    """ARX with an exogenous regressor (W2 exo lagging + W6 hide path, which
+    repeats the last observable exo lag for h > q): per-source hourly mean
+    forecast with the hourly event count as exo input — exact solver, so the
+    whole pipeline incl. exo backfill/lag/hide is SQL-certified."""
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    s = t.select(
         "source",
         F.col("bucket_start").alias("ts"),
-        F.col("mean_y").alias("y"),
+        F.floor("mean_y").cast("double").alias("y"),
         F.col("cnt").cast("double").alias("x_cnt"),
     )
-    return forecast_long(s, exo_cols=["x_cnt"], hh=3, p=3, q=2, spec=1, skip=3)
+    return forecast_long(s, exo_cols=["x_cnt"], hh=3, p=2, q=1, spec=1, skip=2, solver="exact")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -925,6 +928,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_forecast_events_1h": exact_sql.arx_recursive_sql(),
         "arx_direct_forecast_events_1h": exact_sql.arx_direct_sql(),
         "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
+        "arx_exo_forecast_events_1h": exact_sql.arx_exo_sql(),
         # hyperplane-LSH ANN: planes are a seeded deterministic matrix →
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),

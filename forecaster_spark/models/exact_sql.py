@@ -44,13 +44,18 @@ lagged AS (
 )
 """
 
-_OUT = """
+def _out(hh: int) -> str:
+    """Long-format (source, t, h, y_hat) emission from the final fc{hh} CTE."""
+    unions = "\n  UNION ALL ".join(
+        f"SELECT source, t, {h} AS h, f{h} AS y_hat FROM fc{hh}" for h in range(1, hh + 1)
+    )
+    return f"""
 SELECT source, CAST(t AS BIGINT) AS t, CAST(h AS INT) AS h, y_hat FROM (
-  SELECT source, t, 1 AS h, f1 AS y_hat FROM fc4
-  UNION ALL SELECT source, t, 2, f2 FROM fc4
-  UNION ALL SELECT source, t, 3, f3 FROM fc4
-  UNION ALL SELECT source, t, 4, f4 FROM fc4
+  {unions}
 )"""
+
+
+_OUT = _out(HH)
 
 
 def _det3(m: list[list[str]]) -> str:
@@ -60,6 +65,16 @@ def _det3(m: list[list[str]]) -> str:
         f" - ({b})*(({d})*({i}) - ({f})*({g}))"
         f" + ({c})*(({d})*({h}) - ({e})*({g})))"
     )
+
+
+def _det4(m: list[list[str]]) -> str:
+    """4×4 determinant by first-row cofactor expansion over :func:`_det3`
+    (exact integers — any expansion order yields the same value)."""
+    terms = []
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        terms.append(f"{'+' if j % 2 == 0 else '-'} ({m[0][j]})*{_det3(minor)}")
+    return "(0 " + " ".join(terms) + ")"
 
 
 def _cramer3(c: list[str], suffix: str = "") -> str:
@@ -141,6 +156,75 @@ fc4 AS (
   FROM lagged g JOIN params p USING (source) WHERE g.t >= {SKIP}
 )
 {_OUT}"""
+
+
+def _cramer4(c: list[str], suffix: str = "") -> str:
+    """SELECT items solving the 4-var normal equations for X1 = [1, l2, l1,
+    x1] (sums n, s2, s1, sx, s22, s21, s2x, s11, s1x, sxx in scope)."""
+    A = [
+        ["n", "s2", "s1", "sx"],
+        ["s2", "s22", "s21", "s2x"],
+        ["s1", "s21", "s11", "s1x"],
+        ["sx", "s2x", "s1x", "sxx"],
+    ]
+    items = [f"{_det4(A)} AS dd{suffix}"]
+    for j in range(4):
+        Aj = [[c[i] if jj == j else A[i][jj] for jj in range(4)] for i in range(4)]
+        items.append(f"{_det4(Aj)} AS d{j}{suffix}")
+    for j in range(4):
+        items.append(f"CAST(d{j}{suffix} AS DOUBLE) / CAST(dd{suffix} AS DOUBLE) AS b{j}{suffix}")
+    return ", ".join(items)
+
+
+def arx_exo_sql() -> str:
+    """ARX(p=2, q=1, spec=1) with the hourly event count as exogenous input:
+    in-sample recursive forecast, hh=3. Exercises exo lagging (W2 — z[0]
+    padding; the backcast backfill is an exercised no-op since cnt ≥ 1) and
+    the hide path (W6 — h > q repeats the last observable exo lag). Feature
+    layout per reference column order: [y lags | exo lags] → X1 =
+    [1, l2, l1, x1]; h=2 forges [l1, f1, x1], h=3 [f1, f2, x1]."""
+    return f"""
+WITH series AS (SELECT event_type AS source, ts, value FROM events),
+th AS (
+  SELECT source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd,
+         count(*) AS x
+  FROM series GROUP BY 1, 2
+),
+ord_s AS (
+  SELECT source, CAST(yd AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+),
+lagged AS (
+  SELECT source, t, y,
+         coalesce(lag(y, 1) OVER w, first_value(y) OVER w) AS l1,
+         coalesce(lag(y, 2) OVER w, first_value(y) OVER w) AS l2,
+         coalesce(lag(x, 1) OVER w, first_value(x) OVER w) AS x1
+  FROM ord_s WINDOW w AS (PARTITION BY source ORDER BY t)
+),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l2) AS HUGEINT) AS s2, CAST(sum(l1) AS HUGEINT) AS s1,
+         CAST(sum(x1) AS HUGEINT) AS sx,
+         CAST(sum(l2*l2) AS HUGEINT) AS s22, CAST(sum(l2*l1) AS HUGEINT) AS s21,
+         CAST(sum(l2*x1) AS HUGEINT) AS s2x,
+         CAST(sum(l1*l1) AS HUGEINT) AS s11, CAST(sum(l1*x1) AS HUGEINT) AS s1x,
+         CAST(sum(x1*x1) AS HUGEINT) AS sxx,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(y*l2) AS HUGEINT) AS sy2,
+         CAST(sum(y*l1) AS HUGEINT) AS sy1, CAST(sum(y*x1) AS HUGEINT) AS syx
+  FROM lagged GROUP BY source
+),
+params AS (SELECT source, {_cramer4(["sy", "sy2", "sy1", "syx"])} FROM sums),
+fc1 AS (
+  SELECT g.source, g.t, g.l1, g.x1, p.b0, p.b1, p.b2, p.b3,
+         greatest(p.b0 + g.l2*p.b1 + g.l1*p.b2 + g.x1*p.b3, 0.0) AS f1
+  FROM lagged g JOIN params p USING (source) WHERE g.t >= {SKIP}
+),
+fc2 AS (SELECT *, greatest(b0 + l1*b1 + f1*b2 + x1*b3, 0.0) AS f2 FROM fc1),
+fc3 AS (SELECT *, greatest(b0 + f1*b1 + f2*b2 + x1*b3, 0.0) AS f3 FROM fc2)
+{_out(3)}"""
 
 
 def ar_yw_sql() -> str:

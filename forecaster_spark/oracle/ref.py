@@ -266,6 +266,22 @@ def _int_det(m: list[list[int]]) -> int:
     return sign * m[-1][-1]
 
 
+def hugeint_to_double(d: int) -> float:
+    """Bit-exact mimic of DuckDB's HUGEINT→DOUBLE cast (duckdb 1.0
+    CastBigintToFloating): result = upper·(2⁶⁴−1) + lower + upper in double
+    arithmetic, with the upper == −1 fast path — NOT the correctly-rounded
+    ``float(int)`` (they differ by 1 ulp beyond 64 bits). The exact solvers
+    round determinants through this so coefficients match the SQL oracle
+    bit-for-bit. Verified against DuckDB on 8000 random 1-126 bit values."""
+    if not -(1 << 127) <= d < (1 << 127):
+        raise OverflowError("determinant exceeds HUGEINT range — exact mode unusable")
+    upper = d >> 64
+    lower = d & ((1 << 64) - 1)
+    if upper == -1:
+        return -float((1 << 64) - 1 - lower) - 1.0
+    return float(upper) * 18446744073709551615.0 + float(lower) + float(upper)
+
+
 def _as_int_cols(X1: np.ndarray) -> list[list[int]]:
     cols = []
     for j in range(X1.shape[1]):
@@ -292,7 +308,7 @@ def ols_fit_exact(X: np.ndarray, y: np.ndarray) -> np.ndarray:
     out = np.empty(k1)
     for j in range(k1):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(k1)] for i in range(k1)]
-        out[j] = float(_int_det(Aj)) / float(det)
+        out[j] = hugeint_to_double(_int_det(Aj)) / hugeint_to_double(det)
     return out
 
 
@@ -323,7 +339,7 @@ def ar_yule_walker_fit_exact(y: np.ndarray, p: int, method: str = "mle") -> np.n
     phi = np.empty(p)
     for j in range(p):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(p)] for i in range(p)]
-        phi[j] = float(_int_det(Aj)) / float(det)
+        phi[j] = hugeint_to_double(_int_det(Aj)) / hugeint_to_double(det)
     mean = float(sy) / n
     acc = 0.0
     for v in phi:
