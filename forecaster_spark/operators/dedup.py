@@ -175,24 +175,37 @@ def minhash_lsh_pairs(
     sh = word_shingles(df, text_col, k)
     sig = minhash_signature(sh, num_perm=num_perm)
     bandt = lsh_bands(sig, id_col=id_col, bands=bands)
-    a = bandt.alias("a")
-    b = bandt.alias("b")
+    # bucket-grouped pair generation instead of a band-table self-join: ONE
+    # shuffle on (band_id, band_hash) and ONE evaluation of the shingle/
+    # signature kernel chain (a self-join re-executes the whole upstream for
+    # each side — measured ~2× the kernel cost). Bucket sizes are bounded by
+    # the LSH property, so the within-bucket explosion equals the join's
+    # candidate count.
+    buckets = (
+        bandt.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col(f"a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     if verify_jaccard is not None:
-        # candidate pairs are tiny by LSH construction — broadcast them into
-        # the (big) shingle table twice, so full shingle arrays are never
-        # shuffled; only pair-matched rows carry arrays forward
-        sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-        sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+        # candidate pairs are tiny by LSH construction — shingle ONLY the
+        # candidate docs (broadcast semi-join into the corpus), then
+        # broadcast-join the pair table; the full corpus is never
+        # re-shingled for verification and shingle arrays never shuffle
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        sh_c = word_shingles(cand_docs, text_col, k).select(id_col, "shingles")
+        sh_a = sh_c.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+        sh_b = sh_c.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size(F.array_union("sh_a", "sh_b"))
         pairs = (
