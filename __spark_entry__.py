@@ -317,12 +317,21 @@ def q_ar_yw_forecast(spark, sf_dir):
 
 
 def q_arx_symb_forecast(spark, sf_dir):
-    """ARX_Symb: symbolic transforms (x^1.5, sqrt, log1p) + MinMax scaling
-    with scale-corrected recursion (P2/W7/W8)."""
-    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
-        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    """ARX_Symb with an integer-preserving transform (square, written as
+    x·x): symbolic design + the scale-corrected forge (P2/W7/W8 — each
+    horizon re-applies the transform to its own clipped forecasts), exact
+    solver so the whole symbolic recursion is SQL-certified. The scaled
+    (MinMax x^1.5/sqrt/log1p) variant stays pinned by the pytest config
+    matrix (cfg1/6/7)."""
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    s = t.select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.floor(F.col("mean_y") / 4.0).cast("double").alias("y"),
     )
-    return forecast_long(s, hh=3, p=3, spec=1, skip=3, design="symb", scaler="minmax")
+    return forecast_long(
+        s, hh=3, p=1, spec=1, skip=2, design="symb", symb_funcs=["square"], solver="exact"
+    )
 
 
 def q_arx_exo_forecast(spark, sf_dir):
@@ -356,10 +365,15 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_arx_qof_roll(spark, sf_dir):
-    s = rollup_raw(_events_series(spark, sf_dir), "1h", tie_break=True).select(
-        "source", F.col("bucket_start").alias("ts"), F.col("mean_y").alias("y")
+    """Rolling-validation QoF (C4/C6 + A6-A11): every rc=2 test steps the
+    exact OLS refits on the fixed window ending at the origin, forecasts
+    forge-recursively, and the per-horizon TnT metrics accumulate with the
+    sequential fold the SQL oracle replays — the full trainNtest_Test
+    lifecycle is driver-certified value-for-value."""
+    return qof_table(
+        _hourly_int_series(spark, sf_dir),
+        hh=4, p=2, spec=1, skip=2, validation="roll", solver="exact",
     )
-    return qof_table(s, hh=4, p=4, spec=2, skip=2, validation="roll")
 
 
 def q_gorilla_pack(spark, sf_dir):
@@ -937,6 +951,8 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_direct_forecast_events_1h": exact_sql.arx_direct_sql(),
         "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
         "arx_exo_forecast_events_1h": exact_sql.arx_exo_sql(),
+        "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
+        "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         # hyperplane-LSH ANN: planes are a seeded deterministic matrix →
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),

@@ -227,6 +227,160 @@ fc3 AS (SELECT *, greatest(b0 + f1*b1 + f2*b2 + x1*b3, 0.0) AS f3 FROM fc2)
 {_out(3)}"""
 
 
+def arx_symb_sql() -> str:
+    """ARX_Symb(p=1, spec=1, f_endo=[square]) in-sample recursive forecast,
+    hh=3: design [1, l1, lag(y²)], forge with symbolic scale-correction —
+    later horizons re-apply the transform to their own (clipped) forecasts,
+    so h=2 features are [f1, f1·f1], h=3 [f2, f2·f2]
+    (arx_symb.py:228-295; square written as multiplication — pow differs
+    across engines at ulp level). Signal = floor(mean_y/4) so the quartic
+    normal-equation sums stay inside HUGEINT determinants."""
+    return f"""
+WITH series AS (SELECT event_type AS source, ts, value FROM events),
+th AS (
+  SELECT source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*) / 4.0) AS yd
+  FROM series GROUP BY 1, 2
+),
+ord_s AS (
+  SELECT source, CAST(yd AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+),
+lagged AS (
+  SELECT source, t, y,
+         coalesce(lag(y, 1) OVER w, first_value(y) OVER w) AS l1,
+         coalesce(lag(y*y, 1) OVER w, first_value(y*y) OVER w) AS ls
+  FROM ord_s WINDOW w AS (PARTITION BY source ORDER BY t)
+),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1) AS HUGEINT) AS s1, CAST(sum(ls) AS HUGEINT) AS ss,
+         CAST(sum(l1*l1) AS HUGEINT) AS s11, CAST(sum(l1*ls) AS HUGEINT) AS s1s,
+         CAST(sum(ls*ls) AS HUGEINT) AS sss,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(y*l1) AS HUGEINT) AS sy1,
+         CAST(sum(y*ls) AS HUGEINT) AS sys
+  FROM lagged GROUP BY source
+),
+params AS (SELECT source, {_cramer3_symb()} FROM sums),
+fc1 AS (
+  SELECT g.source, g.t, p.b0, p.b1, p.b2,
+         greatest(p.b0 + g.l1*p.b1 + g.ls*p.b2, 0.0) AS f1
+  FROM lagged g JOIN params p USING (source) WHERE g.t >= {SKIP}
+),
+fc2 AS (SELECT *, greatest(b0 + f1*b1 + (f1*f1)*b2, 0.0) AS f2 FROM fc1),
+fc3 AS (SELECT *, greatest(b0 + f2*b1 + (f2*f2)*b2, 0.0) AS f3 FROM fc2)
+{_out(3)}"""
+
+
+def _cramer3_symb(suffix: str = "") -> str:
+    """Cramer items for X1 = [1, l1, ls] (sums n, s1, ss, s11, s1s, sss)."""
+    A = [["n", "s1", "ss"], ["s1", "s11", "s1s"], ["ss", "s1s", "sss"]]
+    c = ["sy", "sy1", "sys"]
+    items = [f"{_det3(A)} AS dd{suffix}"]
+    for j in range(3):
+        Aj = [[c[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
+        items.append(f"{_det3(Aj)} AS d{j}{suffix}")
+    for j in range(3):
+        items.append(f"CAST(d{j}{suffix} AS DOUBLE) / CAST(dd{suffix} AS DOUBLE) AS b{j}{suffix}")
+    return ", ".join(items)
+
+
+def arx_qof_roll_sql(rc: int = 2) -> str:
+    """Rolling-validation QoF (trainNtest — forecaster.py:388-419,446-466):
+    every ``rc`` test steps, refit the exact OLS on the fixed tr_size-row
+    window ending at the origin (window sums = differences of integer
+    cumulative sums — order-free because exact), forecast the next rc rows
+    with forge, then per-horizon TnT metrics with SEQUENTIAL left-fold
+    accumulation (list_reduce over t-ordered lists, mirroring the kernel's
+    diagnose_exact)."""
+    return f"""
+WITH {_SERIES},
+meta AS (
+  SELECT source, count(*) AS n, CAST(trunc(0.8 * count(*)) AS BIGINT) AS trs
+  FROM ord_s GROUP BY source
+),
+cum AS (
+  SELECT source, t, y, l1, l2,
+         count(*) OVER wc AS cn,
+         sum(l2) OVER wc AS c2, sum(l1) OVER wc AS c1,
+         sum(l2*l2) OVER wc AS c22, sum(l2*l1) OVER wc AS c21, sum(l1*l1) OVER wc AS c11,
+         sum(y) OVER wc AS cy, sum(y*l2) OVER wc AS cy2, sum(y*l1) OVER wc AS cy1
+  FROM lagged
+  WINDOW wc AS (PARTITION BY source ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+origins AS (
+  SELECT m.source, m.n, m.trs, unnest(range(0, m.n - m.trs, {rc})) AS i FROM meta m
+),
+osum AS (
+  -- fixed-window [i, trs+i) sums via cumulative differences (exact ints)
+  SELECT o.source, o.i,
+         CAST(hi.cn - coalesce(lo.cn, 0) AS HUGEINT) AS n,
+         CAST(hi.c2 - coalesce(lo.c2, 0) AS HUGEINT) AS s2,
+         CAST(hi.c1 - coalesce(lo.c1, 0) AS HUGEINT) AS s1,
+         CAST(hi.c22 - coalesce(lo.c22, 0) AS HUGEINT) AS s22,
+         CAST(hi.c21 - coalesce(lo.c21, 0) AS HUGEINT) AS s21,
+         CAST(hi.c11 - coalesce(lo.c11, 0) AS HUGEINT) AS s11,
+         CAST(hi.cy - coalesce(lo.cy, 0) AS HUGEINT) AS sy,
+         CAST(hi.cy2 - coalesce(lo.cy2, 0) AS HUGEINT) AS sy2,
+         CAST(hi.cy1 - coalesce(lo.cy1, 0) AS HUGEINT) AS sy1
+  FROM origins o
+  JOIN cum hi ON hi.source = o.source AND hi.t = o.trs + o.i - 1
+  LEFT JOIN cum lo ON lo.source = o.source AND lo.t = o.i - 1
+),
+oparams AS (SELECT source, i, {_cramer3(["sy", "sy2", "sy1"])} FROM osum),
+tmap AS (
+  -- test row → its refit origin: chunks of rc, last chunk extends to n
+  SELECT l.source, l.t, l.l1, l.l2, m.trs, m.n,
+         least(((l.t - m.trs) // {rc}) * {rc}, ((m.n - m.trs - 1) // {rc}) * {rc}) AS i
+  FROM lagged l JOIN meta m USING (source) WHERE l.t >= m.trs
+),
+fc1 AS (
+  SELECT g.source, g.t, g.trs, g.n, g.l1, p.b0, p.b1, p.b2,
+         greatest(p.b0 + g.l2*p.b1 + g.l1*p.b2, 0.0) AS f1
+  FROM tmap g JOIN oparams p ON p.source = g.source AND p.i = g.i
+),
+fc2 AS (SELECT *, greatest(b0 + l1*b1 + f1*b2, 0.0) AS f2 FROM fc1),
+fc3 AS (SELECT *, greatest(b0 + f1*b1 + f2*b2, 0.0) AS f3 FROM fc2),
+fc4 AS (SELECT *, greatest(b0 + f2*b1 + f3*b2, 0.0) AS f4 FROM fc3),
+pairs AS (
+  -- TnT truncation: forecast ROW t targets y_t at horizon 1 (X row t holds
+  -- lags through t−1), so horizon h pairs f_h(t) with y[t+h−1]
+  -- (forecaster.py:355-384 slice alignment)
+  SELECT f.source, hx.h, f.t, CAST(tr.y AS BIGINT) AS yt,
+         CASE hx.h WHEN 1 THEN f.f1 WHEN 2 THEN f.f2 WHEN 3 THEN f.f3 ELSE f.f4 END AS yp
+  FROM fc4 f
+  CROSS JOIN (VALUES (1), (2), (3), (4)) hx(h)
+  JOIN ord_s tr ON tr.source = f.source AND tr.t = f.t + hx.h - 1
+),
+mets AS (
+  SELECT source, h, count(*) AS m,
+         list_reduce(list((yt - yp)*(yt - yp) ORDER BY t), (a, b) -> a + b) AS sse,
+         list_reduce(list(abs(yt - yp) ORDER BY t), (a, b) -> a + b) AS sae,
+         list_reduce(list((2.0*abs(yt - yp)) / ((abs(yt) + abs(yp)) + 1e-10) ORDER BY t),
+                     (a, b) -> a + b) AS ssm,
+         CAST(sum(yt) AS DOUBLE) / count(*) AS mean_y
+  FROM pairs GROUP BY source, h
+),
+tot AS (
+  SELECT p.source, p.h,
+         list_reduce(list((p.yt - m.mean_y)*(p.yt - m.mean_y) ORDER BY p.t),
+                     (a, b) -> a + b) AS sst
+  FROM pairs p JOIN mets m USING (source, h) GROUP BY p.source, p.h
+)
+SELECT m.source, CAST(m.h AS INT) AS h,
+       m.sse / m.m AS mse,
+       m.sae / m.m AS mae,
+       CASE WHEN t.sst = 0.0 THEN 0.0 ELSE 1.0 - m.sse / t.sst END AS r2,
+       CASE WHEN m.m <= 2 THEN CAST('nan' AS DOUBLE)
+            ELSE 1.0 - (1.0 - (CASE WHEN t.sst = 0.0 THEN 0.0 ELSE 1.0 - m.sse / t.sst END))
+                       * (m.m - 1) / (m.m - 2) END AS r2bar,
+       100.0 * (m.ssm / m.m) AS smape,
+       m.m AS m
+FROM mets m JOIN tot t USING (source, h)"""
+
+
 def ar_yw_sql() -> str:
     """AR(2) Yule-Walker (mle) + dynamic multi-horizon forecast, exact form:
     centered integers z_t = n·y_t − Σy make the n³-scaled Toeplitz system

@@ -46,6 +46,7 @@ class RefARX:
         scaler: str | None = None,
         yw_method: str = "mle",
         solver: str = "pinv",
+        symb_funcs: tuple | list | None = None,
     ):
         y = np.asarray(y, dtype=float)
         if xe is not None:
@@ -69,8 +70,16 @@ class RefARX:
         self.tr_size = int((1.0 - self.TE_RATIO) * self.n)
         self.te_size = self.n - self.tr_size
         self.n_exo = 0 if xe is None else xe.shape[1]
-        self.n_f_endo = len(ref.DEFAULT_SYMB_FUNCS) if design == "symb" else 0
-        self.n_f_exo = len(ref.DEFAULT_SYMB_FUNCS) if design == "symb" else 0
+        # symb_funcs: names from ref.SYMB_FUNC_REGISTRY or callables
+        # (reference ARX_Symb ff/gg lists, arx_symb.py:60-66)
+        if symb_funcs is not None:
+            self.f_endo = tuple(
+                ref.SYMB_FUNC_REGISTRY[f] if isinstance(f, str) else f for f in symb_funcs
+            )
+        else:
+            self.f_endo = ref.DEFAULT_SYMB_FUNCS
+        self.n_f_endo = len(self.f_endo) if design == "symb" else 0
+        self.n_f_exo = len(self.f_endo) if design == "symb" else 0
 
         mk = {None: lambda: None, "minmax": lambda: ref.MinMaxScaler(self.LU),
               "standard": ref.StandardScaler}[scaler]
@@ -90,6 +99,7 @@ class RefARX:
             if design == "symb":
                 self.X, self.y = ref.arx_symb_design_matrix(
                     y, p, q, spec, cross, xe,
+                    f_endo=self.f_endo, f_exo=self.f_endo,
                     y_scaler=self.y_scaler if scaler else None,
                     endo_scaler=self.endo_scaler if scaler else None,
                     exo_scaler=self.exo_scaler if scaler else None,
@@ -150,6 +160,7 @@ class RefARX:
             n_f_endo=self.n_f_endo, n_f_exo=self.n_f_exo, cross=self.cross,
             y_scaler=self.y_scaler if self.scaled else None,
             endo_scaler=self.endo_scaler if self.scaled else None,
+            f_endo=self.f_endo,
             ordered=ordered,
         )
 
@@ -198,11 +209,12 @@ class RefARX:
                 yp = self.inverse_y(yf[: ll - h, h])
                 out.append({"h": h + 1, **ref.diagnose(yt, yp)})
         else:
+            diag = ref.diagnose_exact if self.solver == "exact" else ref.diagnose
             y_true = self.y[self.tr_size:] if tnt else self.y[self.skip:]
             y_true = self.inverse_y(y_true.copy())
             ll = len(y_true)
             for h in range(self.hh):
                 yt = y_true[h:]
                 yp = self.inverse_y(yf[: ll - h, h])
-                out.append({"h": h + 1, **ref.diagnose(yt, yp)})
+                out.append({"h": h + 1, **diag(yt, yp)})
         return out

@@ -203,6 +203,45 @@ def smape(y_true: np.ndarray, y_pred: np.ndarray) -> float:
     return float(100.0 * np.mean(2.0 * np.abs(y_true - y_pred) / denom))
 
 
+def diagnose_exact(y_true: np.ndarray, y_pred: np.ndarray, n_features: int = 1) -> dict:
+    """QoF metrics with SEQUENTIAL left-fold accumulation (the order a SQL
+    engine's ordered list_reduce uses) instead of numpy's pairwise sums —
+    bit-reproducible cross-engine. y_true must be integer-valued (its mean
+    divides an exact integer sum). Same values as :func:`diagnose` up to
+    summation-order ulp."""
+    m = len(y_true)
+    yt = [float(v) for v in y_true]
+    yp = [float(v) for v in y_pred]
+    iv = [int(v) for v in yt]
+    if iv != yt:
+        raise ValueError("diagnose_exact requires integer-valued y_true")
+    sse = sae = ssm = 0.0
+    for a, b in zip(yt, yp):
+        d = a - b
+        sse = sse + d * d
+        sae = sae + abs(d)
+        ssm = ssm + (2.0 * abs(d)) / ((abs(a) + abs(b)) + 1e-10)
+    mean = float(sum(iv)) / m
+    sst = 0.0
+    for a in yt:
+        d = a - mean
+        sst = sst + d * d
+    r2v = 0.0 if sst == 0.0 else 1.0 - sse / sst
+    r2b = (
+        float("nan")
+        if m <= n_features + 1
+        else 1.0 - (1.0 - r2v) * (m - 1) / (m - n_features - 1)
+    )
+    return {
+        "MSE": sse / m,
+        "MAE": sae / m,
+        "R2": r2v,
+        "R2Bar": r2b,
+        "SMAPE": 100.0 * (ssm / m),
+        "m": m,
+    }
+
+
 def diagnose(y_true: np.ndarray, y_pred: np.ndarray, n_features: int = 1) -> dict:
     """All QoF metrics; n_features defaults to 1 as in the reference's
     per-horizon report path (Util/tools.py:147-178, fit_map at :182-230)."""
@@ -417,6 +456,20 @@ DEFAULT_SYMB_FUNCS = (
     np.log1p,
 )
 """Default symbolic transforms (arx_symb.py:83-85)."""
+
+#: named transforms for configurable symbolic designs (the reference's
+#: ARX_Symb accepts arbitrary ff/gg lists — arx_symb.py:60-66). "square" is
+#: written as x*x, NOT np.power(x, 2): pow differs across engines at ulp
+#: level while multiplication is IEEE-identical, and squaring preserves
+#: integrality — which is what lets a symbolic design go through the exact
+#: solver and its SQL oracle.
+SYMB_FUNC_REGISTRY = {
+    "pow1_5": lambda x: np.power(x, 1.5),
+    "sqrt": lambda x: np.power(x, 0.5),
+    "log1p": np.log1p,
+    "square": lambda x: x * x,
+    "cube": lambda x: (x * x) * x,
+}
 
 
 def arx_design_matrix(
