@@ -31,6 +31,7 @@ from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup
 from forecaster_spark.operators.seriesify import events_as_series
 from forecaster_spark.operators.similarity import (
     cosine_topk_brute,
+    cosine_topk_ivf_sql,
     cosine_topk_lsh,
     cosine_topk_lsh_sql,
 )
@@ -265,15 +266,17 @@ def q_cosine_topk_lsh(spark, sf_dir):
 
 
 def q_cosine_topk_ivf(spark, sf_dir):
-    """IVF ANN (coarse k-means cells + multi-probe) — deterministic, so the
-    rows-only check is stable across runs/partitionings."""
+    """IVF ANN (coarse k-means cells + multi-probe), exact-trained: integer
+    cell sums + sequential-fold norms make the Lloyd iterations SQL-
+    reproducible, so the full train→assign→probe→rerank pipeline is
+    certified by a generated DuckDB oracle (2 unrolled iterations)."""
     from forecaster_spark.operators.similarity import cosine_topk_ivf
 
     emb = read_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries_df = emb.where(F.col("vec_id") < 8)
     return cosine_topk_ivf(
-        emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4
+        emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4, exact=True
     ).select("query_id", "neighbor_id", "rank")
 
 
@@ -956,6 +959,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         # hyperplane-LSH ANN: planes are a seeded deterministic matrix →
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),
+        "cosine_topk_ivf_embeddings": cosine_topk_ivf_sql(dim=64, k=10, n_centroids=16, n_probe=4),
         # -- cross-engine hash pipelines (xhash/xhash_sql mirror pair) ------
         "minhash_lsh_pairs_documents": xhash_sql.minhash_lsh_pairs_sql(
             num_perm=32, bands=8, verify_jaccard=0.4

@@ -171,6 +171,7 @@ def ivf_centroids(
     vec_col: str = "embedding",
     train_fraction: float | None = None,
     seed: int = 42,
+    exact: bool = False,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: k-means on L2-normalized vectors (spherical
     k-means ≈ cosine clustering).
@@ -189,7 +190,15 @@ def ivf_centroids(
     by geometry, the full corpus is still indexed). Default None = full-scan
     training, the right call when the corpus is small (CI scale); at 10^12
     rows pass e.g. 1e-4. Sampling is deterministic for a fixed input
-    partitioning (seeded per-partition)."""
+    partitioning (seeded per-partition).
+
+    ``exact=True`` makes the trained centroids cross-engine reproducible
+    (``cosine_topk_ivf_sql`` oracle): cell sums run over floor-quantized
+    integer components (order-free exact sums — float avgs depend on Spark's
+    partition-order), and norms accumulate with a sequential left fold (the
+    order SQL's list_reduce uses) instead of BLAS nrm2. Centroid SCALE
+    changes (quantized space), direction doesn't — cosine assignment/probing
+    is scale-invariant."""
     train = corpus if train_fraction is None else corpus.sample(train_fraction, seed=seed)
     init = (
         train.orderBy(id_col)
@@ -198,27 +207,52 @@ def ivf_centroids(
         .toPandas()
     )
     C = np.stack(init.iloc[:, 0].to_numpy()).astype(np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    if exact:
+        C = C / np.array([[_seq_norm(row)] for row in C])
+    else:
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
 
     for _ in range(n_iter):
-        assigned = ivf_assign(train, C, vec_col=vec_col).select(
-            "cluster", F.col(vec_col).cast("array<double>").alias("v")
-        )
-        cells = (
-            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
+        if exact:
+            qv = F.transform(
+                F.col(vec_col), lambda x: F.floor(x.cast("double") * 1024.0).cast("long")
+            )
+            cells = (
+                ivf_assign(train, C, vec_col=vec_col)
+                .select("cluster", qv.alias("vq"))
+                .select("cluster", F.posexplode("vq").alias("pos", "q"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("q").alias("s"), F.count("q").alias("c"))
+                .collect()
+            )
+        else:
+            cells = (
+                ivf_assign(train, C, vec_col=vec_col)
+                .select("cluster", F.col(vec_col).cast("array<double>").alias("v"))
+                .select("cluster", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
         C = C.copy()
         sums: dict[int, np.ndarray] = {}
         for r in cells:
-            sums.setdefault(r["cluster"], np.zeros(dim))[r["pos"]] = r["m"]
+            v = float(r["s"]) / r["c"] if exact else r["m"]
+            sums.setdefault(r["cluster"], np.zeros(dim))[r["pos"]] = v
         for cl, vec in sums.items():
-            n = np.linalg.norm(vec)
+            n = _seq_norm(vec) if exact else np.linalg.norm(vec)
             if n > 0:
                 C[cl] = vec / n
     return C
+
+
+def _seq_norm(vec: np.ndarray) -> float:
+    """Euclidean norm with sequential left-fold accumulation — matches
+    SQL's ordered list_reduce, unlike BLAS nrm2 (scaled/blocked)."""
+    acc = 0.0
+    for v in vec.tolist():
+        acc = acc + v * v
+    return float(np.sqrt(acc))
 
 
 def ivf_assign(
@@ -248,6 +282,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """IVF ANN top-k: corpus partitioned into centroid cells (one pass);
     each query probes its ``n_probe`` nearest cells; exact cosine rerank on
@@ -255,8 +290,11 @@ def cosine_topk_ivf(
     cluster id — the classic inverted-file scale path (higher recall than
     one-bucket LSH at the same candidate budget because probe order follows
     the quantizer geometry). ``train_fraction`` samples the quantizer's
-    training scans (see :func:`ivf_centroids`)."""
-    C = ivf_centroids(corpus, dim, n_centroids, n_iter, id_col, vec_col, train_fraction)
+    training scans; ``exact`` trains SQL-reproducible centroids (see
+    :func:`ivf_centroids`)."""
+    C = ivf_centroids(
+        corpus, dim, n_centroids, n_iter, id_col, vec_col, train_fraction, exact=exact
+    )
     cells = ivf_assign(corpus, C, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -284,6 +322,80 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_topk_ivf_sql(
+    dim: int = 64,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    query_filter: str = "vec_id < 8",
+) -> str:
+    """DuckDB oracle for ``cosine_topk_ivf(..., exact=True)``: the Lloyd
+    iterations are unrolled as CTE stages. Init = the n_centroids lowest-id
+    vectors (sequential-fold norms); each iteration assigns by
+    argmax-cosine (dot order is scale-invariant, so no row normalization)
+    and re-estimates centroids from floor-quantized integer cell sums —
+    exact regardless of aggregation order — carrying previous centroids for
+    empty cells; final cells + top-n_probe query probes + exact cosine
+    rerank. Dot products are unordered double sums (same near-tie ulp
+    caveat as the LSH oracle — decisions, not values, must agree)."""
+    assert n_iter == 2, "SQL mirror unrolled for n_iter=2"
+
+    def lloyd(i: int, cin: str) -> str:
+        return f"""
+d{i} AS (SELECT v.vec_id, c.cl, sum(v.x * c.val) AS dot
+        FROM vx v JOIN {cin} c USING (pos) GROUP BY v.vec_id, c.cl),
+a{i} AS (SELECT vec_id, cl FROM (
+          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cl ASC) AS rn
+          FROM d{i}) WHERE rn = 1),
+u{i} AS (SELECT a.cl, q.pos, CAST(sum(q.q) AS DOUBLE) / count(*) AS avgq
+        FROM a{i} a JOIN vq q USING (vec_id) GROUP BY a.cl, q.pos),
+u{i}n AS (SELECT cl, sqrt(list_reduce(list(avgq*avgq ORDER BY pos), (a, b) -> a + b)) AS nrm
+         FROM u{i} GROUP BY cl),
+c{i} AS (
+  SELECT p.cl, p.pos,
+         CASE WHEN u.avgq IS NOT NULL AND n.nrm > 0 THEN u.avgq / n.nrm ELSE p.val END AS val
+  FROM {cin} p
+  LEFT JOIN u{i} u ON u.cl = p.cl AND u.pos = p.pos
+  LEFT JOIN u{i}n n ON n.cl = p.cl
+)"""
+
+    return f"""
+WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+posx AS (SELECT vec_id, unnest(range({dim})) AS pos, embedding FROM ev),
+vx AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM posx),
+vq AS (SELECT vec_id, pos, CAST(floor(x * 1024.0) AS BIGINT) AS q FROM vx),
+init_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+             FROM ev ORDER BY vec_id LIMIT {n_centroids}),
+c0r AS (SELECT i.cl, v.pos, v.x FROM init_ids i JOIN vx v USING (vec_id)),
+c0n AS (SELECT cl, sqrt(list_reduce(list(x*x ORDER BY pos), (a, b) -> a + b)) AS nrm
+        FROM c0r GROUP BY cl),
+c0 AS (SELECT r.cl, r.pos, r.x / n.nrm AS val FROM c0r r JOIN c0n n USING (cl)),
+{lloyd(1, "c0")},
+{lloyd(2, "c1")},
+dfin AS (SELECT v.vec_id, c.cl, sum(v.x * c.val) AS dot
+         FROM vx v JOIN c2 c USING (pos) GROUP BY v.vec_id, c.cl),
+cells AS (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cl ASC) AS rn
+           FROM dfin) WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cl FROM (
+            SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cl ASC) AS rn
+            FROM dfin WHERE {query_filter}) WHERE rn <= {n_probe}),
+cand AS (SELECT p.query_id, s.vec_id AS neighbor_id
+         FROM probes p JOIN cells s USING (cl) WHERE s.vec_id != p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS cos
+  FROM cand c
+  JOIN ev q ON q.vec_id = c.query_id
+  JOIN ev n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}"""
 
 
 def embedding_neardup_pairs(
