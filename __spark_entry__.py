@@ -676,6 +676,58 @@ def q_backcast_fill(spark, sf_dir):
     return backcast_fill(s, ["y"], order=["ts", "event_id"]).select("source", "event_id", "y")
 
 
+def q_rollup_1m_salted(spark, sf_dir):
+    """Salted two-phase rollup (hot-source skew machinery): phase-1 partials
+    per (source, bucket, salt) merged in phase 2 — must equal the plain
+    rollup SQL bit-for-bit, so the skew path is driver-certified, not just
+    pytest-proven identical."""
+    from forecaster_spark.plans.skew import salted_rollup_raw
+
+    return salted_rollup_raw(
+        _events_series(spark, sf_dir), "1m", n_salt=8, exact=True
+    ).select(*ROLLUP_ORDER)
+
+
+def q_rollup_merge_increment(spark, sf_dir):
+    """Incremental continuous-aggregate refresh (TimescaleDB-style): the
+    series splits at its midpoint into history + new batch, each rolled with
+    carried first/last observation timestamps; buckets straddling the cut
+    merge with the full algebra. merged ≡ one-shot rollup SQL — the raw
+    history is never rescanned."""
+    from forecaster_spark.operators.rollup import merge_rollup_increment
+
+    s = _events_series(spark, sf_dir)
+    b = s.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) / 2
+    hist = rollup_raw(s.where(F.col("ts") < F.lit(cut)), "1m", exact=True, keep_ts=True)
+    delta = rollup_raw(s.where(F.col("ts") >= F.lit(cut)), "1m", exact=True, keep_ts=True)
+    return merge_rollup_increment(hist, delta, exact=True).select(*ROLLUP_ORDER)
+
+
+def q_checkpoint_resume(spark, sf_dir):
+    """Checkpoint/resume: the 1m tier is committed once under a StageRunner
+    root; a second runner resumes with a build_fn that would FAIL if invoked
+    — the resumed read-back (no recompute) must equal the rollup SQL, and
+    the metrics table must record the stage as skipped-committed."""
+    import tempfile
+
+    from forecaster_spark.plans.checkpoint import StageRunner
+
+    root = tempfile.mkdtemp(prefix="contract_ckpt_")
+    s = _events_series(spark, sf_dir)
+    StageRunner(spark, root).stage(
+        "t1m", lambda: rollup_raw(s, "1m", exact=True).select(*ROLLUP_ORDER)
+    )
+
+    def must_not_rebuild():
+        raise AssertionError("resume must read the committed stage, not rebuild")
+
+    r2 = StageRunner(spark, root, verify_on_resume=True)
+    out = r2.stage("t1m", must_not_rebuild)
+    assert r2.metrics().where("skipped = true").count() >= 1, "resume not recorded"
+    return out.select(*ROLLUP_ORDER)
+
+
 def q_stream_rollup_1m(spark, sf_dir):
     """Structured Streaming 1m rollup ≡ batch oracle: the events series is
     streamed file-by-file (4 micro-batches, watermarked event-time windows,
@@ -707,6 +759,46 @@ def q_stream_rollup_1m(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).select(*ROLLUP_ORDER)
+
+
+def q_stream_locf(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    nulled series streams in 4 time-quarter micro-batches (written
+    sequentially so file mtimes fix the trigger order); LOCF state carries
+    the last observation ACROSS batches, and the result must equal the
+    batch LOCF SQL bit-for-bit — cross-batch state is what's certified."""
+    import tempfile
+
+    from forecaster_spark.streaming.stateful import stream_locf
+
+    d = tempfile.mkdtemp(prefix="contract_statestream_")
+    nulled = _ev_nulled(spark, sf_dir).select("source", "ts", "event_id", "y")
+    b = nulled.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    step = (b["hi"] - b["lo"]) / 4
+    for i in range(4):
+        lo = b["lo"] + step * i
+        cond = (F.col("ts") >= F.lit(lo)) if i else F.lit(True)
+        if i < 3:
+            cond = cond & (F.col("ts") < F.lit(b["lo"] + step * (i + 1)))
+        nulled.where(cond).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("source string, ts timestamp, event_id long, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    qname = "contract_stream_locf"
+    q = (
+        stream_locf(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select("source", "event_id", "y")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -757,6 +849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group_events": q_topk_per_group,
         "sessionize_events": q_sessionize,
         "stream_rollup_1m_events": q_stream_rollup_1m,
+        "rollup_1m_salted_events": q_rollup_1m_salted,
+        "rollup_merge_increment_events": q_rollup_merge_increment,
+        "checkpoint_resume_rollup_events": q_checkpoint_resume,
+        "stream_locf_events": q_stream_locf,
     }
 
 
@@ -770,6 +866,13 @@ _BPE_SQL = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_entries()
+    # streamed stateful LOCF must equal the batch LOCF SQL exactly
+    d["stream_locf_events"] = d["locf_events"]
+    return d
+
+
+def _oracle_sql_entries() -> dict[str, str]:
     return {
         "rollup_1m_events": _ROLLUP_SQL + _SEL + "t1m",
         "rollup_1h_cascade_events": _ROLLUP_SQL + _CASCADE_1H + _SEL + "t1h",
@@ -982,6 +1085,9 @@ FROM scored
 QUALIFY rank <= 10""",
         "gorilla_roundtrip_events_1m": _ROLLUP_SQL + "SELECT source, bucket_start, mean_y FROM t1m",
         "stream_rollup_1m_events": _ROLLUP_SQL + _SEL + "t1m",
+        "rollup_1m_salted_events": _ROLLUP_SQL + _SEL + "t1m",
+        "rollup_merge_increment_events": _ROLLUP_SQL + _SEL + "t1m",
+        "checkpoint_resume_rollup_events": _ROLLUP_SQL + _SEL + "t1m",
         "gorilla_pack_events_1m": """
 WITH series AS (
   SELECT event_type AS source, ts FROM events

@@ -43,6 +43,16 @@ OUT_SCHEMA = StructType(
     ]
 )
 
+OUT_SCHEMA_ID = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("y", DoubleType()),
+        StructField("filled", BooleanType()),
+    ]
+)
+
 STATE_SCHEMA = StructType(
     [StructField("last_ts_us", LongType()), StructField("last_y", DoubleType())]
 )
@@ -54,7 +64,11 @@ def _locf_batch(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Ite
     for pdf in pdf_iter:
         if len(pdf) == 0:
             continue
-        pdf = pdf.sort_values("ts")
+        # tie-break duplicate event times by event_id when present — a bare
+        # ts sort is order-unstable under ties, which changes which value a
+        # tied null row inherits
+        order = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+        pdf = pdf.sort_values(order)
         y = pdf["y"]
         filled = y.isna()
         if last_y is not None:
@@ -70,18 +84,22 @@ def _locf_batch(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Ite
         real_ts = pdf["ts"][~filled.to_numpy()]
         if len(real_ts):
             last_ts_us = int(real_ts.iloc[-1].value // 1000)
-        yield pd.DataFrame(
-            {"source": source, "ts": pdf["ts"], "y": y, "filled": filled & y.notna()}
-        )
+        out = {"source": source, "ts": pdf["ts"]}
+        if "event_id" in pdf.columns:
+            out["event_id"] = pdf["event_id"]
+        out.update({"y": y, "filled": filled & y.notna()})
+        yield pd.DataFrame(out)
     state.update((last_ts_us, last_y))
 
 
 def stream_locf(stream: DataFrame) -> DataFrame:
-    """Streaming LOCF over a ``(source, ts, y)`` stream; nulls fill from the
-    last observation, carried across micro-batches in keyed state."""
+    """Streaming LOCF over a ``(source, ts[, event_id], y)`` stream; nulls
+    fill from the last observation, carried across micro-batches in keyed
+    state. An ``event_id`` column, when present, tie-breaks duplicate event
+    times and rides through to the output."""
     return stream.groupBy("source").applyInPandasWithState(
         _locf_batch,
-        outputStructType=OUT_SCHEMA,
+        outputStructType=OUT_SCHEMA_ID if "event_id" in stream.columns else OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
