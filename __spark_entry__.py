@@ -761,6 +761,27 @@ def q_stream_rollup_1m(spark, sf_dir):
     return spark.table(qname).select(*ROLLUP_ORDER)
 
 
+def q_feature_topk(spark, sf_dir):
+    """Top-k feature selection per source (squared-correlation relevance
+    over [y lags 1..4, hourly count, time index]) — the torch-free analogue
+    of the reference's attention-heat-map top-k feature selection
+    (Example_Covid19.py:103-118), exact integer sums so every score is
+    SQL-certified."""
+    from forecaster_spark.models.kernels import feature_topk
+
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    s = t.select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.floor("mean_y").cast("double").alias("y"),
+        F.col("cnt").cast("double").alias("x_cnt"),
+    )
+    s = FT.with_time_index(FT.with_lags(s, "y", 4, order="ts"), order="ts")
+    return feature_topk(
+        s, ["y_lag1", "y_lag2", "y_lag3", "y_lag4", "x_cnt", "t"], k=3
+    )
+
+
 def q_stream_locf(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): the
     nulled series streams in 4 time-quarter micro-batches (written
@@ -787,17 +808,23 @@ def q_stream_locf(spark, sf_dir):
         .parquet(d)
     )
     qname = "contract_stream_locf"
-    q = (
-        stream_locf(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .start()
-    )
+    # state-store count = shuffle partitions; 8 is plenty for 5 sources
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            stream_locf(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).select("source", "event_id", "y")
 
 
@@ -853,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge_increment_events": q_rollup_merge_increment,
         "checkpoint_resume_rollup_events": q_checkpoint_resume,
         "stream_locf_events": q_stream_locf,
+        "feature_topk_events_1h": q_feature_topk,
     }
 
 
@@ -1059,6 +1087,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_exo_forecast_events_1h": exact_sql.arx_exo_sql(),
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
+        "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
         # hyperplane-LSH ANN: planes are a seeded deterministic matrix →
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),

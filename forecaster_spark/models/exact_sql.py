@@ -424,3 +424,67 @@ fc2 AS (SELECT *, c + phi1*f1 + phi2*yl1 AS f2 FROM fc1),
 fc3 AS (SELECT *, c + phi1*f2 + phi2*f1 AS f3 FROM fc2),
 fc4 AS (SELECT *, c + phi1*f3 + phi2*f2 AS f4 FROM fc3)
 {_OUT}"""
+
+
+def feature_topk_sql(k: int = 3) -> str:
+    """Oracle for the top-k feature-selection query: squared Pearson
+    correlation per feature from exact integer sums, one HUGEINT->DOUBLE
+    rounding per ratio, ranked (score DESC, feature-list position ASC) —
+    mirroring the reference's stable top-k sort of attention scores
+    (Example_Covid19.py:113-116). Features: y lags 1..4 (z[0] padding),
+    hourly event count, time index."""
+    feats = [
+        ("y_lag1", "l1"), ("y_lag2", "l2"), ("y_lag3", "l3"), ("y_lag4", "l4"),
+        ("x_cnt", "x"), ("t", "t"),
+    ]
+    sum_items = ", ".join(
+        f"CAST(sum({c}) AS HUGEINT) AS sx_{c}, CAST(sum({c}*{c}) AS HUGEINT) AS sxx_{c}, "
+        f"CAST(sum(y*{c}) AS HUGEINT) AS sxy_{c}"
+        for _, c in feats
+    )
+    score_items = ", ".join(
+        f"(n*sxy_{c} - sx_{c}*sy) AS num_{c}, "
+        f"((n*sxx_{c} - sx_{c}*sx_{c}) * deny) AS den_{c}, "
+        f"CASE WHEN den_{c} = 0 THEN 0.0 "
+        f"ELSE CAST(num_{c}*num_{c} AS DOUBLE) / CAST(den_{c} AS DOUBLE) END AS score_{c}"
+        for _, c in feats
+    )
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT source, '{name}' AS feature, score_{c} AS score, {i} AS fidx FROM scored"
+        for i, (name, c) in enumerate(feats)
+    )
+    return f"""
+WITH series AS (SELECT event_type AS source, ts, value FROM events),
+th AS (
+  SELECT source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd,
+         count(*) AS cnt
+  FROM series GROUP BY 1, 2
+),
+ord_s AS (
+  SELECT source, CAST(yd AS BIGINT) AS y, CAST(cnt AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+),
+lagged AS (
+  SELECT source, y, x, t,
+         coalesce(lag(y, 1) OVER w, first_value(y) OVER w) AS l1,
+         coalesce(lag(y, 2) OVER w, first_value(y) OVER w) AS l2,
+         coalesce(lag(y, 3) OVER w, first_value(y) OVER w) AS l3,
+         coalesce(lag(y, 4) OVER w, first_value(y) OVER w) AS l4
+  FROM ord_s WINDOW w AS (PARTITION BY source ORDER BY t)
+),
+sums AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(y*y) AS HUGEINT) AS syy,
+         {sum_items}
+  FROM lagged GROUP BY source
+),
+scored AS (SELECT source, (n*syy - sy*sy) AS deny, {score_items} FROM sums),
+longf AS (
+  {unpivot}
+)
+SELECT source, feature, score,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, fidx ASC) AS INTEGER) AS rank
+FROM longf
+QUALIFY rank <= {k}"""

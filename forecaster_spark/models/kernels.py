@@ -158,3 +158,42 @@ def qof_table(
         kernel,
         schema=f"{partition} string, h int, mse double, mae double, r2 double, r2bar double, smape double, m long",
     )
+
+
+def feature_topk(
+    df: DataFrame,
+    feature_cols: list[str],
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k feature selection per source by squared-correlation relevance —
+    the engine's torch-free analogue of the reference's attention-based
+    feature selection (MHAttn heat-map mean → sorted top-k,
+    Example_Covid19.py:103-118; the MHAttn regressor itself is excluded as
+    "UNDER DEVELOPMENT" torch code, but the *capability* — pick the k most
+    relevant design-matrix columns — is reproduced with a deterministic,
+    SQL-certifiable relevance score). Ties break by feature-list position,
+    matching the reference's stable sort. Output: (source, feature, score,
+    rank)."""
+    from forecaster_spark.oracle import ref
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        scores = ref.feature_scores_exact(
+            pdf[list(feature_cols)].to_numpy(dtype=float), pdf[y].to_numpy(dtype=float)
+        )
+        top = sorted(range(len(feature_cols)), key=lambda j: (-scores[j], j))[:k]
+        return pd.DataFrame(
+            {
+                "source": pdf[partition].iloc[0],
+                "feature": [feature_cols[j] for j in top],
+                "score": [scores[j] for j in top],
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+            }
+        )
+
+    return df.groupBy(partition).applyInPandas(
+        kernel, schema=f"{partition} string, feature string, score double, rank int"
+    )

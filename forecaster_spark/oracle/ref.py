@@ -357,6 +357,33 @@ def ols_fit_multi_exact(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
     return np.column_stack([ols_fit_exact(X, Y[:, h]) for h in range(Y.shape[1])])
 
 
+def feature_scores_exact(X: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Per-feature squared Pearson correlation with the target — the
+    engine's torch-free analogue of the reference's attention-heat-map
+    feature selection (MHAttn heatMap.mean → sorted top-k,
+    Example_Covid19.py:103-118, mhattn_regressor.py:15-96): rank features by
+    marginal relevance, keep the top k. Exact integer sums (order-free) with
+    one DuckDB-cast rounding per ratio, so the SQL oracle reproduces every
+    score bit-for-bit. Zero-variance features score 0."""
+    cols = _as_int_cols(np.asarray(X, dtype=float))
+    yv = _as_int_cols(np.asarray(y, dtype=float).reshape(-1, 1))[0]
+    n = len(yv)
+    sy = sum(yv)
+    syy = sum(v * v for v in yv)
+    deny = n * syy - sy * sy
+    out = np.empty(len(cols))
+    for j, c in enumerate(cols):
+        sx = sum(c)
+        sxx = sum(v * v for v in c)
+        sxy = sum(a * b for a, b in zip(c, yv))
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * deny
+        out[j] = (
+            0.0 if den == 0 else hugeint_to_double(num * num) / hugeint_to_double(den)
+        )
+    return out
+
+
 def ar_yule_walker_fit_exact(y: np.ndarray, p: int, method: str = "mle") -> np.ndarray:
     """Yule-Walker (mle) for integer-valued y with exact arithmetic: center
     as z_t = n·y_t − Σy (integers), so the Toeplitz system scaled by n³ is
