@@ -761,6 +761,32 @@ def q_stream_rollup_1m(spark, sf_dir):
     return spark.table(qname).select(*ROLLUP_ORDER)
 
 
+def q_csv_source_rollup(spark, sf_dir):
+    """S1 CSV source in the driver gate: the events series round-trips
+    through a CSV sink + ``read_csv_series`` (header scan, schema inference,
+    column projection — the reference's only input path,
+    Example_Covid19.py:122-126), then aggregates with exact sums; the result
+    must equal SQL over the original parquet — i.e. the CSV write/read is
+    value-lossless (Spark emits shortest-round-trip doubles)."""
+    import tempfile
+
+    from forecaster_spark.sources.readers import read_csv_series
+
+    d = tempfile.mkdtemp(prefix="contract_csv_")
+    _ev(spark, sf_dir).select("source", "event_id", "y").write.mode("overwrite").option(
+        "header", True
+    ).csv(d)
+    back = read_csv_series(spark, d, ["source", "event_id", "y"])
+    m = 1_000_000
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("y") * m).cast("long")) / m).alias("sum_y"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
 def q_feature_topk(spark, sf_dir):
     """Top-k feature selection per source (squared-correlation relevance
     over [y lags 1..4, hourly count, time index]) — the torch-free analogue
@@ -881,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_rollup_events": q_checkpoint_resume,
         "stream_locf_events": q_stream_locf,
         "feature_topk_events_1h": q_feature_topk,
+        "csv_source_rollup_events": q_csv_source_rollup,
     }
 
 
@@ -1088,6 +1115,12 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
+        "csv_source_rollup_events": """
+SELECT event_type AS source, count(*) AS n,
+       sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_y,
+       min(value) AS min_y, max(value) AS max_y,
+       CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM events GROUP BY 1""",
         # hyperplane-LSH ANN: planes are a seeded deterministic matrix →
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),

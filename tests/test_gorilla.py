@@ -79,3 +79,33 @@ def test_spark_pack_unpack_roundtrip(spark):
     assert np.array_equal(got["mean_y"].to_numpy(), orig["mean_y"].to_numpy())
     # compression: blob bytes < raw 16 B/point
     assert ppdf["blob"].map(len).sum() < 16 * ppdf["n_points"].sum()
+
+
+def test_vectorized_encoder_matches_scalar_golden():
+    """The vectorized scatter-packing encoder must be byte-identical to the
+    token-by-token _BitWriter reference across regular, irregular, and
+    pathological (sign flips, repeats, huge dods) inputs."""
+    import numpy as np
+
+    from forecaster_spark.functions.gorilla import (
+        gorilla_decode,
+        gorilla_encode,
+        gorilla_encode_scalar,
+    )
+
+    rng = np.random.default_rng(17)
+    cases = []
+    ts = np.cumsum(rng.integers(55, 65, 5000)).astype(np.int64)
+    cases.append((ts, np.round(rng.normal(100, 5, 5000), 3)))
+    ts2 = np.cumsum(rng.integers(1, 1 << 40, 300)).astype(np.int64)  # raw-64 dods
+    cases.append((ts2, rng.normal(size=300) * rng.choice([-1e300, 1e-300, 1.0], 300)))
+    cases.append((np.arange(400, dtype=np.int64) * 60, np.repeat(rng.normal(size=8), 50)))
+    cases.append((np.array([5], dtype=np.int64), np.array([1.5])))
+    cases.append((np.array([], dtype=np.int64), np.array([])))
+    for ts_c, vals_c in cases:
+        fast = gorilla_encode(ts_c, vals_c)
+        gold = gorilla_encode_scalar(ts_c, vals_c)
+        assert fast == gold, f"byte mismatch at n={len(ts_c)}"
+        dts, dvals = gorilla_decode(fast)
+        assert np.array_equal(dts, ts_c)
+        assert np.array_equal(dvals.view(np.uint64), np.asarray(vals_c, float).view(np.uint64))
