@@ -87,9 +87,25 @@ def _cramer3(c: list[str], suffix: str = "") -> str:
     for j in range(3):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
         items.append(f"{_det3(Aj)} AS d{j}{suffix}")
-    for j in range(3):
-        items.append(f"CAST(d{j}{suffix} AS DOUBLE) / CAST(dd{suffix} AS DOUBLE) AS b{j}{suffix}")
+    items += _coef_items(c[0], 3, suffix)
     return ", ".join(items)
+
+
+def _coef_items(c0: str, k: int, suffix: str) -> list[str]:
+    """Coefficient items with the singular-design fallback: dd = 0 →
+    intercept-only solution [c0/n, 0, …] (mirrors ref.ols_fit_exact's
+    degenerate branch — pinv's minimum-norm solution is not SQL-expressible,
+    a zero-variance/constant series must still get deterministic params)."""
+    out = [
+        f"CASE WHEN dd{suffix} = 0 THEN CAST({c0} AS DOUBLE) / CAST(n AS DOUBLE) "
+        f"ELSE CAST(d0{suffix} AS DOUBLE) / CAST(dd{suffix} AS DOUBLE) END AS b0{suffix}"
+    ]
+    for j in range(1, k):
+        out.append(
+            f"CASE WHEN dd{suffix} = 0 THEN 0.0 "
+            f"ELSE CAST(d{j}{suffix} AS DOUBLE) / CAST(dd{suffix} AS DOUBLE) END AS b{j}{suffix}"
+        )
+    return out
 
 
 _NORMAL_SUMS = """
@@ -171,8 +187,7 @@ def _cramer4(c: list[str], suffix: str = "") -> str:
     for j in range(4):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(4)] for i in range(4)]
         items.append(f"{_det4(Aj)} AS d{j}{suffix}")
-    for j in range(4):
-        items.append(f"CAST(d{j}{suffix} AS DOUBLE) / CAST(dd{suffix} AS DOUBLE) AS b{j}{suffix}")
+    items += _coef_items(c[0], 4, suffix)
     return ", ".join(items)
 
 
@@ -282,8 +297,7 @@ def _cramer3_symb(suffix: str = "") -> str:
     for j in range(3):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
         items.append(f"{_det3(Aj)} AS d{j}{suffix}")
-    for j in range(3):
-        items.append(f"CAST(d{j}{suffix} AS DOUBLE) / CAST(dd{suffix} AS DOUBLE) AS b{j}{suffix}")
+    items += _coef_items(c[0], 3, suffix)
     return ", ".join(items)
 
 
@@ -407,8 +421,8 @@ params AS (
          (z0s*z0s - z1s*z1s) AS dd,
          (z1s*z0s - z1s*z2s) AS d1,
          (z0s*z2s - z1s*z1s) AS d2,
-         CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) AS phi1,
-         CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) AS phi2,
+         CASE WHEN dd = 0 THEN 0.0 ELSE CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) END AS phi1,
+         CASE WHEN dd = 0 THEN 0.0 ELSE CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) END AS phi2,
          CAST(sy AS DOUBLE) / n AS mean_y,
          mean_y * (1.0 - (phi1 + phi2)) AS c
   FROM zsums

@@ -343,7 +343,13 @@ def ols_fit_exact(X: np.ndarray, y: np.ndarray) -> np.ndarray:
     c = [sum(a * b for a, b in zip(cols[i], yv)) for i in range(k1)]
     det = _int_det(A)
     if det == 0:
-        raise ValueError("singular normal equations in exact OLS")
+        # degenerate design (e.g. constant series → lag columns collinear
+        # with the intercept): deterministic intercept-only fallback
+        # b = [mean(y), 0, …] — a least-squares solution, SQL-expressible
+        # (pinv's minimum-norm solution is not)
+        out = np.zeros(k1)
+        out[0] = hugeint_to_double(c[0]) / hugeint_to_double(A[0][0])
+        return out
     out = np.empty(k1)
     for j in range(k1):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(k1)] for i in range(k1)]
@@ -401,7 +407,10 @@ def ar_yule_walker_fit_exact(y: np.ndarray, p: int, method: str = "mle") -> np.n
     c = [Z[k] for k in range(1, p + 1)]
     det = _int_det(A)
     if det == 0:
-        raise ValueError("singular Yule-Walker system in exact fit")
+        # zero-variance series: φ = 0, intercept = mean (degenerate AR)
+        phi = np.zeros(p)
+        mean = float(sy) / n
+        return np.concatenate(([mean], phi))
     phi = np.empty(p)
     for j in range(p):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(p)] for i in range(p)]

@@ -1,0 +1,98 @@
+"""In-repo guard for the cross-engine oracle mirrors (exact_sql / xhash_sql
+/ similarity SQL): a representative contract subset runs on SYNTHETIC tables
+with edge cases the driver's clean testdata never hits — empty/1-word/
+multi-space/unicode documents, a constant-value source (zero-variance
+guards) — and every Spark result must match its DuckDB oracle bit-for-bit.
+
+This keeps the cross-engine certificates regression-tested inside pytest,
+independent of the driver's gate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+duckdb = pytest.importorskip("duckdb")
+
+QUERIES = [
+    "arx_forecast_events_1h",
+    "ar_yw_forecast_events_1h",
+    "arx_direct_forecast_events_1h",
+    "arx_exo_forecast_events_1h",
+    "arx_symb_forecast_events_1h",
+    "arx_qof_rollvalidate_events_1h",
+    "feature_topk_events_1h",
+    "minhash_lsh_pairs_documents",
+    "simhash_documents",
+    "fingerprint_documents",
+    "backcast_fill_events",
+    "cosine_topk_lsh_embeddings",
+    "cosine_topk_ivf_embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def synth_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("oracle_synth")
+    rng = np.random.default_rng(99)
+
+    # events: 3 sources over ~6 days of hours; one source CONSTANT (zero
+    # variance → r2/feature-score/backcast guards), duplicate timestamps
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2030-01-01")
+    for src, scale in (("alpha", 200.0), ("beta", 50.0), ("flat", 0.0)):
+        for k in range(3000):
+            ts = base + pd.Timedelta(seconds=int(rng.integers(0, 6 * 86400)))
+            v = 100.0 if scale == 0.0 else float(np.round(rng.uniform(1, scale), 2))
+            rows.append((src, ts, v, eid, int(rng.integers(0, 7))))
+            eid += 1
+    ev = pd.DataFrame(rows, columns=["event_type", "ts", "value", "event_id", "user_id"])
+    # microsecond timestamps: Spark cannot read pandas' default TIMESTAMP(NANOS)
+    ev.to_parquet(f"{root}/events.parquet", coerce_timestamps="us")
+
+    words = "the quick brown fox spark rollup tier gap fill fuzzy über naïve".split()
+    texts = [" ".join(rng.choice(words, rng.integers(3, 30))) for _ in range(80)]
+    texts += ["", "one", "  spaced   out  ", "über über über naïve", texts[0], texts[0] + " tail"]
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts, "lang": "en"})
+    docs.to_parquet(f"{root}/documents.parquet")
+
+    emb = rng.standard_normal((60, 64)).astype(np.float32)
+    emb[1] = emb[0] + 0.01 * rng.standard_normal(64).astype(np.float32)
+    pd.DataFrame({"vec_id": range(60), "embedding": list(emb)}).to_parquet(
+        f"{root}/embeddings.parquet"
+    )
+    return str(root)
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pd.to_datetime(pdf[c]).dt.tz_localize(None)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_oracle_bit_exact_on_synth(spark, synth_dir, name):
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{synth_dir}/{t}.parquet')"
+        )
+    got = _normalize(entry.queries()[name](spark, synth_dir).toPandas())
+    want = _normalize(con.execute(entry.oracle_sql()[name]).df())
+    assert len(got) == len(want), f"rows {len(got)} vs {len(want)}"
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(
+            np.asarray(b).dtype, np.floating
+        ):
+            a = a.astype(float)
+            b = np.asarray(b, dtype=float)
+            both_nan = np.isnan(a) & np.isnan(b)
+            assert ((a == b) | both_nan).all(), f"col {c} not bit-exact"
+        else:
+            assert (pd.Series(a).fillna("~N") == pd.Series(b).fillna("~N")).all(), c
