@@ -761,6 +761,37 @@ def q_stream_rollup_1m(spark, sf_dir):
     return spark.table(qname).select(*ROLLUP_ORDER)
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """TimescaleDB time_weight analogue: trapezoidal time-weighted hourly
+    mean over the irregular event series (micro-exact pair sums, ms-integer
+    time), vs the plain mean which over-counts burst periods."""
+    from forecaster_spark.operators.timeweight import time_weighted_avg
+
+    return time_weighted_avg(_ev(spark, sf_dir), value="y", bucket_unit="hour").select(
+        "source", "bucket_start", "twa", "n_points", "span_ms"
+    )
+
+
+def q_counter_delta(spark, sf_dir):
+    """PromQL increase / TimescaleDB counter_agg analogue: a synthetic
+    per-source monotonic counter (running micro-sum mod 1e10 — i.e. with
+    rollover resets) whose reset-corrected total rise the operator must
+    recover exactly."""
+    from pyspark.sql import Window
+
+    from forecaster_spark.operators.timeweight import counter_delta
+
+    s = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    vq = F.round(F.col("y") * 1_000_000).cast("long")
+    s = s.withColumn("y", (F.sum(vq).over(w) % F.lit(10_000_000_000)) / 1_000_000.0)
+    return counter_delta(s, value="y").select("source", "increase", "n_resets", "n_points")
+
+
 def q_csv_source_rollup(spark, sf_dir):
     """S1 CSV source in the driver gate: the events series round-trips
     through a CSV sink + ``read_csv_series`` (header scan, schema inference,
@@ -908,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_locf_events": q_stream_locf,
         "feature_topk_events_1h": q_feature_topk,
         "csv_source_rollup_events": q_csv_source_rollup,
+        "time_weighted_avg_events_1h": q_time_weighted_avg,
+        "counter_delta_events": q_counter_delta,
     }
 
 
@@ -1115,6 +1148,49 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
+        "time_weighted_avg_events_1h": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         epoch_us(ts) // 1000 AS t,
+         date_trunc('hour', ts) AS bucket_start
+  FROM events
+), l AS (
+  SELECT source, bucket_start, vq, t,
+         lag(vq) OVER w AS pv, lag(t) OVER w AS pt
+  FROM s WINDOW w AS (PARTITION BY source, bucket_start ORDER BY ts, event_id)
+), g AS (
+  SELECT source, bucket_start,
+         sum(CASE WHEN pv IS NOT NULL THEN (pv + vq) * (t - pt) ELSE 0 END) AS num,
+         CAST(max(t) - min(t) AS BIGINT) AS span_ms,
+         sum(vq) AS sv, count(*) AS n_points
+  FROM l GROUP BY 1, 2
+)
+SELECT source, bucket_start,
+       CASE WHEN span_ms > 0 THEN num / 1000000.0 / 2.0 / span_ms
+            ELSE sv / 1000000.0 / n_points END AS twa,
+       n_points, span_ms
+FROM g""",
+        "counter_delta_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq
+  FROM events
+), c AS (
+  SELECT source, ts, event_id,
+         sum(vq) OVER (PARTITION BY source ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 10000000000 AS cq
+  FROM s
+), l AS (
+  SELECT source, cq, lag(cq) OVER (PARTITION BY source ORDER BY ts, event_id) AS pv
+  FROM c
+)
+SELECT source,
+       sum(CASE WHEN pv IS NULL THEN 0
+                WHEN cq >= pv THEN cq - pv ELSE cq END) / 1000000.0 AS increase,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND cq < pv THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       count(*) AS n_points
+FROM l GROUP BY source""",
         "csv_source_rollup_events": """
 SELECT event_type AS source, count(*) AS n,
        sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS sum_y,

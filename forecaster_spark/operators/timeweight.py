@@ -1,0 +1,101 @@
+"""Time-weighted aggregates over irregular series — the TimescaleDB
+``time_weight`` / ``counter_agg`` analogues (the reference has no notion of
+irregular sampling; the north rule's tiered engine needs both).
+
+- :func:`time_weighted_avg`: per (source, bucket) trapezoidal mean —
+  irregular gaps weight their neighboring observations by duration, unlike
+  the plain rollup mean which over-counts burst periods. Single-point (or
+  zero-span) buckets fall back to the plain micro-exact mean.
+- :func:`counter_delta`: PromQL ``increase``-style reset-corrected total
+  rise of a monotonic counter: a drop is a reset, contributing the
+  post-reset value instead of a negative delta.
+
+Both are pure window+agg expressions (one shuffle on source, integer
+micro-unit sums → bit-reproducible cross-engine and order-independent
+under any partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    order=("ts", "event_id"),
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Trapezoidal time-weighted average per (source, time bucket):
+    ``Σ (v_i + v_{i+1})·Δt_i / (2·span)`` over consecutive in-bucket pairs
+    (no cross-bucket interpolation). Values quantize to micro-units so the
+    pair sums are exact integers (order-free); the final division chain is
+    fixed-order, making the result bit-reproducible in SQL.
+
+    Output: (source, bucket_start, twa, n_points, span_ms). Time is
+    millisecond-integer (event times carry microseconds; µs pair terms could
+    overflow int64 within an hour bucket, ms terms cannot)."""
+    w = Window.partitionBy(partition, "bucket_start").orderBy(*[F.col(c) for c in order])
+    vq = F.round(F.col(value) * MICRO).cast("long")
+    tsec = F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / 1000).cast("long")
+    b = df.withColumn("bucket_start", F.date_trunc(bucket_unit, F.col(ts)))
+    b = (
+        b.withColumn("_vq", vq)
+        .withColumn("_t", tsec)
+        .withColumn("_pv", F.lag("_vq").over(w))
+        .withColumn("_pt", F.lag("_t").over(w))
+    )
+    term = F.when(
+        F.col("_pv").isNotNull(), (F.col("_pv") + F.col("_vq")) * (F.col("_t") - F.col("_pt"))
+    ).otherwise(F.lit(0).cast("long"))
+    g = b.groupBy(partition, "bucket_start").agg(
+        F.sum(term).alias("_num"),
+        (F.max("_t") - F.min("_t")).alias("span_ms"),
+        F.sum("_vq").alias("_sv"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    twa = F.when(
+        F.col("span_ms") > 0,
+        F.col("_num") / MICRO / 2.0 / F.col("span_ms"),
+    ).otherwise(F.col("_sv") / MICRO / F.col("n_points"))
+    return g.select(
+        partition, "bucket_start", twa.alias("twa"), "n_points", "span_ms"
+    )
+
+
+def counter_delta(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts", "event_id"),
+) -> DataFrame:
+    """Reset-corrected total increase of a per-source monotonic counter
+    (PromQL ``increase`` / TimescaleDB ``counter_agg`` delta): each step
+    contributes ``v_i − v_{i−1}`` when non-negative, else ``v_i`` (the
+    counter reset and re-accumulated). Micro-exact integer sums.
+
+    Output: (source, increase, n_resets, n_points)."""
+    w = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    vq = F.round(F.col(value) * MICRO).cast("long")
+    b = df.withColumn("_vq", vq).withColumn("_pv", F.lag("_vq").over(w))
+    step = F.when(F.col("_pv").isNull(), F.lit(0).cast("long")).otherwise(
+        F.when(F.col("_vq") >= F.col("_pv"), F.col("_vq") - F.col("_pv")).otherwise(
+            F.col("_vq")
+        )
+    )
+    reset = F.when(
+        F.col("_pv").isNotNull() & (F.col("_vq") < F.col("_pv")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        b.groupBy(partition)
+        .agg(
+            (F.sum(step) / MICRO).alias("increase"),
+            F.sum(reset).cast("long").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

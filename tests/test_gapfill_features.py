@@ -174,3 +174,63 @@ def test_scalers_match_oracle(spark):
         sc = ref.StandardScaler()
         want = sc.fit_transform(g[["y"]].to_numpy()).ravel()
         np.testing.assert_allclose(g["y_std"].to_numpy(), want, rtol=1e-12)
+
+
+def test_time_weighted_avg_matches_pandas_oracle(spark):
+    """Trapezoid TWA per bucket vs a direct pandas computation, including a
+    single-point bucket (span 0 → plain-mean fallback)."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import time_weighted_avg
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for src in ("a", "b"):
+        t0 = pd.Timestamp("2027-05-01")
+        for i in range(400):
+            t0 += pd.Timedelta(milliseconds=int(rng.integers(1_000, 600_000)))
+            rows.append((src, t0, float(np.round(rng.uniform(0, 50), 3)), i))
+    rows.append(("lone", pd.Timestamp("2027-05-02 03:04:05"), 7.5, 0))
+    pdf = pd.DataFrame(rows, columns=["source", "ts", "y", "event_id"])
+    got = (
+        time_weighted_avg(spark.createDataFrame(pdf), bucket_unit="hour")
+        .toPandas()
+        .set_index(["source", "bucket_start"])
+        .sort_index()
+    )
+    assert got.loc[("lone",)].iloc[0]["twa"] == 7.5  # span-0 fallback
+    for (src, b), row in got.iterrows():
+        grp = pdf[(pdf.source == src) & (pdf.ts.dt.floor("h") == b)].sort_values(
+            ["ts", "event_id"]
+        )
+        assert row["n_points"] == len(grp)
+        if len(grp) > 1 and row["span_ms"] > 0:
+            t = (grp.ts.astype("int64") // 1_000_000).to_numpy()  # ms
+            v = grp.y.to_numpy()
+            num = float(((v[1:] + v[:-1]) * (t[1:] - t[:-1])).sum())
+            want = num / 2.0 / (t[-1] - t[0])
+            assert abs(row["twa"] - want) < 1e-9
+
+
+def test_counter_delta_reset_correction(spark):
+    """increase over a counter with known resets equals the true total rise."""
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import counter_delta
+
+    # counter climbs 0..9 then resets twice: true increase = sum of steps
+    vals = [0, 2, 5, 9, 1, 4, 8, 0.5, 3]  # resets at 9→1 and 8→0.5
+    pdf = pd.DataFrame(
+        {
+            "source": "c",
+            "ts": pd.date_range("2027-01-01", periods=len(vals), freq="1min"),
+            "y": vals,
+            "event_id": range(len(vals)),
+        }
+    )
+    out = counter_delta(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    # rises: 2,3,4 | reset→1, 3,4 | reset→0.5, 2.5  = 20
+    assert out["increase"] == 20.0
+    assert out["n_resets"] == 2
+    assert out["n_points"] == len(vals)
