@@ -107,3 +107,36 @@ def test_rollup_cube_single_scan(spark):
     p = plan(em.q_rollup_cube(spark, "/root/testdata/sf0.001"), mode="simple")
     assert p.count("Scan parquet") == 1
     assert "Expand" in p
+
+
+def test_heatmap_bmp_sink(spark, tmp_path):
+    """S4 image-sink analogue: a QoF table renders to a decodable BMP with
+    deterministic layout; min/max cells map to blue/red."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.multimodal import bmp_decode
+    from forecaster_spark.sources.viz import heatmap_bmp, write_heatmap_bmp
+
+    img = bmp_decode(heatmap_bmp(np.array([[0.0, 1.0], [0.5, np.nan]]), cell=4))
+    assert img.shape == (8, 8, 3)
+    assert tuple(img[0, 0]) == (0, 0, 255)      # min → blue
+    assert tuple(img[0, 4]) == (255, 0, 0)      # max → red
+    assert tuple(img[4, 4]) == (0, 0, 0)        # NaN → black
+
+    qof = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": ["a", "a", "b", "b"],
+                "h": [1, 2, 1, 2],
+                "smape": [10.0, 40.0, 20.0, 30.0],
+            }
+        )
+    )
+    path = str(tmp_path / "qof.bmp")
+    shape = write_heatmap_bmp(qof, path, cell=6)
+    assert shape == (2, 2)
+    out = bmp_decode(open(path, "rb").read())
+    assert out.shape == (12, 12, 3)
+    assert tuple(out[0, 0]) == (0, 0, 255)  # (a, h=1) is the min → blue
+    assert tuple(out[0, 6]) == (255, 0, 0)  # (a, h=2) is the max → red
