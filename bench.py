@@ -51,10 +51,12 @@ def main():
     sf = _sf_from_dir(sf_dir)
     spark = get_spark("bench", cpus=cpus)
 
-    # warm the JVM/JIT/python-worker pool once (a fresh session's first job
-    # carries ~6 s of one-time warm-up that would otherwise be booked to
-    # whichever query runs first)
+    # warm the JVM/JIT/python-worker pool AND the parquet scan path once (a
+    # fresh session's first job carries ~6 s of one-time warm-up, and the
+    # first parquet read pays its own codegen — both would otherwise be
+    # booked to whichever query runs first)
     _force(spark.range(100_000).selectExpr("id", "xxhash64(id) h"))
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     query_times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
