@@ -26,6 +26,7 @@ from forecaster_spark.models.kernels import forecast_long, qof_table
 from forecaster_spark.models.metrics import qof_native
 from forecaster_spark.operators import features as FT
 from forecaster_spark.operators.dedup import dedup_exact, minhash_lsh_pairs, simhash
+from forecaster_spark.operators.downsample import lttb_sql
 from forecaster_spark.operators.gapfill import backcast_fill, linear_interp, locf
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
 from forecaster_spark.operators.seriesify import events_as_series
@@ -792,6 +793,16 @@ def q_counter_delta(spark, sf_dir):
     return counter_delta(s, value="y").select("source", "increase", "n_resets", "n_points")
 
 
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling (TimescaleDB lttb hyperfunction analogue): each
+    source's series reduced to 20 visually-representative points via exact
+    integer triangle areas — the sequential bucket walk is certified by a
+    recursive-CTE DuckDB oracle."""
+    from forecaster_spark.operators.downsample import lttb
+
+    return lttb(_ev(spark, sf_dir), k=20)
+
+
 def q_csv_source_rollup(spark, sf_dir):
     """S1 CSV source in the driver gate: the events series round-trips
     through a CSV sink + ``read_csv_series`` (header scan, schema inference,
@@ -941,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source_rollup_events": q_csv_source_rollup,
         "time_weighted_avg_events_1h": q_time_weighted_avg,
         "counter_delta_events": q_counter_delta,
+        "lttb_downsample_events": q_lttb_downsample,
     }
 
 
@@ -1148,6 +1160,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
+        "lttb_downsample_events": lttb_sql(k=20),
         "time_weighted_avg_events_1h": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id,

@@ -1,0 +1,162 @@
+"""LTTB downsampling — Largest-Triangle-Three-Buckets (Steinarsson 2013;
+the TimescaleDB ``lttb`` hyperfunction analogue): reduce each source's
+series to k visually-representative points, always keeping the endpoints
+and, per bucket, the point forming the largest triangle with the previously
+selected point and the next bucket's average.
+
+Exactness design (the selection is certified value-for-value by a DuckDB
+recursive-CTE oracle, ``lttb_sql``): coordinates are integers — millisecond
+time offsets and micro-unit values, both computed in SPARK expressions so
+kernel and SQL quantize identically — and the triangle-area comparison is
+scaled by the next bucket's point count, turning the fractional average
+into integer arithmetic:
+
+    A' = | (t_prev·c − Σt)·(v − v_prev) − (t_prev − t)·(Σv − v_prev·c) |
+
+Ties break by smallest (t, id). The bucket scan is sequential by nature
+(each selection feeds the next bucket's triangles) → per-source Arrow
+kernel, Python-int exact areas (they exceed int64).
+
+Scale: kernels consume per-source series bounded by the retention tier they
+read, like the model kernels; output is k rows/source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def lttb(
+    df: DataFrame,
+    k: int,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Select k LTTB points per source → (source, event_id, sel_order).
+    Series with ≤ k points pass through whole."""
+    vq = F.round(F.col(value) * MICRO).cast("long")
+    tms = F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / 1000).cast("long")
+    src = df.select(
+        partition, F.col(id_col).alias("_id"), vq.alias("_vq"), tms.alias("_tms")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_tms", "_id"]).reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf["_id"].tolist()
+        name = pdf[partition].iloc[0]
+        if n <= k:
+            sel = list(range(n))
+        else:
+            t_raw = pdf["_tms"].tolist()
+            t0 = min(t_raw)
+            t = [x - t0 for x in t_raw]
+            v = pdf["_vq"].tolist()
+            nb = k - 2
+            sel = [0]
+            prev = 0
+            for b in range(nb):
+                lo = 1 + (b * (n - 2)) // nb
+                hi = 1 + ((b + 1) * (n - 2)) // nb
+                if b < nb - 1:
+                    nlo = 1 + ((b + 1) * (n - 2)) // nb
+                    nhi = 1 + ((b + 2) * (n - 2)) // nb
+                else:
+                    nlo, nhi = n - 1, n
+                c = nhi - nlo
+                st = sum(t[nlo:nhi])
+                sv = sum(v[nlo:nhi])
+                tp, vp = t[prev], v[prev]
+                best_key, best_i = None, lo
+                for i in range(lo, hi):
+                    area = abs((tp * c - st) * (v[i] - vp) - (tp - t[i]) * (sv - vp * c))
+                    key = (-area, t[i], ids[i])
+                    if best_key is None or key < best_key:
+                        best_key, best_i = key, i
+                prev = best_i
+                sel.append(prev)
+            sel.append(n - 1)
+        return pd.DataFrame(
+            {
+                partition: name,
+                id_col: [ids[i] for i in sel],
+                "sel_order": np.arange(len(sel), dtype=np.int32),
+            }
+        )
+
+    return src.groupBy(partition).applyInPandas(
+        kernel, schema=f"{partition} string, {id_col} long, sel_order int"
+    )
+
+
+def lttb_sql(k: int = 20) -> str:
+    """DuckDB oracle for :func:`lttb` over the driver events table: the
+    sequential bucket walk becomes a recursive CTE whose step picks each
+    bucket's winner with a correlated NOT EXISTS (no aggregate/window in the
+    recursive term); integer HUGEINT areas make every comparison exact."""
+    nb = k - 2
+
+    def area(p: str) -> str:
+        return (
+            f"abs((f.t * bk.c - bk.st) * ({p}.v - f.v)"
+            f" - (f.t - {p}.t) * (bk.sv - f.v * bk.c))"
+        )
+
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vq,
+         epoch_us(ts) // 1000 AS tms
+  FROM events
+), o AS (
+  SELECT source, event_id, vq, tms,
+         row_number() OVER (PARTITION BY source ORDER BY tms, event_id) - 1 AS idx,
+         count(*) OVER (PARTITION BY source) AS n,
+         min(tms) OVER (PARTITION BY source) AS t0
+  FROM s
+), pts AS (
+  SELECT source, idx, n, event_id AS eid,
+         CAST(tms - t0 AS HUGEINT) AS t, CAST(vq AS HUGEINT) AS v
+  FROM o
+), bounds AS (
+  SELECT source, max(n) AS n FROM pts GROUP BY source
+), bks0 AS (
+  SELECT source, n, unnest(range({nb})) AS b FROM bounds
+), bks1 AS (
+  SELECT source, n, b,
+         1 + (b * (n - 2)) // {nb} AS lo,
+         1 + ((b + 1) * (n - 2)) // {nb} AS hi,
+         CASE WHEN b < {nb - 1} THEN 1 + ((b + 1) * (n - 2)) // {nb} ELSE n - 1 END AS nlo,
+         CASE WHEN b < {nb - 1} THEN 1 + ((b + 2) * (n - 2)) // {nb} ELSE n END AS nhi
+  FROM bks0
+), bks AS (
+  SELECT k1.source, k1.b, k1.lo, k1.hi,
+         CAST(k1.nhi - k1.nlo AS HUGEINT) AS c,
+         sum(p.t) AS st, sum(p.v) AS sv
+  FROM bks1 k1 JOIN pts p ON p.source = k1.source AND p.idx >= k1.nlo AND p.idx < k1.nhi
+  GROUP BY 1, 2, 3, 4, 5
+), sel(source, b, idx, eid, t, v) AS (
+  SELECT source, -1, idx, eid, t, v FROM pts WHERE idx = 0
+  UNION ALL
+  SELECT f.source, bk.b, p.idx, p.eid, p.t, p.v
+  FROM sel f
+  JOIN bks bk ON bk.source = f.source AND bk.b = f.b + 1
+  JOIN pts p ON p.source = f.source AND p.idx >= bk.lo AND p.idx < bk.hi
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts p2
+    WHERE p2.source = f.source AND p2.idx >= bk.lo AND p2.idx < bk.hi
+      AND ({area("p2")} > {area("p")}
+           OR ({area("p2")} = {area("p")}
+               AND (p2.t < p.t OR (p2.t = p.t AND p2.eid < p.eid))))
+  )
+)
+SELECT source, eid AS event_id, CAST(b + 1 AS INT) AS sel_order FROM sel
+UNION ALL
+SELECT source, eid, CAST({k - 1} AS INT) FROM pts WHERE idx = n - 1"""

@@ -234,3 +234,58 @@ def test_counter_delta_reset_correction(spark):
     assert out["increase"] == 20.0
     assert out["n_resets"] == 2
     assert out["n_points"] == len(vals)
+
+
+def test_lttb_downsample_invariants_and_oracle(spark):
+    """LTTB keeps both endpoints, returns exactly k points per source, and
+    matches a direct float-arithmetic reference selection (the engine's
+    integer-area argmax must pick the same points — areas only ever compare,
+    so exact integer scaling preserves the selection)."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.downsample import lttb
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for src in ("a", "b"):
+        t0 = pd.Timestamp("2028-01-01")
+        for _ in range(500):
+            t0 += pd.Timedelta(milliseconds=int(rng.integers(500, 120_000)))
+            rows.append((src, t0, float(np.round(rng.normal(50, 20), 3)), eid))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["source", "ts", "y", "event_id"])
+    k = 12
+    got = lttb(spark.createDataFrame(pdf), k=k).toPandas()
+    for src in ("a", "b"):
+        g = got[got.source == src].sort_values("sel_order")
+        grp = pdf[pdf.source == src].sort_values(["ts", "event_id"])
+        assert len(g) == k
+        assert g.event_id.iloc[0] == grp.event_id.iloc[0]
+        assert g.event_id.iloc[-1] == grp.event_id.iloc[-1]
+        assert list(g.sel_order) == list(range(k))
+        # float-arithmetic reference walk (classic LTTB)
+        t = (grp.ts.astype("int64") // 1_000_000).to_numpy(float)
+        t -= t.min()
+        v = np.round(grp.y.to_numpy() * 1e6)  # same quantization grid
+        n = len(t)
+        nb = k - 2
+        sel = [0]
+        prev = 0
+        for b in range(nb):
+            lo = 1 + (b * (n - 2)) // nb
+            hi = 1 + ((b + 1) * (n - 2)) // nb
+            if b < nb - 1:
+                nlo = 1 + ((b + 1) * (n - 2)) // nb
+                nhi = 1 + ((b + 2) * (n - 2)) // nb
+            else:
+                nlo, nhi = n - 1, n
+            at, av = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+            areas = np.abs(
+                (t[prev] - at) * (v[lo:hi] - v[prev]) - (t[prev] - t[lo:hi]) * (av - v[prev])
+            )
+            prev = lo + int(np.argmax(areas))
+            sel.append(prev)
+        sel.append(n - 1)
+        assert list(g.event_id) == [int(grp.event_id.iloc[i]) for i in sel]
