@@ -793,6 +793,28 @@ def q_counter_delta(spark, sf_dir):
     return counter_delta(s, value="y").select("source", "increase", "n_resets", "n_points")
 
 
+def q_ewma(spark, sf_dir):
+    """EWMA (α=0.25) over the hourly integer signal — the sequential
+    smoothing chain replayed bit-for-bit by a row-stepping recursive-CTE
+    oracle."""
+    from forecaster_spark.operators.timeweight import ewma
+
+    return ewma(_hourly_int_series(spark, sf_dir), alpha=0.25).select(
+        "source", F.col("ts").cast("timestamp_ntz").alias("ts"), "y", "ewma"
+    )
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection (trailing 50 events, |z| > 3):
+    exact milli-unit window sums make every score bit-reproducible in SQL
+    window frames — pure Catalyst expressions, no Python."""
+    from forecaster_spark.operators.timeweight import rolling_zscore
+
+    return rolling_zscore(_ev(spark, sf_dir), window_n=50).select(
+        "source", "event_id", "z", "is_anomaly"
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """LTTB downsampling (TimescaleDB lttb hyperfunction analogue): each
     source's series reduced to 20 visually-representative points via exact
@@ -953,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg_events_1h": q_time_weighted_avg,
         "counter_delta_events": q_counter_delta,
         "lttb_downsample_events": q_lttb_downsample,
+        "ewma_events_1h": q_ewma,
+        "rolling_zscore_events": q_rolling_zscore,
     }
 
 
@@ -1161,6 +1185,41 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
         "lttb_downsample_events": lttb_sql(k=20),
+        "ewma_events_1h": """
+WITH RECURSIVE th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), walk(source, idx, ts, y, e) AS (
+  SELECT source, idx, ts, y, y FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p.source, p.idx, p.ts, p.y, p.y * 0.25 + w.e * 0.75
+  FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
+)
+SELECT source, ts, y, e AS ewma FROM walk""",
+        "rolling_zscore_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000) AS BIGINT) AS vq
+  FROM events
+), fr AS (
+  SELECT source, event_id, vq,
+         count(*) OVER w AS n, sum(vq) OVER w AS s1, sum(vq*vq) OVER w AS s2
+  FROM s WINDOW w AS (PARTITION BY source ORDER BY ts, event_id
+                      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT source, event_id,
+       CASE WHEN (n*s2 - s1*s1) > 0
+            THEN CAST(vq*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN (n*s2 - s1*s1) > 0
+                THEN CAST(vq*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))
+                ELSE 0.0 END) > 3.0 AS is_anomaly
+FROM fr""",
         "time_weighted_avg_events_1h": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id,

@@ -99,3 +99,77 @@ def counter_delta(
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+) -> DataFrame:
+    """Exponentially weighted moving average per source:
+    ``e_t = y_t·α + e_{t-1}·(1−α)``, seeded with ``e_0 = y_0``. Sequential by
+    nature → per-source Arrow kernel with a fixed-order float chain (each
+    step ``(y·α) + (e·(1−α))``), which a row-stepping recursive-CTE oracle
+    replays bit-for-bit. Output: input columns + ``ewma``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    beta = 1.0 - alpha
+    # build a NEW StructType — StructType.add mutates in place, and df.schema
+    # is cached on the DataFrame, so .add would poison df's own column list
+    out_schema = T.StructType(list(df.schema.fields) + [T.StructField("ewma", T.DoubleType())])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        y = pdf[value].tolist()
+        e = []
+        prev = None
+        for v in y:
+            prev = v if prev is None else v * alpha + prev * beta
+            e.append(prev)
+        pdf["ewma"] = e
+        return pdf
+
+    return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    window_n: int,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts", "event_id"),
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over the trailing ``window_n``
+    observations (inclusive): ``z = (n·y − Σy) / sqrt(n·Σy² − (Σy)²)``
+    — the population-std z-score with every sum exact-integer (micro-unit
+    quantization), so the scores are order-independent AND bit-reproducible
+    in SQL window frames. Zero-variance windows score 0. Pure window
+    expressions — no Python, one shuffle on source.
+
+    Quantization is MILLI-unit: with micro units the windowed Σv² would
+    exceed int64 (5e8² · 50 rows ≈ 1.2e19) and Spark's non-ANSI longs wrap
+    silently where DuckDB's HUGEINTs don't.
+
+    Output: input columns + ``z`` + ``is_anomaly``."""
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(window_n - 1), 0)
+    )
+    vq = F.round(F.col(value) * 1000).cast("long")
+    b = df.withColumn("_vq", vq)
+    n = F.count("_vq").over(w)
+    s1 = F.sum("_vq").over(w)
+    s2 = F.sum(F.col("_vq") * F.col("_vq")).over(w)
+    num = (F.col("_vq") * n - s1).cast("double")
+    var_n2 = (n * s2 - s1 * s1).cast("double")
+    z = F.when(var_n2 > 0, num / F.sqrt(var_n2)).otherwise(F.lit(0.0))
+    return (
+        b.withColumn("z", z)
+        .withColumn("is_anomaly", F.abs(F.col("z")) > threshold)
+        .drop("_vq")
+    )

@@ -289,3 +289,41 @@ def test_lttb_downsample_invariants_and_oracle(spark):
             sel.append(prev)
         sel.append(n - 1)
         assert list(g.event_id) == [int(grp.event_id.iloc[i]) for i in sel]
+
+
+def test_ewma_and_rolling_zscore(spark):
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import ewma, rolling_zscore
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "ts": pd.date_range("2028-02-01", periods=300, freq="1min"),
+            "y": np.round(rng.normal(100, 5, 300), 3),
+            "event_id": range(300),
+        }
+    )
+    pdf.loc[250, "y"] = 500.0  # planted spike
+    got = ewma(spark.createDataFrame(pdf), alpha=0.25).toPandas().sort_values("ts")
+    want = pdf.y.ewm(alpha=0.25, adjust=False).mean()
+    assert np.allclose(got.ewma.to_numpy(), want.to_numpy(), rtol=1e-12)
+
+    z = (
+        rolling_zscore(spark.createDataFrame(pdf), window_n=50)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert bool(z.loc[250, "is_anomaly"]) and z.loc[250, "z"] > 5
+    assert (~z.loc[:249, "is_anomaly"]).mean() > 0.99  # quiet before the spike
+    # matches a pandas rolling oracle on the quantized signal
+    vq = np.round(pdf.y * 1000)
+    roll = vq.rolling(50, min_periods=1)
+    n = roll.count()
+    s1, s2 = roll.sum(), (vq * vq).rolling(50, min_periods=1).sum()
+    var = n * s2 - s1 * s1
+    want_z = np.where(var > 0, (vq * n - s1) / np.sqrt(var), 0.0)
+    assert np.allclose(z.z.to_numpy(), want_z, rtol=1e-9, atol=1e-12)
