@@ -96,3 +96,15 @@ def test_oracle_bit_exact_on_synth(spark, synth_dir, name):
             assert ((a == b) | both_nan).all(), f"col {c} not bit-exact"
         else:
             assert (pd.Series(a).fillna("~N") == pd.Series(b).fillna("~N")).all(), c
+
+
+def test_contract_surface_hygiene():
+    """Every contract query has a DuckDB oracle except the documented
+    non-SQL exception (multimodal binary decode); every oracle key maps to a
+    real query. A new rows-only query must be added here deliberately."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    assert set(qs) - set(oracles) == {"multimodal_features_synth"}
+    assert callable(entry.entry)
