@@ -793,6 +793,22 @@ def q_counter_delta(spark, sf_dir):
     return counter_delta(s, value="y").select("source", "increase", "n_resets", "n_points")
 
 
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per source: Spark's sort-based
+    ``percentile`` and DuckDB's ``quantile_cont`` share the (n−1)·p linear
+    interpolation, verified bit-equal — the per-source latency-percentile
+    primitive (p50/p75/p90/p99) with a value-level oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("source")).agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_ewma(spark, sf_dir):
     """EWMA (α=0.25) over the hourly integer signal — the sequential
     smoothing chain replayed bit-for-bit by a row-stepping recursive-CTE
@@ -977,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample_events": q_lttb_downsample,
         "ewma_events_1h": q_ewma,
         "rolling_zscore_events": q_rolling_zscore,
+        "quantiles_events": q_quantiles,
     }
 
 
@@ -1185,6 +1202,13 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
         "lttb_downsample_events": lttb_sql(k=20),
+        "quantiles_events": """
+SELECT event_type AS source,
+       quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.75) AS p75, quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       count(*) AS n
+FROM events GROUP BY 1""",
         "ewma_events_1h": """
 WITH RECURSIVE th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,
