@@ -793,6 +793,51 @@ def q_counter_delta(spark, sf_dir):
     return counter_delta(s, value="y").select("source", "increase", "n_resets", "n_points")
 
 
+def q_session_stats(spark, sf_dir):
+    """Session-level analytics on top of sessionization: per (user, session)
+    duration (integer seconds) and event count, aggregated to per-user
+    session stats — the funnel/engagement primitive."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        (
+            F.unix_timestamp(F.max("ts").cast("timestamp"))
+            - F.unix_timestamp(F.min("ts").cast("timestamp"))
+        ).alias("dur_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("dur_s").alias("total_dur_s"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted by
+    distinct active users per day offset — the classic training-data /
+    product analytics breadth query, all exact integer aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    j = ev.join(F.broadcast(first_day), "user_id")
+    return (
+        j.groupBy(
+            F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_quantiles(spark, sf_dir):
     """Exact interpolated quantiles per source: Spark's sort-based
     ``percentile`` and DuckDB's ``quantile_cont`` share the (n−1)·p linear
@@ -994,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_events_1h": q_ewma,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
+        "session_stats_events": q_session_stats,
+        "cohort_retention_events": q_cohort_retention,
     }
 
 
@@ -1202,6 +1249,38 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
         "lttb_downsample_events": lttb_sql(k=20),
+        "session_stats_events": """
+WITH g AS (
+  -- floor(epoch) mirrors Spark's second-truncating unix_timestamp so the
+  -- 1800 s boundary classifies identically under sub-second event times
+  SELECT user_id, event_id, ts,
+         floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, session_id,
+         CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s,
+         count(*) AS n_events
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id""",
+        "cohort_retention_events": """
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users, count(*) AS n_events
+FROM events e JOIN fd f USING (user_id)
+GROUP BY 1, 2""",
         "quantiles_events": """
 SELECT event_type AS source,
        quantile_cont(value, 0.25) AS p25, quantile_cont(value, 0.5) AS p50,
