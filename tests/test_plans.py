@@ -140,3 +140,30 @@ def test_heatmap_bmp_sink(spark, tmp_path):
     assert out.shape == (12, 12, 3)
     assert tuple(out[0, 0]) == (0, 0, 255)  # (a, h=1) is the min → blue
     assert tuple(out[0, 6]) == (255, 0, 0)  # (a, h=2) is the max → red
+
+
+def test_new_ops_plan_audit(spark):
+    """Plan hygiene for the round-2 operators: the cohort dim join
+    broadcasts (no shuffle of the fact side on user_id), the rolling
+    z-score is ONE window pass (single sort, no extra exchanges beyond the
+    source shuffle), and the quantiles query is a single sort-based
+    aggregate over one exchange."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    p = plan(entry.queries()["cohort_retention_events"](spark, sf))
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+
+    import re
+
+    def nodes(p, name):
+        # formatted plans list each node twice (tree + detail) — count the
+        # numbered detail entries
+        return len(re.findall(rf"\(\d+\) {name}\b", p))
+
+    p = plan(entry.queries()["rolling_zscore_events"](spark, sf))
+    assert nodes(p, "Window") == 1
+    assert nodes(p, "Exchange") <= 1  # the one shuffle on source
+
+    p = plan(entry.queries()["quantiles_events"](spark, sf))
+    assert nodes(p, "Exchange") <= 1  # partial agg then one exchange
