@@ -152,9 +152,14 @@ def rolling_zscore(
 
     Quantization is MILLI-unit: with micro units the windowed Σv² would
     exceed int64 (5e8² · 50 rows ≈ 1.2e19) and Spark's non-ANSI longs wrap
-    silently where DuckDB's HUGEINTs don't.
+    silently where DuckDB's HUGEINTs don't. Even at milli units, n·Σv² must
+    stay under 2⁶³ — bounded by window_n²·max(v·1000)² — so windows are
+    capped at 4096 (safe for |v| ≤ ~700k); larger windows need a coarser
+    quantum.
 
     Output: input columns + ``z`` + ``is_anomaly``."""
+    if window_n > 4096:
+        raise ValueError("rolling_zscore window capped at 4096 (int64 sum bound)")
     w = (
         Window.partitionBy(partition)
         .orderBy(*[F.col(c) for c in order])
