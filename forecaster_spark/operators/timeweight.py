@@ -112,7 +112,9 @@ def ewma(
     ``e_t = y_t·α + e_{t-1}·(1−α)``, seeded with ``e_0 = y_0``. Sequential by
     nature → per-source Arrow kernel with a fixed-order float chain (each
     step ``(y·α) + (e·(1−α))``), which a row-stepping recursive-CTE oracle
-    replays bit-for-bit. Output: input columns + ``ewma``."""
+    replays bit-for-bit. Like the model kernels, feed it rolled tiers
+    (bounded rows per source), never raw hot series.
+    Output: input columns + ``ewma``."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -156,6 +158,13 @@ def rolling_zscore(
     stay under 2⁶³ — bounded by window_n²·max(v·1000)² — so windows are
     capped at 4096 (safe for |v| ≤ ~700k); larger windows need a coarser
     quantum.
+
+    Skew note: the window partitions by ``source`` alone, so one giant raw
+    source serializes into a single sort task — same caveat as plain LOCF;
+    at hot-source scale run it over rolled tiers (bounded rows/source) or
+    decompose into blocks with windowed carry like
+    ``gapfill.fill_bucket_gaps_blocked`` (the trailing sums are associative
+    scans).
 
     Output: input columns + ``z`` + ``is_anomaly``."""
     if window_n > 4096:
