@@ -15,6 +15,14 @@ The reference has no hashing of any kind (SURVEY.md §2.7); these primitives
 back the engine-added training-data operators. xxhash64 (Spark-native) was
 deliberately NOT used: DuckDB cannot evaluate it, which forced the round-1
 near-dup queries into rows-only checks.
+
+Case-folding caveat: the text pipelines lower-case BEFORE hashing, in each
+engine's own ``lower()``. A sweep of codepoints U+0020..U+2FFF found exactly
+two where Spark and DuckDB disagree — U+0130 'İ' (Spark → "i"+combining
+dot, DuckDB → "i") and U+2C2F 'Ⱟ' (DuckDB doesn't fold) — so oracle parity
+holds for all practical text but is not a Unicode-complete guarantee. The
+hash layer itself is fuzz-tested engine-equal on arbitrary codepoints
+(tests/test_xhash_property.py) with both sides fed the same folded words.
 """
 
 from __future__ import annotations

@@ -1,0 +1,102 @@
+"""Property-based parity for the cross-engine hash layer: on RANDOM unicode
+words the numpy primitives (xhash) and the generated DuckDB SQL (xhash_sql)
+must agree value-for-value — word hashes, shingle sets, and simhash
+bit-majorities. This is the layer every near-dup oracle stands on; the
+driver only ever exercises it on ASCII corpus text, so fuzz the rest here.
+No Spark needed — pure numpy vs DuckDB."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+duckdb = pytest.importorskip("duckdb")
+
+from forecaster_spark.functions import xhash, xhash_sql  # noqa: E402
+
+# printable non-whitespace unicode (whitespace would re-split the joined doc)
+_word = st.text(
+    alphabet=st.characters(
+        min_codepoint=33, max_codepoint=0x2FFF, exclude_categories=("Z", "C")
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _con_for(text: str):
+    con = duckdb.connect()
+    esc = text.replace("'", "''")
+    con.execute(f"CREATE VIEW documents AS SELECT 0 AS doc_id, '{esc}' AS text")
+    return con
+
+
+def _np_word_hashes(words: list[str]) -> np.ndarray:
+    return xhash.word_hash_flat(words)
+
+
+def _np_shingles(wh: np.ndarray, k: int = 3) -> np.ndarray:
+    m = len(wh)
+    if m >= k:
+        pw = xhash.pow_table(k)
+        g = np.zeros(m - k + 1, np.uint64)
+        for j in range(k):
+            g += wh[j : m - k + 1 + j] * pw[j]
+    elif m > 0:
+        g = np.array([(wh * xhash.pow_table(m)).sum(dtype=np.uint64)], dtype=np.uint64)
+    else:
+        return np.array([0], dtype=np.uint64)
+    return np.unique(xhash.splitmix64(g))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=8))
+def test_word_hash_and_shingles_sql_parity(words):
+    text = " ".join(words)
+    con = _con_for(text)
+    sql = f"WITH {xhash_sql.word_hash_ctes('SELECT doc_id, text FROM documents')}, "
+    # the SQL chain lower()s the text; isolate HASH parity by feeding the
+    # numpy side DuckDB's own lowered words (Spark-vs-DuckDB case-folding
+    # equivalence is a separate concern, exercised by the driver's corpus)
+    lowered = [
+        r[0]
+        for r in con.execute(
+            "SELECT unnest(string_split_regex(lower(text), '\\s+')) FROM documents"
+        ).fetchall()
+    ]
+    # fetchall keeps HUGEINTs as exact Python ints (.df() would round them
+    # through float64)
+    got_wh = [r[0] for r in con.execute(
+        sql + "x AS (SELECT 1) SELECT h FROM wh ORDER BY wpos"
+    ).fetchall()]
+    want_wh = _np_word_hashes(lowered)
+    assert got_wh == [int(v) for v in want_wh]
+
+    got_sh = [r[0] for r in con.execute(
+        sql + f"{xhash_sql.shingle_ctes()} SELECT sh FROM shd ORDER BY sh"
+    ).fetchall()]
+    want_sh = sorted(int(v) for v in _np_shingles(want_wh))
+    assert got_sh == want_sh
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=8))
+def test_simhash_sql_parity(words):
+    text = " ".join(words)
+    con = _con_for(text)
+    got = con.execute(
+        xhash_sql.simhash_sql("SELECT doc_id, text FROM documents")
+    ).fetchall()[0][1]
+    lowered = [
+        r[0]
+        for r in con.execute(
+            "SELECT unnest(string_split_regex(lower(text), '\\s+')) FROM documents"
+        ).fetchall()
+    ]
+    wh = _np_word_hashes(lowered)
+    bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    counts = bits.sum(axis=0) * 2 - len(wh)
+    sig = np.uint64(0)
+    for b in np.flatnonzero(counts > 0):
+        sig |= np.uint64(1) << np.uint64(b)
+    assert got == int(sig.view(np.int64)) or got == int(np.int64(sig.astype(np.int64)))
