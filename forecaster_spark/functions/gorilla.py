@@ -155,8 +155,13 @@ def gorilla_encode(ts: np.ndarray, vals: np.ndarray) -> bytes:
     # one when float rounding crosses a power of two, so verify with a shift
     safe = np.maximum(x_arr, np.uint64(1))
     trails = np.log2((safe & (~safe + np.uint64(1))).astype(np.float64)).astype(np.int64)
-    k = np.log2(safe.astype(np.float64)).astype(np.int64)
-    k = np.where((safe >> np.minimum(k, 63).astype(np.uint64)) == 0, k - 1, k)
+    # clamp BEFORE the overshoot check: for x within ~2^11 of 2^64,
+    # float64(x) rounds up to exactly 2^64 and log2 returns 64 — but
+    # floor(log2) of anything in [2^63, 2^64) is 63, so the clamp is exact
+    # and the single shift-verify decrement then covers every rounding-up
+    # case (float log2 can overshoot by at most one power of two)
+    k = np.minimum(np.log2(safe.astype(np.float64)).astype(np.int64), 63)
+    k = np.where((safe >> k.astype(np.uint64)) == 0, k - 1, k)
     leads_l = (np.int64(63) - k).tolist()
     trails_l = trails.tolist()
     xs = x_arr.tolist()

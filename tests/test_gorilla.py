@@ -43,7 +43,7 @@ def test_edge_cases():
     roundtrip(ts, np.arange(9, dtype=float) * 1.1)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=500, deadline=None)
 @given(
     st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=60),
     st.data(),
@@ -102,6 +102,26 @@ def test_vectorized_encoder_matches_scalar_golden():
     cases.append((np.arange(400, dtype=np.int64) * 60, np.repeat(rng.normal(size=8), 50)))
     cases.append((np.array([5], dtype=np.int64), np.array([1.5])))
     cases.append((np.array([], dtype=np.int64), np.array([])))
+    # XOR patterns near all-ones: float64(x) for x within ~2^11 of 2^64
+    # rounds UP to 2^64, so the float-log2 lead count must clamp (the r2
+    # silent-corruption bug: lead=-1 → garbage header token OR-bleeding
+    # into neighbors). Pairs whose bit patterns are complements / near-
+    # complements drive the XOR into [2^64-2^12, 2^64).
+    cases.append(
+        (
+            np.array([0, 60], dtype=np.int64),
+            np.array([2.2250739e-308, -1.7976931e308]),  # minimized r2 repro
+        )
+    )
+    top = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for off in [0, 1, 2, 1023, 1024, 2047, 2048, 4095]:
+        u = np.array([0, top - np.uint64(off)], dtype=np.uint64)
+        cases.append((np.array([0, 60], dtype=np.int64), u.view(np.float64)))
+    base = rng.integers(0, 1 << 63, 64, dtype=np.uint64)
+    pair = base ^ (top - rng.integers(0, 4096, 64).astype(np.uint64))
+    inter = np.empty(128, dtype=np.uint64)
+    inter[0::2], inter[1::2] = base, pair
+    cases.append((np.arange(128, dtype=np.int64) * 60, inter.view(np.float64)))
     for ts_c, vals_c in cases:
         fast = gorilla_encode(ts_c, vals_c)
         gold = gorilla_encode_scalar(ts_c, vals_c)
