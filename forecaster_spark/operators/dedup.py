@@ -264,7 +264,10 @@ def _simhash_from_words(words_s: pd.Series) -> pd.Series:
             hi += 1
         rsel = nz[lo:hi]
         seg = wh[starts[rsel[0]] : ends[rsel[-1]]]
-        bits = ((seg[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int16)
+        # int32, not int16: np.add.reduceat keeps the input dtype and a
+        # single document may exceed 32767 words (rows are never split
+        # across chunks), which would silently overflow the bit tallies
+        bits = ((seg[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
         counts = np.add.reduceat(bits, (starts[rsel] - starts[rsel[0]]).astype(np.int64), axis=0)
         counts = counts * 2 - lens[rsel][:, None]
         sigs = ((counts > 0).astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(

@@ -35,17 +35,35 @@ MANIFEST = "_forecaster_manifest.json"
 
 
 def _partition_checksums(df: DataFrame) -> list[dict]:
+    # ANSI-safe wrapping sum of xxhash64: the contract session is owned by
+    # the driver and may run with spark.sql.ansi.enabled=true (Spark 4
+    # default), where a plain F.sum over longs THROWS on overflow instead of
+    # wrapping. Sum the two unsigned 32-bit limbs separately (each limb
+    # ≤ 2^32-1, so the per-partition sum stays under 2^63 for any partition
+    # below 2^31 rows — a Parquet file partition is bounded by
+    # maxPartitionBytes, orders of magnitude smaller) and recombine mod 2^64
+    # driver-side with exact Python ints. The recombined value is
+    # bit-identical to the old non-ANSI wrapping long sum, so existing
+    # manifests remain comparable.
     cols = [F.col(c) for c in df.columns]
+    h = F.xxhash64(*cols)
     rows = (
-        df.select(F.spark_partition_id().alias("partition_id"), F.xxhash64(*cols).alias("h"))
+        df.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.shiftrightunsigned(h, 32).alias("hi"),
+            h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("lo"),
+        )
         .groupBy("partition_id")
-        .agg(F.count("*").alias("rows"), F.sum("h").alias("checksum"))
+        .agg(F.count("*").alias("rows"), F.sum("hi").alias("s_hi"), F.sum("lo").alias("s_lo"))
         .collect()
     )
-    return [
-        {"partition_id": r["partition_id"], "rows": r["rows"], "checksum": r["checksum"] or 0}
-        for r in rows
-    ]
+    out = []
+    for r in rows:
+        csum = (((r["s_hi"] or 0) << 32) + (r["s_lo"] or 0)) % (1 << 64)
+        if csum >= 1 << 63:
+            csum -= 1 << 64
+        out.append({"partition_id": r["partition_id"], "rows": r["rows"], "checksum": csum})
+    return out
 
 
 class StageRunner:

@@ -76,6 +76,19 @@ def test_simhash_duplicates_and_stability(spark, docs):
     assert {("d00", "d01")} == set(zip(dups.id_a, dups.id_b))
 
 
+def test_simhash_wide_document_no_overflow():
+    """A document with >32767 words must not overflow the per-bit tallies
+    (r2 bug: reduceat kept int16). Equal word multiplicities give the same
+    sign pattern, so the 42k-word doc must hash identically to its 3-word
+    vocabulary."""
+    from forecaster_spark.operators.dedup import _simhash_from_words
+
+    raw = _simhash_from_words.func
+    big = raw(pd.Series([["alpha", "beta", "gamma"] * 14000]))[0]
+    small = raw(pd.Series([["alpha", "beta", "gamma"]]))[0]
+    assert big == small
+
+
 def test_lang_id(spark, docs):
     out = with_lang_id(docs).toPandas().set_index("doc_id")["lang_pred"]
     assert out["d00"] == "en"

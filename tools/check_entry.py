@@ -6,6 +6,10 @@ values (floats to 9 significant digits, plus an exact-equality report so
 ulp-level drift is visible before the driver sees it).
 
 Usage: python tools/check_entry.py [sf_dir] [query_name ...]
+
+Set SPARK_GRAFT_ANSI=1 to run with spark.sql.ansi.enabled=true — the driver
+owns the contract session and Spark 4 defaults ANSI ON, so every query must
+also pass in that mode (the r2 checkpoint_resume red was exactly this).
 """
 
 from __future__ import annotations
@@ -74,9 +78,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_entry")
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        extra["spark.sql.ansi.enabled"] = "true"
+        print("== ANSI mode ON (driver-session mirror) ==")
+    spark = get_spark("check_entry", extra_conf=extra)
     con = duck_conn(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
@@ -85,9 +95,11 @@ def main():
     print(f"  rows={edf.count()} schema={[f.name for f in edf.schema.fields]}")
 
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"  [{name}] rows-only (no oracle): rows={len(sdf)}")
@@ -95,7 +107,7 @@ def main():
         ddf = con.execute(oracles[name]).df()
         if not compare(name, sdf, ddf):
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK; failures: {failures}")
+    print(f"\n{n_run - len(failures)}/{n_run} OK (of {len(qs)} registered); failures: {failures}")
     sys.exit(1 if failures else 0)
 
 
