@@ -30,6 +30,14 @@ from __future__ import annotations
 import numpy as np
 
 C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+# Words are hashed over their first MAX_WORD_CP codepoints ONLY — the SQL
+# mirror inlines a fixed C-power list of this size, and without a shared
+# truncation bound a >256-codepoint token (URL, base64 blob) would hash
+# differently in the two engines (the SQL side's out-of-range list index
+# yields NULL terms that sum() silently drops). 256 cps covers any natural-
+# language word; truncation only coarsens dedup granularity for machine
+# tokens, never correctness.
+MAX_WORD_CP = 256
 PHI = np.uint64(0x9E3779B97F4A7C15)
 M1 = np.uint64(0xBF58476D1CE4E5B9)
 M2 = np.uint64(0x94D049BB133111EB)
@@ -61,7 +69,9 @@ def codepoints(s: str) -> np.ndarray:
 def word_hash_flat(words: list[str]) -> np.ndarray:
     """splitmix64(poly(word)) for a flat batch of words, fully vectorized:
     one UTF-32 decode of the concatenation + a segmented power-weighted sum
-    (wraparound-safe via cumsum differences). Empty word → splitmix64(0)."""
+    (wraparound-safe via cumsum differences). Empty word → splitmix64(0).
+    Codepoints at position ≥ :data:`MAX_WORD_CP` contribute nothing — the
+    same truncation the SQL mirror applies (see MAX_WORD_CP note)."""
     n = len(words)
     if n == 0:
         return np.empty(0, np.uint64)
@@ -70,7 +80,9 @@ def word_hash_flat(words: list[str]) -> np.ndarray:
     ends = np.cumsum(lens)
     starts = ends - lens
     pos = np.arange(len(cps), dtype=np.int64) - np.repeat(starts, lens)
-    contrib = cps * pow_table(int(pos.max()) + 1 if len(pos) else 1)[pos]
+    in_range = pos < MAX_WORD_CP
+    pw = pow_table(min(int(pos.max()) + 1 if len(pos) else 1, MAX_WORD_CP))
+    contrib = np.where(in_range, cps * pw[np.where(in_range, pos, 0)], np.uint64(0))
     csum = np.concatenate([np.zeros(1, np.uint64), np.cumsum(contrib, dtype=np.uint64)])
     return splitmix64((csum[ends] - csum[starts]).astype(np.uint64))
 

@@ -76,17 +76,23 @@ def _bit_list() -> str:
     return "[" + ", ".join(str(1 << b) for b in range(64)) + "]"
 
 
-def word_hash_ctes(doc_source_sql: str, max_word_len: int = 256) -> str:
+def word_hash_ctes(doc_source_sql: str, max_word_len: int | None = None) -> str:
     """CTE chain from ``doc_source_sql`` (must yield (doc_id, text)) to
     ``wh(doc_id, wpos, h)`` — h = splitmix64(Σ_i cp_i·C^i) per whitespace
     word of lower(text), empty words hashing to splitmix64(0) (they arise
-    from leading/trailing whitespace under split's keep-empty semantics)."""
+    from leading/trailing whitespace under split's keep-empty semantics).
+    Codepoints past ``max_word_len`` (default :data:`xhash.MAX_WORD_CP`) are
+    excluded by an EXPLICIT cpos filter — the kernel truncates identically,
+    so >256-cp tokens (URLs, base64) still hash engine-equal."""
+    if max_word_len is None:
+        max_word_len = xhash.MAX_WORD_CP
     return f"""
 docs_w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
            FROM ({doc_source_sql}) WHERE text IS NOT NULL),
 wr0 AS (SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM docs_w),
 wr AS (SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0),
-wchars AS (SELECT doc_id, wpos, w, unnest(range(length(w))) AS cpos FROM wr),
+wchars0 AS (SELECT doc_id, wpos, w, unnest(range(length(w))) AS cpos FROM wr),
+wchars AS (SELECT * FROM wchars0 WHERE cpos < {max_word_len}),
 wterm AS (
   SELECT doc_id, wpos,
          CAST(unicode(substr(w, cpos+1, 1)) AS HUGEINT) AS c,
@@ -201,7 +207,6 @@ def fingerprint_sql(
     k: int = 8,
     keep: int = 4,
     doc_source_sql: str = "SELECT doc_id, text FROM documents",
-    max_len: int = 4096,
 ) -> str:
     """Full oracle for the exploded fingerprint query → (doc_id, pos, fp):
     bottom-``keep`` distinct splitmix64 rolling k-gram codepoint hashes of

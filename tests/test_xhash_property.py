@@ -100,3 +100,23 @@ def test_simhash_sql_parity(words):
     for b in np.flatnonzero(counts > 0):
         sig |= np.uint64(1) << np.uint64(b)
     assert got == int(sig.view(np.int64)) or got == int(np.int64(sig.astype(np.int64)))
+
+
+def test_word_hash_truncation_parity_long_words():
+    """>MAX_WORD_CP-codepoint tokens (URLs, base64 blobs) must hash
+    engine-equal: both sides truncate to the first 256 codepoints (r2 bug:
+    the SQL power-list index returned NULL terms that sum() dropped while
+    the kernel hashed the full word)."""
+    M = xhash.MAX_WORD_CP
+    words = ["x" * (M + 50), "y" * M, "z" * (M - 1), "ab", "q" * (M + 1)]
+    text = " ".join(words)
+    con = _con_for(text)
+    sql = f"WITH {xhash_sql.word_hash_ctes('SELECT doc_id, text FROM documents')} "
+    got = [r[0] for r in con.execute(sql + "SELECT h FROM wh ORDER BY wpos").fetchall()]
+    want = [int(v) for v in xhash.word_hash_flat(words)]
+    assert got == want
+    # truncation semantics: chars past the bound are ignored entirely
+    h_trunc = xhash.word_hash_flat(["x" * M])[0]
+    h_long = xhash.word_hash_flat(["x" * (M + 50)])[0]
+    assert h_trunc == h_long
+    assert xhash.word_hash_flat(["x" * (M - 1)])[0] != h_trunc
