@@ -356,15 +356,21 @@ def q_arx_exo_forecast(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary columns: deterministic synthetic assets (real BMP/
     WAV payloads + opaque video bytes) → Arrow feature-extraction kernel in
-    ``auto`` mode — BMP and WAV are REALLY decoded (pure-numpy codecs:
-    parsed dimensions, Rec.601 luma, sample rate, RMS); only the video seam
-    stays stubbed with content-hash features."""
+    ``auto`` mode — BMP and WAV are REALLY decoded (pure-numpy codecs).
+
+    The contract exposes the SQL-checkable subset: every value here is a
+    *parsed-from-payload* fact (byte counts, BMP dimensions, WAV sample
+    rate/frame count, decode flags) that the oracle recomputes from the
+    generator's closed-form size arithmetic over ``range(400)`` — so the
+    driver certifies the decode path end-to-end, not just row counts. The
+    RNG-dependent signal features (mean_luma, rms, block vectors) stay
+    pytest-certified against the codec round-trip fixtures."""
     from forecaster_spark.operators.multimodal import extract_features, synth_assets
 
     assets = synth_assets(spark, 400)
     return extract_features(assets, decode="auto", dim=8).select(
         "asset_id", "mime", "n_bytes", "width", "height", "n_frames",
-        "mean_luma", "sample_rate", "rms", "decoded",
+        "sample_rate", "decoded",
     )
 
 
@@ -1382,6 +1388,27 @@ FROM events GROUP BY 1""",
         ),
         "simhash_documents": xhash_sql.simhash_sql(),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
+        # multimodal: the synthetic generator's payload sizes are closed-form
+        # arithmetic in the asset index, so every parsed-from-payload fact
+        # (BMP header math incl. 4-byte row padding, RIFF/WAV 44-byte header
+        # + PCM16 data, truncated video blob length) is recomputable in SQL —
+        # a real value check on the decode path; only RNG-dependent signal
+        # stats (luma/rms) are excluded (pytest codec fixtures cover those)
+        "multimodal_features_synth": """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(400))
+SELECT
+  'asset-' || lpad(CAST(i AS VARCHAR), 8, '0') AS asset_id,
+  CASE i % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+  CAST(CASE i % 3
+    WHEN 0 THEN 54 + ((3 * (8 + i % 24) + 3) // 4 * 4) * (8 + (i * 7) % 24)
+    WHEN 1 THEN 44 + 2 * (256 + i % 256)
+    ELSE least(32 * (8 + i % 17), 64 + (i % 512)) END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN i % 3 = 0 THEN 8 + i % 24 END AS INTEGER) AS width,
+  CAST(CASE WHEN i % 3 = 0 THEN 8 + (i * 7) % 24 END AS INTEGER) AS height,
+  CAST(CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 256 + i % 256 ELSE 1 + i % 24 END AS INTEGER) AS n_frames,
+  CAST(CASE WHEN i % 3 = 1 THEN CASE WHEN i % 2 = 0 THEN 8000 ELSE 16000 END END AS INTEGER) AS sample_rate,
+  i % 3 < 2 AS decoded
+FROM ids""",
         "cosine_topk_brute_embeddings": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
