@@ -99,12 +99,13 @@ def test_oracle_bit_exact_on_synth(spark, synth_dir, name):
 
 
 def test_contract_surface_hygiene():
-    """Every contract query has a DuckDB oracle except the documented
-    non-SQL exception (multimodal binary decode); every oracle key maps to a
-    real query. A new rows-only query must be added here deliberately."""
+    """Every contract query has a DuckDB oracle — zero rows-only checks
+    (the multimodal query's SQL-expressible subset got its own oracle in
+    r3); every oracle key maps to a real query. A new rows-only query must
+    be added here deliberately."""
     import __spark_entry__ as entry
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
-    assert set(qs) - set(oracles) == {"multimodal_features_synth"}
+    assert set(qs) - set(oracles) == set()
     assert callable(entry.entry)
