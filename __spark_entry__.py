@@ -737,16 +737,17 @@ def q_checkpoint_resume(spark, sf_dir):
 
 def q_stream_rollup_1m(spark, sf_dir):
     """Structured Streaming 1m rollup ≡ batch oracle: the events series is
-    streamed file-by-file (4 micro-batches, watermarked event-time windows,
-    complete mode) through the same exact-sum aggregate algebra as the batch
-    tier; the final streamed state must equal the batch rollup SQL
-    bit-for-bit — cross-micro-batch accumulation is what's certified."""
+    streamed file-by-file (2 micro-batches — the minimum that still proves
+    cross-micro-batch accumulation; more batches only multiply state-store
+    overhead, watermarked event-time windows, complete mode) through the
+    same exact-sum aggregate algebra as the batch tier; the final streamed
+    state must equal the batch rollup SQL bit-for-bit."""
     import tempfile
 
     from forecaster_spark.streaming.rollup_stream import SERIES_SCHEMA, stream_rollup_1m
 
     d = tempfile.mkdtemp(prefix="contract_stream_")
-    _events_series(spark, sf_dir).repartitionByRange(4, "ts").write.mode("overwrite").parquet(d)
+    _events_series(spark, sf_dir).repartitionByRange(2, "ts").write.mode("overwrite").parquet(d)
     stream = (
         spark.readStream.schema(SERIES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
     )
@@ -941,10 +942,12 @@ def q_feature_topk(spark, sf_dir):
 
 def q_stream_locf(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): the
-    nulled series streams in 4 time-quarter micro-batches (written
-    sequentially so file mtimes fix the trigger order); LOCF state carries
-    the last observation ACROSS batches, and the result must equal the
-    batch LOCF SQL bit-for-bit — cross-batch state is what's certified."""
+    nulled series streams in 2 time-half micro-batches (written
+    sequentially so file mtimes fix the trigger order — 2 is the minimum
+    that still proves state carries ACROSS batches; more batches only
+    multiply trigger overhead); LOCF state carries the last observation
+    across the batch boundary, and the result must equal the batch LOCF
+    SQL bit-for-bit."""
     import tempfile
 
     from forecaster_spark.streaming.stateful import stream_locf
@@ -952,11 +955,12 @@ def q_stream_locf(spark, sf_dir):
     d = tempfile.mkdtemp(prefix="contract_statestream_")
     nulled = _ev_nulled(spark, sf_dir).select("source", "ts", "event_id", "y")
     b = nulled.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
-    step = (b["hi"] - b["lo"]) / 4
-    for i in range(4):
+    n_batches = 2
+    step = (b["hi"] - b["lo"]) / n_batches
+    for i in range(n_batches):
         lo = b["lo"] + step * i
         cond = (F.col("ts") >= F.lit(lo)) if i else F.lit(True)
-        if i < 3:
+        if i < n_batches - 1:
             cond = cond & (F.col("ts") < F.lit(b["lo"] + step * (i + 1)))
         nulled.where(cond).coalesce(1).write.mode("append").parquet(d)
     stream = (
