@@ -279,65 +279,99 @@ def gorilla_encode_scalar(ts: np.ndarray, vals: np.ndarray) -> bytes:
 
 
 def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a block back to (ts int64, vals float64); exact round-trip."""
+    """Decode a block back to (ts int64, vals float64); exact round-trip.
+
+    Both token loops work on full 64-bit window reads from the precomputed
+    word table (one inlined expression, no per-read method calls), with a
+    run fast path: a window whose top bit is 0 starts a run of
+    ``64 - bit_length(window)`` consecutive '0'-control tokens — dod=0
+    timestamps / zero-XOR values — consumed in ONE iteration via slice
+    assignment. Regular-cadence rolled tiers are almost entirely such runs,
+    so the common read-back path does ~1/50th of the loop iterations the
+    token-by-token decoder did; irregular/noisy streams fall back to the
+    per-token branch, itself ~2× faster from the inlining."""
     (n,) = struct.unpack_from("<I", blob, 0)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     ts0, v0 = struct.unpack_from("<qd", blob, 4)
-    ts = np.empty(n, np.int64)
-    vals_u = np.empty(n, np.uint64)
-    ts[0] = ts0
-    vals_u[0] = np.float64(v0).view(np.uint64)
     if n == 1:
-        return ts, vals_u.view(np.float64)
-    r = _BitReader(blob[20:])
+        return np.array([ts0], np.int64), np.array([v0], np.float64)
+    w = _BitReader(blob[20:]).w
+    M64 = (1 << 64) - 1
+    TOP = 1 << 63
+    pos = 0
 
-    # one 4-bit peek classifies the control prefix (branch on the value, not
-    # one read per bit); the padded reader makes peeking past the end safe
-    ts_l = ts.tolist()
-    delta, t_prev = 0, ts_l[0]
-    for i in range(1, n):
-        c = r.peek(4)
-        if c < 0b1000:
-            r.pos += 1
-            dod = 0
-        elif c < 0b1100:
-            r.pos += 2
-            dod = r.read(7) - 63
-        elif c < 0b1110:
-            r.pos += 3
-            dod = r.read(9) - 255
-        elif c == 0b1110:
-            r.pos += 4
-            dod = r.read(12) - 2047
-        else:
-            r.pos += 4
-            raw = r.read(64)
-            dod = raw - (1 << 64) if raw >= (1 << 63) else raw
+    ts_l = [0] * n
+    ts_l[0] = ts0
+    delta, t_prev = 0, ts0
+    i = 1
+    while i < n:
+        j, off = pos >> 3, pos & 7
+        word = ((w[j] << off) & M64) | (w[j + 8] >> (64 - off))
+        if word < TOP:  # run of '0' tokens: dod=0, delta repeats
+            k = 64 - word.bit_length()
+            if k > n - i:
+                k = n - i
+            pos += k
+            if delta:
+                ts_l[i : i + k] = range(t_prev + delta, t_prev + delta * (k + 1), delta)
+                t_prev += delta * k
+            else:
+                ts_l[i : i + k] = [t_prev] * k
+            i += k
+            continue
+        c = word >> 60
+        if c < 0b1100:  # '10' + 7
+            dod = ((word >> 55) & 0x7F) - 63
+            pos += 9
+        elif c < 0b1110:  # '110' + 9
+            dod = ((word >> 52) & 0x1FF) - 255
+            pos += 12
+        elif c == 0b1110:  # '1110' + 12
+            dod = ((word >> 48) & 0xFFF) - 2047
+            pos += 16
+        else:  # '1111' + 64 raw (token spills past the window: re-extract)
+            pos += 4
+            j, off = pos >> 3, pos & 7
+            raw = ((w[j] << off) & M64) | (w[j + 8] >> (64 - off))
+            pos += 64
+            dod = raw - (1 << 64) if raw >= TOP else raw
         delta += dod
         t_prev += delta
         ts_l[i] = t_prev
+        i += 1
     ts = np.array(ts_l, dtype=np.int64)
 
     prev_lead, prev_mlen = 65, 0
-    prev = int(vals_u[0])
-    vals_l = vals_u.tolist()
-    for i in range(1, n):
-        c = r.peek(2)
-        if c < 0b10:
-            r.pos += 1
-            vals_l[i] = prev
+    prev = int(np.float64(v0).view(np.uint64))
+    vals_l = [0] * n
+    vals_l[0] = prev
+    i = 1
+    while i < n:
+        j, off = pos >> 3, pos & 7
+        word = ((w[j] << off) & M64) | (w[j + 8] >> (64 - off))
+        if word < TOP:  # run of '0' tokens: value repeats
+            k = 64 - word.bit_length()
+            if k > n - i:
+                k = n - i
+            pos += k
+            vals_l[i : i + k] = [prev] * k
+            i += k
             continue
-        if c == 0b10:
-            r.pos += 2
-            m = r.read(prev_mlen)
-        else:
-            r.pos += 2
-            prev_lead = r.read(5)
-            prev_mlen = r.read(6) + 1
-            m = r.read(prev_mlen)
-        prev ^= m << (64 - prev_lead - prev_mlen)
+        if word < (0b11 << 62):  # '10' + prev-window payload
+            pos += 2
+            mlen = prev_mlen
+        else:  # '11' + 5 lead + 6 (mlen-1) + payload
+            prev_lead = (word >> 57) & 0x1F
+            mlen = prev_mlen = ((word >> 51) & 0x3F) + 1
+            pos += 13
+        # payload can be up to 64 bits (token spills): one fresh extract
+        j, off = pos >> 3, pos & 7
+        m = (((w[j] << off) & M64) | (w[j + 8] >> (64 - off))) >> (64 - mlen)
+        pos += mlen
+        prev ^= m << (64 - prev_lead - mlen)
         vals_l[i] = prev
+        i += 1
     return ts, np.array(vals_l, dtype=np.uint64).view(np.float64)
 
 
