@@ -312,6 +312,23 @@ def q_arx_direct_forecast(spark, sf_dir):
     )
 
 
+def q_arx_std_scaler_forecast(spark, sf_dir):
+    """Standard-scaler + pinv forecast lifecycle (A1/A12/W8 scaled path —
+    the two previously pytest-only reference semantics), driver-certified
+    via affine equivariance: the standard y-scaler drops rectify
+    (arx.py:136), making the chain pure-linear, so scaled-fit → forecast →
+    inverse-transform is MATHEMATICALLY identical to the unrectified
+    exact-Cramer forecast the oracle computes on raw values. Centi-unit
+    floor quantization absorbs the solver ulp drift (measured ≤ 1.5e-14
+    against a ≥ 2.6e-5 boundary margin; pytest pins the margin)."""
+    out = forecast_long(
+        _hourly_int_series(spark, sf_dir), hh=4, p=2, spec=1, skip=2, scaler="standard"
+    )
+    return out.select(
+        "source", "t", "h", F.floor(F.col("y_hat") * 100).cast("long").alias("y_hat_c")
+    )
+
+
 def q_ar_yw_forecast(spark, sf_dir):
     """AR via Yule-Walker autocovariance fit (A4), dynamic recursion (C1) —
     exact integer Toeplitz solve on the centered series."""
@@ -1015,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arx_forecast_events_1h": q_arx_forecast,
         "arx_direct_forecast_events_1h": q_arx_direct_forecast,
         "ar_yw_forecast_events_1h": q_ar_yw_forecast,
+        "arx_std_scaler_forecast_events_1h": q_arx_std_scaler_forecast,
         "arx_symb_forecast_events_1h": q_arx_symb_forecast,
         "arx_exo_forecast_events_1h": q_arx_exo_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
@@ -1254,6 +1272,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_forecast_events_1h": exact_sql.arx_recursive_sql(),
         "arx_direct_forecast_events_1h": exact_sql.arx_direct_sql(),
         "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
+        "arx_std_scaler_forecast_events_1h": exact_sql.arx_std_scaler_quantized_sql(),
         "arx_exo_forecast_events_1h": exact_sql.arx_exo_sql(),
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),

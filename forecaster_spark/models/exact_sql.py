@@ -115,10 +115,17 @@ _NORMAL_SUMS = """
   CAST(sum(l1*l1) AS HUGEINT) AS s11"""
 
 
-def arx_recursive_sql() -> str:
-    """ARX(p=2, spec=1) in-sample recursive forecast with forge + rectify:
+def arx_recursive_sql(rectify: bool = True) -> str:
+    """ARX(p=2, spec=1) in-sample recursive forecast with forge:
     h=1 from [l2, l1]; h=2 from [l1, f1]; h=3 from [f1, f2]; h=4 from
-    [f2, f3] (arx.py:293-324 column splice at p=2)."""
+    [f2, f3] (arx.py:293-324 column splice at p=2). ``rectify=False`` drops
+    the non-negativity clamp — the pure-linear chain a standard-scaler
+    config is affine-equivalent to (arx.py:136 disables nneg under the
+    standard y-scaler)."""
+
+    def pred(expr: str) -> str:
+        return f"greatest({expr}, 0.0)" if rectify else f"({expr})"
+
     return f"""
 WITH {_SERIES},
 sums AS (
@@ -130,13 +137,31 @@ sums AS (
 params AS (SELECT source, {_cramer3(["sy", "sy2", "sy1"])} FROM sums),
 fc1 AS (
   SELECT g.source, g.t, g.l1, g.l2, p.b0, p.b1, p.b2,
-         greatest(p.b0 + g.l2*p.b1 + g.l1*p.b2, 0.0) AS f1
+         {pred("p.b0 + g.l2*p.b1 + g.l1*p.b2")} AS f1
   FROM lagged g JOIN params p USING (source) WHERE g.t >= {SKIP}
 ),
-fc2 AS (SELECT *, greatest(b0 + l1*b1 + f1*b2, 0.0) AS f2 FROM fc1),
-fc3 AS (SELECT *, greatest(b0 + f1*b1 + f2*b2, 0.0) AS f3 FROM fc2),
-fc4 AS (SELECT *, greatest(b0 + f2*b1 + f3*b2, 0.0) AS f4 FROM fc3)
+fc2 AS (SELECT *, {pred("b0 + l1*b1 + f1*b2")} AS f2 FROM fc1),
+fc3 AS (SELECT *, {pred("b0 + f1*b1 + f2*b2")} AS f3 FROM fc2),
+fc4 AS (SELECT *, {pred("b0 + f2*b1 + f3*b2")} AS f4 FROM fc3)
 {_OUT}"""
+
+
+def arx_std_scaler_quantized_sql(per_unit: int = 100) -> str:
+    """Oracle for the standard-scaler + pinv forecast config: the scaler is
+    affine and the standard-scaled chain drops rectify, so the scaled
+    pinv-fit recursive forecast is MATHEMATICALLY identical to the
+    unrectified exact-Cramer forecast on the raw series (OLS with intercept
+    is affine-equivariant; the forge feeds back forecasts consistently in
+    either space). Numerically the two differ only by solver ulp drift —
+    measured ≤ 1.5e-14 at both contract SFs against a ≥ 2.6e-5 distance to
+    the nearest centi-unit floor boundary (safety factor ~10^9), so both
+    engines land on identical quantized values."""
+    inner = arx_recursive_sql(rectify=False)
+    # multiply (exact dyadic-free single IEEE op, same in both engines) —
+    # never divide by the quantum (1/0.01 is not exactly representable)
+    return f"""
+SELECT source, t, h, CAST(floor(y_hat * {per_unit}) AS BIGINT) AS y_hat_c
+FROM ({inner})"""
 
 
 def arx_direct_sql() -> str:

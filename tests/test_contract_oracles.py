@@ -15,6 +15,7 @@ duckdb = pytest.importorskip("duckdb")
 
 QUERIES = [
     "arx_forecast_events_1h",
+    "arx_std_scaler_forecast_events_1h",
     "ar_yw_forecast_events_1h",
     "arx_direct_forecast_events_1h",
     "arx_exo_forecast_events_1h",
@@ -109,3 +110,35 @@ def test_contract_surface_hygiene():
     assert set(oracles) <= set(qs), set(oracles) - set(qs)
     assert set(qs) - set(oracles) == set()
     assert callable(entry.entry)
+
+
+def test_scaler_quantization_margin(spark):
+    """The standard-scaler contract query is certified through centi-unit
+    floor quantization of two mathematically-equal-but-float-different
+    paths (scaled pinv vs raw exact-Cramer, both unrectified). Pin the
+    safety factor: solver drift must stay orders of magnitude below the
+    distance to the nearest floor boundary, so the quantized values can
+    never disagree."""
+    import __spark_entry__ as entry
+    from forecaster_spark.models import exact_sql
+    from forecaster_spark.models.kernels import forecast_long
+    from forecaster_spark.sources import TESTDATA_TABLES
+
+    sf = "/root/testdata/sf0.01"
+    scaled = forecast_long(
+        entry._hourly_int_series(spark, sf), hh=4, p=2, spec=1, skip=2, scaler="standard"
+    ).toPandas()
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = con.execute(exact_sql.arx_recursive_sql(rectify=False)).df()
+    key = ["source", "t", "h"]
+    a = scaled.sort_values(key).reset_index(drop=True)
+    b = oracle.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    drift = np.abs(a["y_hat"].to_numpy() - b["y_hat"].to_numpy()).max()
+    f = a["y_hat"].to_numpy() * 100
+    margin = np.minimum(f - np.floor(f), np.ceil(f) - f).min()
+    assert drift < 1e-10, f"solver drift {drift:.3e} too large for quantized certify"
+    assert margin > 1e-6, f"floor boundary margin {margin:.3e} too small"
+    assert np.array_equal(np.floor(f), np.floor(b["y_hat"].to_numpy() * 100))
