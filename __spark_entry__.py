@@ -35,6 +35,7 @@ from forecaster_spark.operators.similarity import (
     cosine_topk_ivf_sql,
     cosine_topk_lsh,
     cosine_topk_lsh_sql,
+    embedding_neardup_pairs_sql,
 )
 from forecaster_spark.operators.textops import (
     STOPWORDS,
@@ -263,6 +264,22 @@ def q_cosine_topk_lsh(spark, sf_dir):
     queries_df = emb.where(F.col("vec_id") < 8)
     return cosine_topk_lsh(emb, queries_df, dim=dim, k=10, n_planes=8).select(
         "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the last LLM-data operator
+    without a driver certificate): hyperplane-LSH bucket equality → exact
+    cosine ≥ threshold, cosine emitted micro-unit floor-quantized (the two
+    engines' fold orders differ at ~1e-15 while the verified threshold /
+    boundary margins are ≥ 3e-3 / ≥ 1e-8)."""
+    from forecaster_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    pairs = embedding_neardup_pairs(emb, dim=dim, threshold=0.2, n_planes=10)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1_000_000).cast("long").alias("cos_u6")
     )
 
 
@@ -1029,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
         "cosine_topk_ivf_embeddings": q_cosine_topk_ivf,
+        "embedding_neardup_pairs_embeddings": q_embedding_neardup,
         "arx_forecast_events_1h": q_arx_forecast,
         "arx_direct_forecast_events_1h": q_arx_direct_forecast,
         "ar_yw_forecast_events_1h": q_ar_yw_forecast,
@@ -1405,6 +1423,9 @@ FROM events GROUP BY 1""",
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),
         "cosine_topk_ivf_embeddings": cosine_topk_ivf_sql(dim=64, k=10, n_centroids=16, n_probe=4),
+        "embedding_neardup_pairs_embeddings": embedding_neardup_pairs_sql(
+            dim=64, threshold=0.2, n_planes=10, seed=42
+        ),
         # -- cross-engine hash pipelines (xhash/xhash_sql mirror pair) ------
         "minhash_lsh_pairs_documents": xhash_sql.minhash_lsh_pairs_sql(
             num_perm=32, bands=8, verify_jaccard=0.4

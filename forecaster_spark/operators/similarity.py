@@ -398,6 +398,43 @@ FROM scored
 QUALIFY rank <= {k}"""
 
 
+def embedding_neardup_pairs_sql(
+    dim: int,
+    threshold: float = 0.2,
+    n_planes: int = 10,
+    seed: int = 42,
+    per_unit: int = 1_000_000,
+) -> str:
+    """DuckDB oracle for :func:`embedding_neardup_pairs`: seeded hyperplane
+    matrix inlined as literals, bucket-equality pair join, exact cosine with
+    the threshold filter, cosine emitted micro-unit floor-quantized
+    (Spark's zip_with/aggregate fold and DuckDB's list_cosine_similarity
+    differ at ~1e-15 ulp level; the quantum absorbs it — verified margins:
+    threshold ≥ 3e-3, floor boundary ≥ 1e-8 on the contract data)."""
+    planes = _planes(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({i}, {j}, {planes[i, j]!r})" for i in range(dim) for j in range(n_planes)
+    )
+    weights = ", ".join(str(1 << j) for j in range(n_planes))
+    return f"""
+WITH pl(i, j, p) AS (VALUES {rows}),
+ev AS (SELECT vec_id, unnest(range({dim})) AS i, embedding FROM embeddings),
+ex AS (SELECT vec_id, i, CAST(embedding[i+1] AS DOUBLE) AS x FROM ev),
+dots AS (SELECT vec_id, j, sum(x * p) AS d FROM ex JOIN pl USING (i) GROUP BY vec_id, j),
+buck AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN ([{weights}])[j+1] ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+sig AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buck b USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(floor(cosine * {per_unit}) AS BIGINT) AS cos_u6
+FROM pairs WHERE cosine >= {threshold}"""
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     dim: int,
