@@ -240,6 +240,20 @@ def q_simhash(spark, sf_dir):
     return simhash(docs).select("doc_id", "simhash")
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """Near-miss SimHash pairs (hamming ≤ 3) via pigeonhole chunk blocking
+    (Manku et al. WWW'07 multi-index): equi-join on 16-bit signature chunks,
+    exact native bit_count(xor) verify — no all-pairs anywhere. The oracle
+    deliberately uses the OPPOSITE algorithm (brute all-pairs hamming over
+    the recomputed signatures), so blocking losslessness itself is what the
+    driver certifies."""
+    from forecaster_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(simhash(docs), max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_fingerprint(spark, sf_dir):
     """Bottom-k k-gram sketch, exploded to (doc_id, pos, fp) rows — scalar
     columns so the driver's canonical sort can order them (an array<long>
@@ -1042,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_consecutive_documents": q_jaccard_consecutive,
         "minhash_lsh_pairs_documents": q_minhash_pairs,
         "simhash_documents": q_simhash,
+        "simhash_neardup_pairs_documents": q_simhash_neardup,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
@@ -1431,6 +1446,7 @@ FROM events GROUP BY 1""",
             num_perm=32, bands=8, verify_jaccard=0.4
         ),
         "simhash_documents": xhash_sql.simhash_sql(),
+        "simhash_neardup_pairs_documents": xhash_sql.simhash_neardup_sql(max_hamming=3),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form
         # arithmetic in the asset index, so every parsed-from-payload fact

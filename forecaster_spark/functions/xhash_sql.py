@@ -127,6 +127,23 @@ sig AS (
 SELECT doc_id, {to_int64("v")} AS simhash FROM sig"""
 
 
+def simhash_neardup_sql(
+    max_hamming: int = 3,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``simhash_neardup_pairs``: recompute the signatures with
+    the :func:`simhash_sql` chain, then BRUTE-FORCE all-pairs
+    ``bit_count(xor)`` ≤ d — deliberately a different algorithm from the
+    engine's pigeonhole chunk blocking (which is lossless for distance ≤ d),
+    so the two sides cross-check each other's logic, not just arithmetic."""
+    return f"""
+WITH sigs AS ({simhash_sql(doc_source_sql)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
 def shingle_ctes(k: int = 3) -> str:
     """wh → ``shd(doc_id, sh)``: distinct word-k-shingle hashes
     sh = splitmix64(Σ_{{j<k}} h_{{i+j}}·C^j); docs with <k words combine all

@@ -333,8 +333,64 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash") -> DataFrame:
     """Exact-signature SimHash duplicate pairs (hamming distance 0) — a
-    groupBy on the signature; near-miss (distance ≤ d) retrieval would block
-    on rotated prefixes the same way."""
+    groupBy on the signature; for distance ≤ d see
+    :func:`simhash_neardup_pairs`."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(sim_col))
     b = df.select(F.col(id_col).alias("id_b"), F.col(sim_col))
     return a.join(b, [sim_col]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Near-miss SimHash pairs (hamming distance ≤ ``max_hamming``) by
+    pigeonhole chunk blocking: the 64-bit signature splits into
+    ``max_hamming + 1`` chunks — two signatures within distance d must agree
+    EXACTLY on at least one chunk — so candidates come from equi-joins on
+    (chunk_id, chunk_value) and the exact hamming check is one native
+    ``bit_count(xor)``. One shuffle on the chunk key, candidate count
+    bounded by per-chunk collision rates (uniform for hash-like bits), no
+    all-pairs anywhere — the standard multi-index scheme from the Google
+    near-dup paper (Manku et al., WWW'07), fully codegen, no Python.
+
+    Output: (id_a, id_b, hamming), distinct."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sig = F.col(sim_col)
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        sig.alias("_sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        # unsigned chunk extract; the last chunk takes the
+                        # remaining high bits (64 % n_chunks extras)
+                        F.shiftrightunsigned(sig, c * width)
+                        .bitwiseAND(F.lit(-1 if c == n_chunks - 1 else (1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("_id", "_sig", "ck.chunk_id", "ck.chunk_val")
+    a = chunks.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "chunk_id", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "chunk_id", "chunk_val"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -24,6 +24,7 @@ QUERIES = [
     "feature_topk_events_1h",
     "minhash_lsh_pairs_documents",
     "simhash_documents",
+    "simhash_neardup_pairs_documents",
     "fingerprint_documents",
     "backcast_fill_events",
     "cosine_topk_lsh_embeddings",

@@ -76,6 +76,33 @@ def test_simhash_duplicates_and_stability(spark, docs):
     assert {("d00", "d01")} == set(zip(dups.id_a, dups.id_b))
 
 
+def test_simhash_neardup_blocking_is_lossless(spark):
+    """Pigeonhole chunk blocking must find EXACTLY the pairs brute-force
+    all-pairs hamming finds (d bit flips leave >= 1 of d+1 chunks intact)."""
+    from itertools import combinations
+
+    from forecaster_spark.operators.dedup import simhash_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 2**63, 12, dtype=np.int64)
+    sigs = list(base)
+    for i in range(8):  # planted near-misses: flip 1..4 bits of some base sig
+        s = int(base[i % len(base)])
+        for b in rng.choice(64, 1 + i % 4, replace=False):
+            s ^= 1 << int(b)
+        sigs.append(np.int64(np.uint64(s % 2**64) - (1 << 64) if s >= 2**63 else s))
+    pdf = pd.DataFrame({"doc_id": [f"d{i:02d}" for i in range(len(sigs))],
+                        "simhash": np.array(sigs, dtype=np.int64)})
+    got = simhash_neardup_pairs(spark.createDataFrame(pdf), max_hamming=3).toPandas()
+    want = {
+        (f"d{i:02d}", f"d{j:02d}"): bin(int(np.uint64(sigs[i]) ^ np.uint64(sigs[j]))).count("1")
+        for i, j in combinations(range(len(sigs)), 2)
+        if bin(int(np.uint64(sigs[i]) ^ np.uint64(sigs[j]))).count("1") <= 3
+    }
+    got_d = {(r.id_a, r.id_b): r.hamming for r in got.itertuples()}
+    assert got_d == want
+
+
 def test_simhash_wide_document_no_overflow():
     """A document with >32767 words must not overflow the per-bit tallies
     (r2 bug: reduceat kept int16). Equal word multiplicities give the same
