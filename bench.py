@@ -54,9 +54,26 @@ def main():
     # warm the JVM/JIT/python-worker pool AND the parquet scan path once (a
     # fresh session's first job carries ~6 s of one-time warm-up, and the
     # first parquet read pays its own codegen — both would otherwise be
-    # booked to whichever query runs first)
+    # booked to whichever query runs first). Also warm the three heavy
+    # machinery classes the queries share — window functions, shuffle
+    # aggregation, Arrow pandas-UDF workers — with one tiny job each:
+    # measured cold-vs-warm deltas of 3-5 s per query class otherwise land
+    # on whichever query hits the class first (asof_join: 6.4 s cold /
+    # 1.7 s warm at sf0.1).
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
     _force(spark.range(100_000).selectExpr("id", "xxhash64(id) h"))
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    _force(
+        spark.range(10_000)
+        .selectExpr("id % 7 AS k", "id AS v")
+        .selectExpr("k", "v", "sum(v) OVER (PARTITION BY k ORDER BY v) AS rs")
+        .groupBy("k")
+        .agg(_F.sum("rs"))
+    )
+    _warm_udf = _F.pandas_udf(lambda s: s + 1, "long")
+    _force(spark.range(10_000).select(_warm_udf(_F.col("id"))))
 
     query_times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
