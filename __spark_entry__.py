@@ -343,6 +343,17 @@ def q_arx_direct_forecast(spark, sf_dir):
     )
 
 
+def q_ar_smols_forecast(spark, sf_dir):
+    """AR via conditional OLS (A5, statsmodels AutoReg equivalent —
+    yw_method='sm_ols'): the previously pytest-only fit path, exact
+    integer-Cramer on the REAL-lag conditional design (rows t ≥ p, no z[0]
+    padding, most-recent lag first) + the shared dynamic forecast."""
+    return forecast_long(
+        _hourly_int_series(spark, sf_dir),
+        hh=4, p=2, skip=2, mode="ar_yw", yw_method="sm_ols", solver="exact",
+    )
+
+
 def q_arx_std_scaler_forecast(spark, sf_dir):
     """Standard-scaler + pinv forecast lifecycle (A1/A12/W8 scaled path —
     the two previously pytest-only reference semantics), driver-certified
@@ -1066,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arx_direct_forecast_events_1h": q_arx_direct_forecast,
         "ar_yw_forecast_events_1h": q_ar_yw_forecast,
         "arx_std_scaler_forecast_events_1h": q_arx_std_scaler_forecast,
+        "ar_smols_forecast_events_1h": q_ar_smols_forecast,
         "arx_symb_forecast_events_1h": q_arx_symb_forecast,
         "arx_exo_forecast_events_1h": q_arx_exo_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
@@ -1306,6 +1318,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_direct_forecast_events_1h": exact_sql.arx_direct_sql(),
         "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
         "arx_std_scaler_forecast_events_1h": exact_sql.arx_std_scaler_quantized_sql(),
+        "ar_smols_forecast_events_1h": exact_sql.ar_sm_ols_sql(),
         "arx_exo_forecast_events_1h": exact_sql.arx_exo_sql(),
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),

@@ -465,6 +465,39 @@ fc4 AS (SELECT *, c + phi1*f3 + phi2*f2 AS f4 FROM fc3)
 {_OUT}"""
 
 
+def ar_sm_ols_sql() -> str:
+    """AR(2) by conditional OLS (statsmodels ``AutoReg(y, lags=p).fit()``
+    equivalent — yw_method='sm_ols', ar_yw.py:88-90) + the same dynamic
+    multi-horizon forecast as :func:`ar_yw_sql`. Design rows t ≥ p with
+    REAL lags (no z[0] padding — the conditional likelihood drops the first
+    p rows), most-recent-lag-first columns; exact integer Cramer via the
+    shared 3×3 machinery with the column slots bound to [1, l1, l2]."""
+    return f"""
+WITH {_SERIES},
+yl AS (SELECT source, t, y, lag(y, 1) OVER w AS yl1, lag(y, 2) OVER w AS yl2
+       FROM ord_s WINDOW w AS (PARTITION BY source ORDER BY t)),
+sums AS (
+  SELECT source,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(yl1) AS HUGEINT) AS s2, CAST(sum(yl2) AS HUGEINT) AS s1,
+    CAST(sum(yl1*yl1) AS HUGEINT) AS s22, CAST(sum(yl1*yl2) AS HUGEINT) AS s21,
+    CAST(sum(yl2*yl2) AS HUGEINT) AS s11,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(y*yl1) AS HUGEINT) AS sy1, CAST(sum(y*yl2) AS HUGEINT) AS sy2
+  FROM yl WHERE t >= {P} GROUP BY source
+),
+params AS (SELECT source, {_cramer3(["sy", "sy1", "sy2"])} FROM sums),
+fc1 AS (
+  SELECT g.source, g.t, g.yl1, p.b0 AS c, p.b1 AS phi1, p.b2 AS phi2,
+         p.b0 + g.yl1*p.b1 + g.yl2*p.b2 AS f1
+  FROM yl g JOIN params p USING (source) WHERE g.t >= {SKIP}
+),
+fc2 AS (SELECT *, c + f1*phi1 + yl1*phi2 AS f2 FROM fc1),
+fc3 AS (SELECT *, c + f2*phi1 + f1*phi2 AS f3 FROM fc2),
+fc4 AS (SELECT *, c + f3*phi1 + f2*phi2 AS f4 FROM fc3)
+{_OUT}"""
+
+
 def feature_topk_sql(k: int = 3) -> str:
     """Oracle for the top-k feature-selection query: squared Pearson
     correlation per feature from exact integer sums, one HUGEINT->DOUBLE

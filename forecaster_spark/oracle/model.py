@@ -123,7 +123,8 @@ class RefARX:
         if self.mode == "ar_yw":
             yw = self.y if y_ is None else y_
             if self.yw_method == "sm_ols":
-                self.params = ref.ar_autoreg_ols_fit(yw, self.p)
+                fit = ref.ar_autoreg_ols_fit_exact if exact else ref.ar_autoreg_ols_fit
+                self.params = fit(yw, self.p)
             elif exact:
                 self.params = ref.ar_yule_walker_fit_exact(yw, self.p, self.yw_method)
             else:

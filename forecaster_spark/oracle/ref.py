@@ -458,6 +458,17 @@ def ar_autoreg_ols_fit(y: np.ndarray, p: int) -> np.ndarray:
     return ols_fit(lags, y[rows])
 
 
+def ar_autoreg_ols_fit_exact(y: np.ndarray, p: int) -> np.ndarray:
+    """Exact-Cramer variant of :func:`ar_autoreg_ols_fit` for integer-valued
+    series: same conditional design (rows t ≥ p, most-recent lag first),
+    solved via :func:`ols_fit_exact` so DuckDB HUGEINT sums reproduce every
+    coefficient bit-for-bit."""
+    y = np.asarray(y, dtype=float)
+    rows = np.arange(p, len(y))
+    lags = np.column_stack([y[rows - k] for k in range(1, p + 1)])
+    return ols_fit_exact(lags, y[rows])
+
+
 def ar_dynamic_forecast(
     y: np.ndarray, params: np.ndarray, t: int, hh: int, ordered: bool = False
 ) -> np.ndarray:

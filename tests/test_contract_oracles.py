@@ -17,6 +17,7 @@ QUERIES = [
     "arx_forecast_events_1h",
     "arx_std_scaler_forecast_events_1h",
     "ar_yw_forecast_events_1h",
+    "ar_smols_forecast_events_1h",
     "arx_direct_forecast_events_1h",
     "arx_exo_forecast_events_1h",
     "arx_symb_forecast_events_1h",
