@@ -356,7 +356,14 @@ def simhash_neardup_pairs(
     all-pairs anywhere — the standard multi-index scheme from the Google
     near-dup paper (Manku et al., WWW'07), fully codegen, no Python.
 
-    Output: (id_a, id_b, hamming), distinct."""
+    Output: (id_a, id_b, hamming), distinct.
+
+    Pairing is bucket-grouped (collect per (chunk_id, chunk_val), explode
+    within the bucket) rather than a self-join: ONE shuffle and ONE
+    evaluation of the signature chain instead of two of each (a self-join
+    cannot reuse the exchange — the two sides' aliases differ). Bucket
+    sizes are bounded by duplicate-cluster size, the same bound the
+    within-bucket explosion of any scheme pays."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sig = F.col(sim_col)
@@ -379,18 +386,23 @@ def simhash_neardup_pairs(
             )
         ).alias("ck"),
     ).select("_id", "_sig", "ck.chunk_id", "ck.chunk_val")
-    a = chunks.select(
-        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "chunk_id", "chunk_val"
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk_val")
+        .agg(F.collect_list(F.struct("_id", "_sig")).alias("_es"))
+        .where(F.size("_es") > 1)
     )
-    b = chunks.select(
-        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "chunk_id", "chunk_val"
+    pairs = (
+        buckets.select(F.explode("_es").alias("a"), "_es")
+        .select("a", F.explode("_es").alias("b"))
+        .where(F.col("a._id") < F.col("b._id"))
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ham = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
+        pairs.select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
         .distinct()
     )
