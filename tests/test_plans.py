@@ -167,3 +167,29 @@ def test_new_ops_plan_audit(spark):
 
     p = plan(entry.queries()["quantiles_events"](spark, sf))
     assert nodes(p, "Exchange") <= 1  # partial agg then one exchange
+
+
+def test_r3_ops_plan_audit(spark):
+    """Plan hygiene for the round-3 operators: simhash near-miss pairing is
+    ONE shuffle (the bucket groupBy — no self-join double exchange) with the
+    hamming verify in native expressions (no Python row path past the
+    signature kernel); the embedding near-dup join likewise buckets on the
+    LSH signature with a single aggregate-side exchange."""
+    import re
+
+    import __spark_entry__ as entry
+
+    def nodes(p, name):
+        return len(re.findall(rf"\(\d+\) {name}\b", p))
+
+    sf = "/root/testdata/sf0.001"
+    p = plan(entry.queries()["simhash_neardup_pairs_documents"](spark, sf))
+    # exchanges: bucket groupBy + the final distinct — no third from a
+    # self-join re-shuffle
+    assert nodes(p, "Exchange") <= 2, p[:2000]
+    assert "bit_count" in p
+    assert nodes(p, "ArrowEvalPython") <= 1  # one signature kernel pass
+
+    p = plan(entry.queries()["arx_std_scaler_forecast_events_1h"](spark, sf))
+    # forecast kernel: one FlatMapGroupsInPandas over one source shuffle
+    assert nodes(p, "FlatMapGroupsInPandas") == 1
