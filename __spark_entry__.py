@@ -806,7 +806,13 @@ def q_stream_rollup_1m(spark, sf_dir):
     from forecaster_spark.streaming.rollup_stream import SERIES_SCHEMA, stream_rollup_1m
 
     d = tempfile.mkdtemp(prefix="contract_stream_")
-    _events_series(spark, sf_dir).repartitionByRange(2, "ts").write.mode("overwrite").parquet(d)
+    s = _events_series(spark, sf_dir)
+    # two time-half files via filters (repartitionByRange would add a range-
+    # sampling job + a shuffle just to split the input for the stream)
+    b = s.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+    s.where(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
+    s.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
     stream = (
         spark.readStream.schema(SERIES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(d)
     )
