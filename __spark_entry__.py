@@ -30,6 +30,7 @@ from forecaster_spark.operators.downsample import lttb_sql
 from forecaster_spark.operators.gapfill import backcast_fill, linear_interp, locf
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
 from forecaster_spark.operators.seriesify import events_as_series
+from forecaster_spark.operators.packing import pack_sequences_sql
 from forecaster_spark.operators.similarity import (
     cosine_topk_brute,
     cosine_topk_ivf_sql,
@@ -238,6 +239,22 @@ def q_minhash_pairs(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return simhash(docs).select("doc_id", "simhash")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (pretraining example packing): greedy
+    sequential fill of 512-token bins per language, document order fixed by
+    doc_id, n_tok = the certified whitespace token count. The recursive-CTE
+    oracle replays the walk row-by-row — bin boundaries, overflow-starts-new
+    -bin, and oversized-doc-own-bin are all value-checked."""
+    from forecaster_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    src = docs.select("doc_id", "lang", ws.cast("long").alias("n_tok"))
+    return pack_sequences(src, budget=512, n_tok="n_tok", partition="lang").select(
+        "lang", "doc_id", "n_tok", "bin_id", "bin_fill"
+    )
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -1074,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_documents": q_minhash_pairs,
         "simhash_documents": q_simhash,
         "simhash_neardup_pairs_documents": q_simhash_neardup,
+        "pack_sequences_documents": q_pack_sequences,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
@@ -1466,6 +1484,7 @@ FROM events GROUP BY 1""",
         ),
         "simhash_documents": xhash_sql.simhash_sql(),
         "simhash_neardup_pairs_documents": xhash_sql.simhash_neardup_sql(max_hamming=3),
+        "pack_sequences_documents": pack_sequences_sql(budget=512),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form
         # arithmetic in the asset index, so every parsed-from-payload fact

@@ -1,0 +1,98 @@
+"""Sequence packing for pretraining pipelines: group documents into
+token-budget bins (the standard "pack short sequences into fixed-length
+training examples" step) with deterministic greedy-sequential semantics.
+
+Within each partition key, documents are visited in a fixed order and fill
+the current bin until adding the next document would exceed ``budget``
+tokens — then a fresh bin starts (an oversized single document gets a bin
+of its own). The assignment is a pure function of (order, n_tok, budget),
+so a row-stepping recursive-CTE oracle replays it exactly.
+
+Scale notes: the greedy scan is inherently sequential per partition key —
+the same shape as LOCF/EWMA. Feed it bounded groups (per-source shards,
+date buckets) rather than one giant key; the loop itself is a plain Python
+float-free integer walk (~10M docs/s), so the per-task bound is the group
+ROW COUNT held in one Arrow batch, not CPU. A two-phase blocked variant
+(pack blocks independently, then merge boundary bins) trades exactness of
+the greedy boundary for unbounded keys; the exact-replay contract pins the
+sequential semantics, so the blocked variant is deliberately out of scope
+here.
+
+The reference has no packing (engine-added operator, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_tok: str = "n_tok",
+    partition: str = "source",
+    order: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Assign each row a ``bin_id`` (0-based per partition key) and
+    ``bin_fill`` (tokens in the bin AFTER placing the row) by the greedy
+    sequential rule above. Output: input columns + bin_id + bin_fill."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("bin_id", T.LongType()), T.StructField("bin_fill", T.LongType())]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        bins, fills = [], []
+        b, fill = 0, 0
+        for n in pdf[n_tok].tolist():
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                b += 1
+                fill = 0
+            fill += n
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin_id"] = bins
+        pdf["bin_fill"] = fills
+        return pdf
+
+    return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def pack_sequences_sql(
+    budget: int,
+    doc_source_sql: str = (
+        "SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tok "
+        "FROM documents"
+    ),
+    partition: str = "lang",
+    order: str = "doc_id",
+) -> str:
+    """DuckDB oracle: recursive CTE walking each partition's rows in order,
+    carrying (bin, fill) through the greedy rule — the same row-stepping
+    pattern as the EWMA/backcast oracles."""
+    return f"""
+WITH RECURSIVE src AS ({doc_source_sql}),
+o AS (
+  SELECT *, row_number() OVER (PARTITION BY {partition} ORDER BY {order}) - 1 AS idx
+  FROM src
+),
+walk(part, idx, doc_id, n_tok, bin, fill) AS (
+  SELECT {partition}, idx, doc_id, n_tok, CAST(0 AS BIGINT), CAST(n_tok AS BIGINT)
+  FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p.{partition}, p.idx, p.doc_id, p.n_tok,
+         CASE WHEN w.fill > 0 AND w.fill + p.n_tok > {budget} THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill > 0 AND w.fill + p.n_tok > {budget}
+              THEN CAST(p.n_tok AS BIGINT) ELSE w.fill + p.n_tok END
+  FROM walk w JOIN o p ON p.{partition} = w.part AND p.idx = w.idx + 1
+)
+SELECT part AS {partition}, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       bin AS bin_id, fill AS bin_fill
+FROM walk"""

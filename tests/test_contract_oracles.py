@@ -26,6 +26,7 @@ QUERIES = [
     "minhash_lsh_pairs_documents",
     "simhash_documents",
     "simhash_neardup_pairs_documents",
+    "pack_sequences_documents",
     "fingerprint_documents",
     "backcast_fill_events",
     "cosine_topk_lsh_embeddings",

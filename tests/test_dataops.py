@@ -271,3 +271,28 @@ def test_multimodal_real_decode(spark):
     assert out.loc["wav-0", "rms"] == pytest.approx(1000.0)
     assert out.loc["wav-0", "n_frames"] == 64
     assert list(out.loc["wav-0", "feature"]) == [1000.0] * 4
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Greedy token-budget packing: exact fit stays in-bin, overflow starts
+    a new bin, an oversized doc gets its own bin, order is deterministic."""
+    from forecaster_spark.operators.packing import pack_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(7)],
+            "source": "s",
+            "n_tok": [300, 212, 100, 900, 10, 502, 512],
+        }
+    )
+    out = (
+        pack_sequences(spark.createDataFrame(pdf), budget=512, partition="source")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # d0(300)+d1(212)=512 exact fit -> bin0; d2(100) -> bin1; d3(900)
+    # oversized -> bin2 alone; d4(10) -> bin3 (d3 overflowed its bin);
+    # d5(502) joins d4 (10+502=512) -> bin3; d6(512) -> bin4
+    assert out.bin_id.tolist() == [0, 0, 1, 2, 3, 3, 4]
+    assert out.bin_fill.tolist() == [300, 512, 100, 900, 10, 512, 512]
