@@ -31,6 +31,7 @@ from forecaster_spark.operators.gapfill import backcast_fill, linear_interp, loc
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
 from forecaster_spark.operators.seriesify import events_as_series
 from forecaster_spark.operators.packing import pack_sequences_sql
+from forecaster_spark.operators.sampling import hash_split_sql
 from forecaster_spark.operators.similarity import (
     cosine_topk_brute,
     cosine_topk_ivf_sql,
@@ -239,6 +240,18 @@ def q_minhash_pairs(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     return simhash(docs).select("doc_id", "simhash")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (98/1/1): bucket =
+    splitmix64(id·(2·seed+1)) mod 1e6 — stable under any row order,
+    partitioning, or cluster size (the reference's positional 80/20 split
+    is not), and replayed bucket-for-bucket by the DuckDB splitmix
+    pipeline."""
+    from forecaster_spark.operators.sampling import hash_split
+
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id")).select("doc_id", "bucket", "split")
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1092,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash,
         "simhash_neardup_pairs_documents": q_simhash_neardup,
         "pack_sequences_documents": q_pack_sequences,
+        "hash_split_documents": q_hash_split,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
@@ -1485,6 +1499,7 @@ FROM events GROUP BY 1""",
         "simhash_documents": xhash_sql.simhash_sql(),
         "simhash_neardup_pairs_documents": xhash_sql.simhash_neardup_sql(max_hamming=3),
         "pack_sequences_documents": pack_sequences_sql(budget=512),
+        "hash_split_documents": hash_split_sql(),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form
         # arithmetic in the asset index, so every parsed-from-payload fact

@@ -296,3 +296,25 @@ def test_pack_sequences_greedy_semantics(spark):
     # d5(502) joins d4 (10+502=512) -> bin3; d6(512) -> bin4
     assert out.bin_id.tolist() == [0, 0, 1, 2, 3, 3, 4]
     assert out.bin_fill.tolist() == [300, 512, 100, 900, 10, 512, 512]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Hash splits are order/partitioning-invariant pure functions of the
+    id (incl. negative ids: two's-complement uint64 view matches the
+    oracle's mod-2^64 mapping), and hit the requested proportions."""
+    from forecaster_spark.functions import xhash
+    from forecaster_spark.operators.sampling import BUCKETS, hash_split
+
+    ids = list(range(20000)) + [-1, -2, -(2**62)]
+    pdf = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64)})
+    out = hash_split(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    # kernel == pure-numpy definition
+    u = np.array(ids, dtype=np.int64).view(np.uint64)
+    want = (xhash.splitmix64(u * np.uint64(2 * 42 + 1)) % np.uint64(BUCKETS)).view(np.int64)
+    assert np.array_equal(out.loc[ids, "bucket"].to_numpy(), want)
+    # shuffled input -> identical assignment
+    out2 = hash_split(spark.createDataFrame(pdf.sample(frac=1.0, random_state=7))).toPandas()
+    assert out2.set_index("doc_id").loc[ids, "bucket"].equals(out.loc[ids, "bucket"])
+    frac = (out["split"] == "train").mean()
+    assert 0.975 < frac < 0.985
+    assert set(out["split"].unique()) == {"train", "val", "test"}
