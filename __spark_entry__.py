@@ -242,6 +242,18 @@ def q_simhash(spark, sf_dir):
     return simhash(docs).select("doc_id", "simhash")
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap): flag corpus
+    docs sharing any word 3-shingle with the benchmark subset (doc_id <
+    20). Bench shingles broadcast; corpus shingled once, probed with a
+    left-semi join — corpus-linear, no text shuffle."""
+    from forecaster_spark.operators.dedup import contamination_flags
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    return contamination_flags(docs, bench, k=3)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (98/1/1): bucket =
     splitmix64(id·(2·seed+1)) mod 1e6 — stable under any row order,
@@ -1106,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs_documents": q_simhash_neardup,
         "pack_sequences_documents": q_pack_sequences,
         "hash_split_documents": q_hash_split,
+        "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
@@ -1500,6 +1513,7 @@ FROM events GROUP BY 1""",
         "simhash_neardup_pairs_documents": xhash_sql.simhash_neardup_sql(max_hamming=3),
         "pack_sequences_documents": pack_sequences_sql(budget=512),
         "hash_split_documents": hash_split_sql(),
+        "contamination_flags_documents": xhash_sql.contamination_sql(),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form
         # arithmetic in the asset index, so every parsed-from-payload fact

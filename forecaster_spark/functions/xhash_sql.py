@@ -169,6 +169,22 @@ shd AS (SELECT DISTINCT doc_id, sh FROM gsm)
 """
 
 
+def contamination_sql(
+    bench_filter: str = "doc_id < 20",
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``contamination_flags`` with bench = the corpus subset
+    matching ``bench_filter``: shingle once over all docs, mark any doc
+    sharing a shingle with the bench subset."""
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+{shingle_ctes()},
+bsh AS (SELECT DISTINCT sh FROM shd WHERE {bench_filter}),
+hits AS (SELECT DISTINCT doc_id FROM shd WHERE sh IN (SELECT sh FROM bsh))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM ({doc_source_sql}) d LEFT JOIN hits h USING (doc_id)"""
+
+
 def minhash_lsh_pairs_sql(
     num_perm: int = 32,
     bands: int = 8,

@@ -260,6 +260,35 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ANY word
+    k-shingle with the benchmark set (the GPT-3-style n-gram overlap
+    check). Benchmark shingles are distinct-ed and BROADCAST (eval sets are
+    small by construction); the corpus side shingles once and probes with a
+    left-semi join — corpus-linear work, no shuffle of corpus text.
+    Output: (id_col, contaminated boolean)."""
+    sh_c = word_shingles(corpus, text_col, k).select(
+        id_col, F.explode("shingles").alias("sh")
+    )
+    sh_b = (
+        word_shingles(bench, text_col, k)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    hits = sh_c.join(F.broadcast(sh_b), "sh", "left_semi").select(id_col).distinct()
+    return (
+        corpus.select(id_col)
+        .join(hits.withColumn("_hit", F.lit(True)), id_col, "left")
+        .select(id_col, F.coalesce("_hit", F.lit(False)).alias("contaminated"))
+    )
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

@@ -27,6 +27,7 @@ QUERIES = [
     "simhash_documents",
     "simhash_neardup_pairs_documents",
     "pack_sequences_documents",
+    "contamination_flags_documents",
     "fingerprint_documents",
     "backcast_fill_events",
     "cosine_topk_lsh_embeddings",

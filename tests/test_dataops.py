@@ -318,3 +318,19 @@ def test_hash_split_deterministic_and_proportional(spark):
     frac = (out["split"] == "train").mean()
     assert 0.975 < frac < 0.985
     assert set(out["split"].unique()) == {"train", "val", "test"}
+
+
+def test_contamination_flags(spark, docs):
+    """Docs sharing any word 3-shingle with the bench set flag true; the
+    bench docs themselves flag true; disjoint docs flag false."""
+    from forecaster_spark.operators.dedup import contamination_flags
+
+    bench = docs.where(F.col("doc_id") == "d00")
+    out = (
+        contamination_flags(docs, bench)
+        .toPandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    assert out["d00"] and out["d01"]  # exact dup shares everything
+    assert out["d02"]  # near dup shares most shingles
+    assert not out["d06"] and not out["d03"]  # disjoint content clean
