@@ -454,6 +454,30 @@ def q_arx_exo_forecast(spark, sf_dir):
     return forecast_long(s, exo_cols=["x_cnt"], hh=3, p=2, q=1, spec=1, skip=2, solver="exact")
 
 
+def q_arx_cross_forecast(spark, sf_dir):
+    """ARX_Symb CROSS terms (P4, the last fit-path capability without a
+    driver certificate): endo×exo product features (y·x computed from
+    actuals, lagged, hidden as-of at h ≥ 2 — reference cross semantics,
+    arx_symb.py cross=True) with empty transform lists so the design is
+    the 4×4-Cramer-expressible [1, l1(y), l1(x), l1(y·x)]. Exo x = 1 +
+    t mod 7 (weekday-style, SF-invariant magnitudes, nonzero so backfill
+    is a no-op)."""
+    from pyspark.sql import Window
+
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    w = Window.partitionBy("source").orderBy("bucket_start")
+    s = t.select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.floor("mean_y").cast("double").alias("y"),
+        ((F.row_number().over(w) - 1) % 7 + 1).cast("double").alias("x_wd"),
+    )
+    return forecast_long(
+        s, exo_cols=["x_wd"], hh=3, p=1, q=1, spec=1, skip=2,
+        design="symb", symb_funcs=[], exo_symb_funcs=[], cross=True, solver="exact",
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary columns: deterministic synthetic assets (real BMP/
     WAV payloads + opaque video bytes) → Arrow feature-extraction kernel in
@@ -1129,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_yw_forecast_events_1h": q_ar_yw_forecast,
         "arx_std_scaler_forecast_events_1h": q_arx_std_scaler_forecast,
         "ar_smols_forecast_events_1h": q_ar_smols_forecast,
+        "arx_cross_forecast_events_1h": q_arx_cross_forecast,
         "arx_symb_forecast_events_1h": q_arx_symb_forecast,
         "arx_exo_forecast_events_1h": q_arx_exo_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
@@ -1370,6 +1395,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
         "arx_std_scaler_forecast_events_1h": exact_sql.arx_std_scaler_quantized_sql(),
         "ar_smols_forecast_events_1h": exact_sql.ar_sm_ols_sql(),
+        "arx_cross_forecast_events_1h": exact_sql.arx_cross_sql(),
         "arx_exo_forecast_events_1h": exact_sql.arx_exo_sql(),
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),

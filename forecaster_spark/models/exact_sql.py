@@ -267,6 +267,60 @@ fc3 AS (SELECT *, greatest(b0 + f1*b1 + f2*b2 + x1*b3, 0.0) AS f3 FROM fc2)
 {_out(3)}"""
 
 
+def arx_cross_sql() -> str:
+    """ARX_Symb cross terms (P4 — arx_symb.py:162-225 cross=True) with
+    empty endo/exo transform lists: design [1, l1(y), l1(x), l1(y·x)] for
+    p=q=1, exo x = 1 + t mod 7 (weekday-style index; nonzero so the
+    backcast backfill is an exercised no-op). Cross features are y·x
+    computed from actuals then LAGGED — at h ≥ 2 they are hidden as-of
+    like any exo block (never recomputed from forecasts), which is exactly
+    the reference's cross semantics this oracle certifies. Exact 4×4
+    Cramer with slot bindings [1, l1, x1, c1]; magnitudes are SF-invariant
+    (x is t-derived, not count-derived) and stay far inside HUGEINT."""
+    return f"""
+WITH series AS (SELECT event_type AS source, ts, value FROM events),
+th AS (
+  SELECT source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM series GROUP BY 1, 2
+),
+ord_s AS (
+  SELECT source, CAST(yd AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+),
+ex AS (SELECT source, t, y, 1 + t % 7 AS x FROM ord_s),
+lagged AS (
+  SELECT source, t, y,
+         coalesce(lag(y, 1) OVER w, first_value(y) OVER w) AS l1,
+         coalesce(lag(x, 1) OVER w, first_value(x) OVER w) AS x1,
+         coalesce(lag(y*x, 1) OVER w, first_value(y*x) OVER w) AS c1
+  FROM ex WINDOW w AS (PARTITION BY source ORDER BY t)
+),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1) AS HUGEINT) AS s2, CAST(sum(x1) AS HUGEINT) AS s1,
+         CAST(sum(c1) AS HUGEINT) AS sx,
+         CAST(sum(l1*l1) AS HUGEINT) AS s22, CAST(sum(l1*x1) AS HUGEINT) AS s21,
+         CAST(sum(l1*c1) AS HUGEINT) AS s2x,
+         CAST(sum(x1*x1) AS HUGEINT) AS s11, CAST(sum(x1*c1) AS HUGEINT) AS s1x,
+         CAST(sum(c1*c1) AS HUGEINT) AS sxx,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(y*l1) AS HUGEINT) AS syl,
+         CAST(sum(y*x1) AS HUGEINT) AS syx, CAST(sum(y*c1) AS HUGEINT) AS syc
+  FROM lagged GROUP BY source
+),
+params AS (SELECT source, {_cramer4(["sy", "syl", "syx", "syc"])} FROM sums),
+fc1 AS (
+  SELECT g.source, g.t, g.x1, g.c1, p.b0, p.b1, p.b2, p.b3,
+         greatest(p.b0 + g.l1*p.b1 + g.x1*p.b2 + g.c1*p.b3, 0.0) AS f1
+  FROM lagged g JOIN params p USING (source) WHERE g.t >= {SKIP}
+),
+fc2 AS (SELECT *, greatest(b0 + f1*b1 + x1*b2 + c1*b3, 0.0) AS f2 FROM fc1),
+fc3 AS (SELECT *, greatest(b0 + f2*b1 + x1*b2 + c1*b3, 0.0) AS f3 FROM fc2)
+{_out(3)}"""
+
+
 def arx_symb_sql() -> str:
     """ARX_Symb(p=1, spec=1, f_endo=[square]) in-sample recursive forecast,
     hh=3: design [1, l1, lag(y²)], forge with symbolic scale-correction —

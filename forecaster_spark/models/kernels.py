@@ -49,6 +49,7 @@ def _build(pdf: pd.DataFrame, order: str, y: str, exo_cols, cfg) -> RefARX:
         yw_method=cfg.get("yw_method", "mle"),
         solver=cfg.get("solver", "pinv"),
         symb_funcs=cfg.get("symb_funcs"),
+        exo_symb_funcs=cfg.get("exo_symb_funcs"),
     )
 
 

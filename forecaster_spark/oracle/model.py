@@ -47,6 +47,7 @@ class RefARX:
         yw_method: str = "mle",
         solver: str = "pinv",
         symb_funcs: tuple | list | None = None,
+        exo_symb_funcs: tuple | list | None = None,
     ):
         y = np.asarray(y, dtype=float)
         if xe is not None:
@@ -70,16 +71,18 @@ class RefARX:
         self.tr_size = int((1.0 - self.TE_RATIO) * self.n)
         self.te_size = self.n - self.tr_size
         self.n_exo = 0 if xe is None else xe.shape[1]
-        # symb_funcs: names from ref.SYMB_FUNC_REGISTRY or callables
-        # (reference ARX_Symb ff/gg lists, arx_symb.py:60-66)
-        if symb_funcs is not None:
-            self.f_endo = tuple(
-                ref.SYMB_FUNC_REGISTRY[f] if isinstance(f, str) else f for f in symb_funcs
-            )
-        else:
-            self.f_endo = ref.DEFAULT_SYMB_FUNCS
+        # symb_funcs / exo_symb_funcs: names from ref.SYMB_FUNC_REGISTRY or
+        # callables — SEPARATE endo/exo transform lists, mirroring the
+        # reference ARX_Symb ff/gg lists (arx_symb.py:60-66); exo defaults
+        # to the endo list when not given (the engine's historical default)
+
+        def _resolve(fs):
+            return tuple(ref.SYMB_FUNC_REGISTRY[f] if isinstance(f, str) else f for f in fs)
+
+        self.f_endo = _resolve(symb_funcs) if symb_funcs is not None else ref.DEFAULT_SYMB_FUNCS
+        self.f_exo = _resolve(exo_symb_funcs) if exo_symb_funcs is not None else self.f_endo
         self.n_f_endo = len(self.f_endo) if design == "symb" else 0
-        self.n_f_exo = len(self.f_endo) if design == "symb" else 0
+        self.n_f_exo = len(self.f_exo) if design == "symb" else 0
 
         mk = {None: lambda: None, "minmax": lambda: ref.MinMaxScaler(self.LU),
               "standard": ref.StandardScaler}[scaler]
@@ -99,7 +102,7 @@ class RefARX:
             if design == "symb":
                 self.X, self.y = ref.arx_symb_design_matrix(
                     y, p, q, spec, cross, xe,
-                    f_endo=self.f_endo, f_exo=self.f_endo,
+                    f_endo=self.f_endo, f_exo=self.f_exo,
                     y_scaler=self.y_scaler if scaler else None,
                     endo_scaler=self.endo_scaler if scaler else None,
                     exo_scaler=self.exo_scaler if scaler else None,

@@ -570,11 +570,15 @@ def arx_symb_design_matrix(
     its own scaler. Reference: arx_symb.py:162-225.
     """
     y = np.asarray(y, dtype=float)
-    endo_feats = np.column_stack([f(y) for f in f_endo])
+    # f_endo may be empty (reference allows an empty ff list — the design
+    # then carries only raw-y lags on the endo side, e.g. a cross-terms-only
+    # symbolic config)
+    endo_feats = np.column_stack([f(y) for f in f_endo]) if len(f_endo) else None
     if y_scaler is not None:
         y = y_scaler.fit_transform(y.reshape(-1, 1)).ravel()
-        endo_feats = endo_scaler.fit_transform(endo_feats)
-    endo_all = np.column_stack((y, endo_feats))
+        if endo_feats is not None:
+            endo_feats = endo_scaler.fit_transform(endo_feats)
+    endo_all = np.column_stack((y, endo_feats)) if endo_feats is not None else y.reshape(-1, 1)
     X = np.column_stack([lag_matrix(endo_all[:, j], p) for j in range(endo_all.shape[1])])
 
     if xe is not None:
@@ -664,7 +668,11 @@ def recursive_forecast(
     n_trend = spec - 1
 
     for h in range(2, hh + 1):
-        if n_f_endo == 0:
+        # the plain forge is only valid for the plain layout: a symbolic
+        # design with exo transforms or cross terms carries extra exo-region
+        # series the plain branch would neither place nor hide, even when
+        # the endo transform list is empty
+        if n_f_endo == 0 and n_f_exo == 0 and not cross:
             # plain ARX forge (arx.py:293-324)
             endo0 = n_trend
             exo0 = endo0 + p

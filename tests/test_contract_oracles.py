@@ -20,6 +20,7 @@ QUERIES = [
     "ar_smols_forecast_events_1h",
     "arx_direct_forecast_events_1h",
     "arx_exo_forecast_events_1h",
+    "arx_cross_forecast_events_1h",
     "arx_symb_forecast_events_1h",
     "arx_qof_rollvalidate_events_1h",
     "feature_topk_events_1h",
