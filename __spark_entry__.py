@@ -911,6 +911,17 @@ def q_time_weighted_avg(spark, sf_dir):
     )
 
 
+def q_linear_deriv(spark, sf_dir):
+    """PromQL deriv + predict_linear analogue: per-(source, hour)
+    least-squares slope of value over in-bucket seconds, plus the linear
+    extrapolation 1800 s past the bucket start — exact integer moments
+    (milli-unit values, relative-second times) with fixed-order division
+    chains the oracle replays bit-for-bit."""
+    from forecaster_spark.operators.timeweight import linear_deriv
+
+    return linear_deriv(_ev(spark, sf_dir), value="y", bucket_unit="hour")
+
+
 def q_counter_delta(spark, sf_dir):
     """PromQL increase / TimescaleDB counter_agg analogue: a synthetic
     per-source monotonic counter (running micro-sum mod 1e10 — i.e. with
@@ -1184,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_source_rollup_events": q_csv_source_rollup,
         "time_weighted_avg_events_1h": q_time_weighted_avg,
         "counter_delta_events": q_counter_delta,
+        "linear_deriv_events_1h": q_linear_deriv,
         "lttb_downsample_events": q_lttb_downsample,
         "ewma_events_1h": q_ewma,
         "rolling_zscore_events": q_rolling_zscore,
@@ -1498,6 +1510,27 @@ SELECT source, bucket_start,
             ELSE sv / 1000000.0 / n_points END AS twa,
        n_points, span_ms
 FROM g""",
+        "linear_deriv_events_1h": """
+WITH s AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(round(value * 1000) AS BIGINT) AS vq,
+         epoch_us(ts) // 1000000 - epoch_us(date_trunc('hour', ts)) // 1000000 AS t
+  FROM events
+), g AS (
+  SELECT source, bucket_start, count(*) AS n, sum(t) AS st, sum(vq) AS sv,
+         sum(t*t) AS stt, sum(t*vq) AS stv
+  FROM s GROUP BY 1, 2
+), e AS (
+  SELECT source, bucket_start, n, st, sv,
+         CASE WHEN (n*stt - st*st) != 0
+              THEN CAST(n*stv - st*sv AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE)
+              ELSE 0.0 END AS slope
+  FROM g
+)
+SELECT source, bucket_start, CAST(n AS BIGINT) AS n_points,
+       slope / 1000 AS deriv,
+       ((CAST(sv AS DOUBLE) + slope * CAST(n*1800 - st AS DOUBLE)) / CAST(n AS DOUBLE)) / 1000 AS predicted
+FROM e""",
         "counter_delta_events": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id,

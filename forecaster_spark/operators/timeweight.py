@@ -101,6 +101,65 @@ def counter_delta(
     )
 
 
+def linear_deriv(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    bucket_unit: str = "hour",
+    predict_ahead_s: int = 1800,
+) -> DataFrame:
+    """Per-(source, bucket) least-squares slope of value over time (PromQL
+    ``deriv``) plus the linear extrapolation ``predict_ahead_s`` past the
+    bucket start (PromQL ``predict_linear``).
+
+    All sums are exact integers: time in SECONDS relative to the bucket
+    start (≤ 3600), values in MILLI-units — the cross moments ``n·Σtv``,
+    ``Σt·Σv`` then stay orders of magnitude inside int64 for any realistic
+    per-bucket density (micro-units would not: n·Σtv ≈ 1.6e19 at 3k rows).
+    The slope and prediction divide once each in a fixed left-to-right
+    chain, so SQL replays them bit-for-bit. Zero time-variance buckets
+    (n=1, or all events in one second) get slope 0 and predict the mean.
+
+    Output: (source, bucket_start, n_points, deriv, predicted)."""
+    MILLI = 1_000
+    vq = F.round(F.col(value) * MILLI).cast("long")
+    b = df.withColumn("bucket_start", F.date_trunc(bucket_unit, F.col(ts)))
+    trel = (
+        F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.col("bucket_start"))
+    ).cast("long")
+    g = (
+        b.withColumn("_v", vq)
+        .withColumn("_t", trel)
+        .groupBy(partition, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_t").alias("st"),
+            F.sum("_v").alias("sv"),
+            F.sum(F.col("_t") * F.col("_t")).alias("stt"),
+            F.sum(F.col("_t") * F.col("_v")).alias("stv"),
+        )
+    )
+    num = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast("double")
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    slope = F.when(den != 0, num / den).otherwise(F.lit(0.0))  # milli-units/sec
+    t_pred = predict_ahead_s
+    pred_m = (
+        F.col("sv").cast("double")
+        + F.col("_slope") * (F.col("n") * F.lit(t_pred) - F.col("st")).cast("double")
+    ) / F.col("n").cast("double")
+    return (
+        g.withColumn("_slope", slope)
+        .select(
+            partition,
+            "bucket_start",
+            F.col("n").alias("n_points"),
+            (F.col("_slope") / MILLI).alias("deriv"),
+            (pred_m / MILLI).alias("predicted"),
+        )
+    )
+
+
 def ewma(
     df: DataFrame,
     alpha: float,

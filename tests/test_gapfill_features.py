@@ -327,3 +327,38 @@ def test_ewma_and_rolling_zscore(spark):
     var = n * s2 - s1 * s1
     want_z = np.where(var > 0, (vq * n - s1) / np.sqrt(var), 0.0)
     assert np.allclose(z.z.to_numpy(), want_z, rtol=1e-9, atol=1e-12)
+
+
+def test_linear_deriv_matches_numpy(spark):
+    """deriv = per-bucket least-squares slope; predicted = extrapolation at
+    1800 s. Checked against a numpy polyfit-free closed form on quantized
+    inputs, incl. a zero-time-variance bucket (slope 0, predict mean)."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import linear_deriv
+
+    rows = []
+    base = pd.Timestamp("2030-01-01 10:00:00")
+    vals = [10.0, 12.5, 11.0, 15.25]
+    secs = [60, 600, 1800, 3500]
+    for v, s in zip(vals, secs):
+        rows.append(("a", base + pd.Timedelta(seconds=s), v, len(rows)))
+    rows.append(("b", base + pd.Timedelta(seconds=100), 7.5, 99))  # n=1 bucket
+    pdf = pd.DataFrame(rows, columns=["source", "ts", "y", "event_id"])
+    out = (
+        linear_deriv(spark.createDataFrame(pdf), value="y")
+        .toPandas()
+        .set_index("source")
+    )
+    t = np.array(secs, dtype=np.int64)
+    v = np.round(np.array(vals) * 1000).astype(np.int64)
+    n = len(t)
+    num = float(n * (t * v).sum() - t.sum() * v.sum())
+    den = float(n * (t * t).sum() - t.sum() ** 2)
+    slope = num / den
+    pred = ((float(v.sum()) + slope * float(n * 1800 - t.sum())) / n) / 1000
+    assert out.loc["a", "deriv"] == slope / 1000
+    assert out.loc["a", "predicted"] == pred
+    assert out.loc["b", "deriv"] == 0.0
+    assert out.loc["b", "predicted"] == 7.5
