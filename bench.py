@@ -60,7 +60,6 @@ def main():
     # measured cold-vs-warm deltas of 3-5 s per query class otherwise land
     # on whichever query hits the class first (asof_join: 6.4 s cold /
     # 1.7 s warm at sf0.1).
-    import pandas as _pd
     from pyspark.sql import functions as _F
 
     _force(spark.range(100_000).selectExpr("id", "xxhash64(id) h"))

