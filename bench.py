@@ -74,11 +74,18 @@ def main():
     _warm_udf = _F.pandas_udf(lambda s: s + 1, "long")
     _force(spark.range(10_000).select(_warm_udf(_F.col("id"))))
 
+    # best-of-2 per query: the shared host's external load spikes mid-suite
+    # (observed 0.5 → 15 within a 3-minute bench), and a single sample books
+    # whatever spike it landed on as that query's cost; the better of two
+    # runs is a far more stable round-over-round signal
     query_times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        _force(fn(spark, sf_dir))
-        query_times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        query_times[name] = round(best, 3)
 
     # pipeline bench on the synthetic corpus at matching SF
     n_docs = max(int(DOCS_PER_SF * sf), 2000)
@@ -93,7 +100,7 @@ def main():
     # runs jitter ±30%)
     run_rollup_pipeline(spark, corpus, f"{work}/rollup_warm")
     pipeline_wall = float("inf")
-    for i in range(2):
+    for i in range(3):
         t0 = time.time()
         result = run_rollup_pipeline(spark, corpus, f"{work}/rollup_{i}")
         pipeline_wall = min(pipeline_wall, time.time() - t0)
