@@ -117,3 +117,29 @@ def test_partitioned_tiers_prune_and_match(spark, tmp_path):
     a = t1m.drop("bucket_date").toPandas().sort_values(["source", "bucket_start"]).reset_index(drop=True)
     b = spark.read.parquet(f"{out_u}/rollup_1m").toPandas().sort_values(["source", "bucket_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
+
+
+def test_stage_runner_ansi_safe(spark, tmp_path):
+    """The driver owns the contract session and Spark 4 defaults ANSI ON —
+    the lineage checksum must not rely on non-ANSI long wraparound (the r2
+    driver-red: F.sum(xxhash64) threw ARITHMETIC_OVERFLOW). Run a full
+    stage + resume under ANSI and assert checksums match the non-ANSI run
+    bit-for-bit (the limb recombination is wrap-sum-identical)."""
+    pdf = mk_series_pdf(n=400, n_sources=3)
+    plain = StageRunner(spark, str(tmp_path / "plain"))
+    plain.stage("s1", lambda: spark.createDataFrame(pdf).repartition(4))
+    want = plain.manifest("s1")["checksum"]
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        runner = StageRunner(spark, str(tmp_path / "ansi"))
+        runner.stage("s1", lambda: spark.createDataFrame(pdf).repartition(4))
+        got = runner.manifest("s1")["checksum"]
+        # resume path (verify_on_resume rescans + rechecksums) also ANSI-safe
+        r2 = StageRunner(spark, str(tmp_path / "ansi"), verify_on_resume=True)
+        out = r2.stage("s1", lambda: (_ for _ in ()).throw(AssertionError("no rebuild")))
+        assert out.count() == len(pdf)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got == want
