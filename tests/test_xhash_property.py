@@ -120,3 +120,54 @@ def test_word_hash_truncation_parity_long_words():
     h_long = xhash.word_hash_flat(["x" * (M + 50)])[0]
     assert h_trunc == h_long
     assert xhash.word_hash_flat(["x" * (M - 1)])[0] != h_trunc
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=600),
+)
+def test_pack_sequences_oracle_parity_fuzz(n_toks, budget):
+    """The recursive-CTE packing oracle must replay the greedy walk for
+    arbitrary token counts and budgets (oversized docs, exact fits, runs
+    of zeros)."""
+    from forecaster_spark.operators.packing import pack_sequences_sql
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({i}, 'x', {n})" for i, n in enumerate(n_toks))
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM (VALUES {rows}) t(doc_id, lang, n_tok)")
+    sql = pack_sequences_sql(
+        budget=budget, doc_source_sql="SELECT doc_id, lang, n_tok FROM docs"
+    )
+    got = {
+        r[1]: (r[3], r[4])
+        for r in con.execute(sql + " ORDER BY doc_id").fetchall()
+    }
+    b, fill, want = 0, 0, {}
+    for i, n in enumerate(n_toks):
+        if fill > 0 and fill + n > budget:
+            b += 1
+            fill = 0
+        fill += n
+        want[i] = (b, fill)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=50, unique=True))
+def test_hash_split_oracle_parity_fuzz(ids):
+    """The DuckDB splitmix bucket pipeline must reproduce the numpy kernel
+    for arbitrary int64 ids, including the extremes (two's-complement
+    mod-2^64 mapping)."""
+    import numpy as np
+
+    from forecaster_spark.operators.sampling import BUCKETS, hash_split_sql
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({i})" for i in ids)
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM (VALUES {rows}) t(doc_id)")
+    sql = hash_split_sql(source_sql="SELECT doc_id FROM docs")
+    got = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    u = np.array(ids, dtype=np.int64).view(np.uint64)
+    want_b = (xhash.splitmix64(u * np.uint64(2 * 42 + 1)) % np.uint64(BUCKETS)).astype(np.int64)
+    assert got == {i: int(b) for i, b in zip(ids, want_b)}
