@@ -193,3 +193,20 @@ def test_r3_ops_plan_audit(spark):
     p = plan(entry.queries()["arx_std_scaler_forecast_events_1h"](spark, sf))
     # forecast kernel: one FlatMapGroupsInPandas over one source shuffle
     assert nodes(p, "FlatMapGroupsInPandas") == 1
+
+
+def test_linear_deriv_plan_hash_agg(spark):
+    """Decimal(38,0) moment sums must keep map-side partial HashAggregate
+    (decimal aggregation buffers can silently fall back to SortAggregate /
+    ObjectHashAggregate in some shapes) and exactly one exchange."""
+    import re
+
+    import __spark_entry__ as entry
+
+    def nodes(p, name):
+        return len(re.findall(rf"\(\d+\) {name}\b", p))
+
+    p = plan(entry.queries()["linear_deriv_events_1h"](spark, "/root/testdata/sf0.001"))
+    assert nodes(p, "HashAggregate") == 2  # partial + final
+    assert nodes(p, "SortAggregate") == 0
+    assert nodes(p, "Exchange") == 1
