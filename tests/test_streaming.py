@@ -61,3 +61,71 @@ def test_stateful_stream_locf_carries_across_batches(spark, tmp_path):
     np.testing.assert_allclose(out["y"].to_numpy(), batch["y"].to_numpy())
     assert out.loc[10, "y"] == 9.0 and out.loc[11, "y"] == 9.0  # cross-batch carry
     assert bool(out.loc[10, "filled"]) and not bool(out.loc[9, "filled"])
+
+
+def test_stream_rollup_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics under APPEND mode (the production sink shape):
+    a window is emitted exactly once after the watermark passes its end,
+    and a sufficiently late row is dropped rather than mutating or
+    resurrecting the finalized window. Complete-mode tests can't see this
+    — state there lives forever.
+
+    Empirical Spark subtlety this test pins: the late-row input filter
+    lags the watermark by ONE micro-batch (a batch's filter uses the
+    watermark current at its start, computed at the END of the batch
+    before it), so a late row landing in the very next batch after the
+    advancing data still merges; only rows arriving two or more batches
+    later are gated. The pipeline's at-least-10-minutes contract holds
+    either way — lateness tolerance is never SHORTER than the watermark."""
+    from forecaster_spark.streaming.rollup_stream import SERIES_SCHEMA, stream_rollup_1m
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    base = pd.Timestamp("2025-01-01")
+    batches = [
+        # batch 1: minute-2 window data + minute-20 row (advances the
+        # watermark to 10 at the end of this batch)
+        pd.DataFrame(
+            {
+                "source": "s0",
+                "ts": [base + pd.Timedelta(minutes=m) for m in (2, 2, 20)],
+                "y": [1.0, 3.0, 5.0],
+            }
+        ),
+        # batch 2: cycles the advanced watermark into the input filter
+        pd.DataFrame({"source": "s0", "ts": [base + pd.Timedelta(minutes=21)], "y": [7.0]}),
+        # batch 3: the LATE minute-2 row (filter now at minute 11) + fresh
+        pd.DataFrame(
+            {
+                "source": "s0",
+                "ts": [base + pd.Timedelta(minutes=2), base + pd.Timedelta(minutes=22)],
+                "y": [100.0, 9.0],
+            }
+        ),
+    ]
+    for b in batches:
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic file→batch order
+
+    stream = (
+        spark.readStream.schema(SERIES_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    rolled = stream_rollup_1m(stream, watermark="10 minutes", exact=True)
+    q = (
+        rolled.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("late_test").toPandas()
+    # the minute-2 window finalized with ONLY batch-1 rows: the late 100.0
+    # was dropped and could not resurrect a second emission
+    m2 = out[out.bucket_start == base + pd.Timedelta(minutes=2)]
+    assert len(m2) == 1
+    assert m2.iloc[0].cnt == 2 and m2.iloc[0].sum_y == 4.0 and m2.iloc[0].max_y == 3.0
+    # nothing at/after the final watermark (minute 12) was finalized
+    assert (out.bucket_start < base + pd.Timedelta(minutes=12)).all()
