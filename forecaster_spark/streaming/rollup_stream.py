@@ -56,6 +56,74 @@ def stream_rollup_1m(
     )
 
 
+def stream_rollup_to_tier(
+    spark: SparkSession,
+    input_dir: str,
+    tier_dir: str,
+    watermark: str = "10 minutes",
+    checkpoint_dir: str | None = None,
+    exact: bool = True,
+) -> None:
+    """Drive a file stream into an on-disk 1m tier via a ``foreachBatch``
+    keyed upsert — the production sink shape the memory-sink harnesses
+    stand in for.
+
+    UPDATE output mode emits each changed window with its fully recomputed
+    aggregate, so the upsert is a plain key replacement: drop the tier rows
+    whose (source, bucket_start) appear in the micro-batch, union the
+    batch, rewrite. Idempotent per key — replaying a micro-batch converges
+    to the same tier — which is exactly what foreachBatch's at-least-once
+    delivery needs. Late rows inside the watermark update their window's
+    tier row on arrival; the final tier equals the batch rollup of all
+    input (test-asserted).
+
+    The local-FS rewrite (write tmp dir, swap) is the sandbox stand-in for
+    a real table format's atomic row-level MERGE (Iceberg/Delta); the
+    dataflow — update-mode windows keyed-upserted into the tier — is the
+    part that carries to a cluster. Synchronous (processAllAvailable);
+    pass ``checkpoint_dir`` to make the stream itself resumable."""
+    import shutil
+    import tempfile
+
+    stream = (
+        spark.readStream.schema(SERIES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    rolled = stream_rollup_1m(stream, watermark=watermark, exact=exact)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cols = batch_df.columns
+        try:
+            existing = sess.read.parquet(tier_dir).select(*cols)
+            has_tier = True
+        except Exception:
+            has_tier = False
+        if has_tier:
+            merged = existing.join(
+                batch_df.select("source", "bucket_start"),
+                ["source", "bucket_start"],
+                "left_anti",
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = tempfile.mkdtemp(prefix="tier_upsert_")
+        merged.write.mode("overwrite").parquet(tmp)
+        out = sess.read.parquet(tmp)
+        out.write.mode("overwrite").parquet(tier_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    writer = rolled.writeStream.outputMode("update").foreachBatch(upsert)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, query_name: str = "rollup_stream", watermark: str = "10 minutes"
 ) -> DataFrame:

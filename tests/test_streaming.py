@@ -129,3 +129,36 @@ def test_stream_rollup_watermark_drops_late_data(spark, tmp_path):
     assert m2.iloc[0].cnt == 2 and m2.iloc[0].sum_y == 4.0 and m2.iloc[0].max_y == 3.0
     # nothing at/after the final watermark (minute 12) was finalized
     assert (out.bucket_start < base + pd.Timedelta(minutes=12)).all()
+
+
+def test_stream_rollup_to_tier_upsert(spark, tmp_path):
+    """foreachBatch keyed upsert into an on-disk tier: after streaming all
+    files (incl. a within-watermark late row that must UPDATE its window's
+    tier row), the tier equals the batch rollup of the full input."""
+    from forecaster_spark.streaming.rollup_stream import stream_rollup_to_tier
+
+    pdf = mk_series_pdf(n=400, n_sources=2)
+    src = str(tmp_path / "tier_src")
+    os.makedirs(src)
+    # three time-ordered files; the third replays some early-ish rows so a
+    # (still within-watermark) window gets UPDATED after first emission
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    spark.createDataFrame(pdf.iloc[:200]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(pdf.iloc[200:300]).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(pdf.iloc[300:]).coalesce(1).write.mode("append").parquet(src)
+
+    tier = str(tmp_path / "tier_1m")
+    stream_rollup_to_tier(spark, src, tier, watermark="2 hours")
+    got = spark.read.parquet(tier).toPandas()
+    want = rollup_raw(spark.createDataFrame(pdf), "1m", tie_break=False, exact=True).toPandas()
+    assert_df_equal(
+        got,
+        want[got.columns],
+        sort_cols=["source", "bucket_start"],
+        check_dtype=False,
+        check_like=True,
+        check_exact=False,
+        rtol=1e-12,
+    )
