@@ -1131,6 +1131,45 @@ def q_stream_locf(spark, sf_dir):
     return spark.table(qname).select("source", "event_id", "y")
 
 
+# -- mergeable sketches (engine additions; SURVEY §2.4 notes the reference
+# -- has no approx sketches) -------------------------------------------------
+
+
+def q_hll_distinct_users(spark, sf_dir):
+    """Mergeable HLL-style distinct-user registers per (source, 1h bucket):
+    Spark builds 1m register partials and CASCADES them to 1h (register-wise
+    max — the same partial-merge shape as the rollup tier cascade), while
+    the oracle recomputes registers directly from raw rows, so a value match
+    certifies BOTH the cross-engine splitmix64 register pipeline AND merge
+    associativity. The integer registers are the contract artifact; the
+    float cardinality estimate they imply is pinned in pytest
+    (tests/test_sketches.py) against exact distinct counts."""
+    from forecaster_spark.operators import sketches
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"), "ts", "user_id"
+    )
+    p1m = sketches.hll_partials(ev, key="user_id", bucket_unit="minute")
+    return sketches.hll_merge(p1m, to_unit="hour").select(
+        "source", "bucket_start", "reg", "rho"
+    )
+
+
+def q_cm_sketch(spark, sf_dir):
+    """Count-min sketch counters over document words (heavy-hitter token
+    counting without a per-token shuffle): the kernel folds each Arrow batch
+    into a local depth×width counter array and ships only sketch cells —
+    ≤ depth·width rows per batch — which then SUM-merge, the count-min's
+    defining mergeability. Every cell is replayed by the DuckDB oracle via
+    the shared word-hash CTEs; point-estimate guarantees (est ≥ true,
+    est ≤ true + ε·N) are pinned in pytest."""
+    from forecaster_spark.operators import sketches
+
+    return sketches.cm_sketch(read_table(spark, sf_dir, "documents")).select(
+        "depth", "col", "cnt"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -1202,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_events": q_quantiles,
         "session_stats_events": q_session_stats,
         "cohort_retention_events": q_cohort_retention,
+        "hll_distinct_users_events_1h": q_hll_distinct_users,
+        "cmsketch_words_documents": q_cm_sketch,
     }
 
 
@@ -1212,6 +1253,12 @@ def _sw_list(lang):
 _ALL_SW = "[" + ", ".join(f"'{w}'" for w in sorted({w for sws in STOPWORDS.values() for w in sws})) + "]"
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def _cm_sketch_oracle() -> str:
+    from forecaster_spark.operators import sketches
+
+    return xhash_sql.cm_sketch_sql([int(s) for s in sketches.cm_salts()])
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1761,4 +1808,8 @@ FROM (
          epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events
 )""",
+        # mergeable sketches: oracle computes direct-from-raw, engine cascades
+        # partials — a value match certifies merge associativity too
+        "hll_distinct_users_events_1h": xhash_sql.hll_registers_sql(),
+        "cmsketch_words_documents": _cm_sketch_oracle(),
     }

@@ -236,6 +236,55 @@ FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
 WHERE len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))) >= {verify_jaccard}"""
 
 
+def hll_registers_sql(
+    p: int = 6,
+    key: str = "user_id",
+    bucket_unit: str = "hour",
+    source_expr: str = "event_type",
+    table: str = "events",
+) -> str:
+    """Oracle for the HLL register tier (`operators/sketches.py`): computes
+    the (source, bucket, reg, rho) register table DIRECTLY from raw rows —
+    the Spark side cascades 1m partials to the same grain, so a value match
+    certifies merge associativity, not just the hash pipeline.
+    rho = 1 + leading zeros of the (64−p)-bit remainder; bit_length via
+    DuckDB's minimal ``bin()`` string (exact — no float log2)."""
+    m = 1 << p
+    rho_max = 64 - p + 1
+    return f"""
+WITH e AS (
+  SELECT {source_expr} AS source, date_trunc('{bucket_unit}', ts) AS bucket_start,
+         CAST({key} AS HUGEINT) % {W} AS u
+  FROM {table} WHERE {key} IS NOT NULL
+),
+h AS (SELECT source, bucket_start, {splitmix_cols("u", "hv")} FROM e),
+r AS (
+  SELECT source, bucket_start, CAST(hv % {m} AS INT) AS reg,
+         CASE WHEN hv // {m} = 0 THEN {rho_max}
+              ELSE {rho_max} - length(bin(CAST(hv // {m} AS BIGINT))) END AS rho
+  FROM h
+)
+SELECT source, bucket_start, reg, CAST(max(rho) AS INT) AS rho
+FROM r GROUP BY source, bucket_start, reg"""
+
+
+def cm_sketch_sql(
+    salts: list[int],
+    width: int = 128,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for the count-min sketch (`operators/sketches.py`): replays
+    every counter cell via the shared word-hash CTEs — count of word
+    occurrences with splitmix64(h ⊕ salt_j) mod width per (row j, col)."""
+    salt_rows = ", ".join(f"({j}, {int(s)})" for j, s in enumerate(salts))
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+salts(d, salt) AS (VALUES {salt_rows}),
+g0 AS (SELECT d, {splitmix_cols("xor(h, salt)", "g")} FROM wh, salts)
+SELECT CAST(d AS INT) AS depth, CAST(g % {width} AS INT) AS col, count(*) AS cnt
+FROM g0 GROUP BY d, g % {width}"""
+
+
 def fingerprint_sql(
     k: int = 8,
     keep: int = 4,
