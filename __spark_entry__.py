@@ -900,6 +900,35 @@ def q_stream_rollup_1m(spark, sf_dir):
     return spark.table(qname).select(*ROLLUP_ORDER)
 
 
+def q_stream_tier_upsert(spark, sf_dir):
+    """foreachBatch keyed-upsert streaming sink ≡ batch rollup: the events
+    series streams file-by-file (2 micro-batches) through the watermarked
+    1m aggregate in UPDATE mode, and every emitted window is keyed-upserted
+    into an on-disk parquet tier (drop matching (source, bucket_start)
+    keys, union, atomic rewrite — the local-FS stand-in for an
+    Iceberg/Delta row-level MERGE). The final tier read back from disk must
+    equal the batch rollup SQL bit-for-bit, certifying the sink's
+    idempotent-upsert convergence, not just the in-memory stream state."""
+    import tempfile
+
+    from forecaster_spark.streaming.rollup_stream import stream_rollup_to_tier
+
+    d = tempfile.mkdtemp(prefix="contract_upsert_in_")
+    tier_dir = tempfile.mkdtemp(prefix="contract_upsert_out_") + "/t1m"
+    s = _events_series(spark, sf_dir)
+    b = s.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+    s.where(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
+    s.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_rollup_to_tier(spark, d, tier_dir, tie_break=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(tier_dir).select(*ROLLUP_ORDER)
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """TimescaleDB time_weight analogue: trapezoidal time-weighted hourly
     mean over the irregular event series (micro-exact pair sums, ms-integer
@@ -1243,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_events": q_cohort_retention,
         "hll_distinct_users_events_1h": q_hll_distinct_users,
         "cmsketch_words_documents": q_cm_sketch,
+        "stream_tier_upsert_events_1m": q_stream_tier_upsert,
     }
 
 
@@ -1658,6 +1688,7 @@ FROM scored
 QUALIFY rank <= 10""",
         "gorilla_roundtrip_events_1m": _ROLLUP_SQL + "SELECT source, bucket_start, mean_y FROM t1m",
         "stream_rollup_1m_events": _ROLLUP_SQL + _SEL + "t1m",
+        "stream_tier_upsert_events_1m": _ROLLUP_SQL + _SEL + "t1m",
         "rollup_1m_salted_events": _ROLLUP_SQL + _SEL + "t1m",
         "rollup_merge_increment_events": _ROLLUP_SQL + _SEL + "t1m",
         "checkpoint_resume_rollup_events": _ROLLUP_SQL + _SEL + "t1m",

@@ -63,6 +63,8 @@ def stream_rollup_to_tier(
     watermark: str = "10 minutes",
     checkpoint_dir: str | None = None,
     exact: bool = True,
+    tie_break: bool = False,
+    max_files_per_trigger: int = 1,
 ) -> None:
     """Drive a file stream into an on-disk 1m tier via a ``foreachBatch``
     keyed upsert — the production sink shape the memory-sink harnesses
@@ -87,10 +89,10 @@ def stream_rollup_to_tier(
 
     stream = (
         spark.readStream.schema(SERIES_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    rolled = stream_rollup_1m(stream, watermark=watermark, exact=exact)
+    rolled = stream_rollup_1m(stream, watermark=watermark, exact=exact, tie_break=tie_break)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
