@@ -44,7 +44,15 @@ def get_spark(
         # permissive casts
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g, NOT "all the RAM": an oversized local-mode heap is a measured
+        # 5-15x slowdown, not headroom. At 48g, G1 lets the young gen balloon
+        # to tens of GB; allocation-heavy stages (vectorized parquet reads of
+        # token arrays) then hit 0.8-7.3s evacuation pauses and the same scan
+        # swings 3s -> 90s (identical loop at 8g: 0.9-1.4s, steady). Local
+        # mode puts executor tasks in the driver JVM, so this one value sizes
+        # the whole engine; 16g = ~500MB/task at 32 threads, ample at bench
+        # scale while keeping young-gen evacuation millisecond-cheap.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )
