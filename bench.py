@@ -101,6 +101,19 @@ def main():
     ).collect()
     probe32 = round((time.time() - t0) * 1000, 1)
 
+    # allocation-heavy probe: spin and probe32 allocate nothing, so they
+    # were blind to the round-3 G1 pathology (48g heap → multi-second young
+    # evacuation pauses on parquet token scans while ALU probes read
+    # healthy; see BENCH/BASELINE.md "Round-3 RESOLUTION"). This fixed job
+    # allocates one small array per row across all cores — if recorded
+    # numbers are slow while spin/probe32 are fast but THIS is also slow,
+    # suspect heap/GC configuration before host weather.
+    t0 = time.time()
+    spark.range(0, 40_000_000, 1, cpus).selectExpr(
+        "sum(xxhash64(array(id, id + 1, id + 2, id + 3))) AS s"
+    ).collect()
+    probe_alloc = round((time.time() - t0) * 1000, 1)
+
     # HEADLINE FIRST: the host slows under its own sustained load (measured
     # pipeline walls degrading 6→14→24 s across back-to-back runs in one
     # session, single-thread spin swinging ~3× between windows) — so the
@@ -152,6 +165,7 @@ def main():
         "spin_ms_before": spin_before,
         "spin_ms_after": _spin_ms(),
         "probe32_ms": probe32,
+        "probe_alloc_ms": probe_alloc,
     }
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(payload))
