@@ -915,11 +915,12 @@ def q_stream_tier_upsert(spark, sf_dir):
 
     d = tempfile.mkdtemp(prefix="contract_upsert_in_")
     tier_dir = tempfile.mkdtemp(prefix="contract_upsert_out_") + "/t1m"
-    s = _events_series(spark, sf_dir)
+    s = _events_series(spark, sf_dir).persist()
     b = s.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     mid = b["lo"] + (b["hi"] - b["lo"]) / 2
     s.where(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
     s.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
+    s.unpersist()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -95,6 +95,8 @@ def stream_rollup_to_tier(
     rolled = stream_rollup_1m(stream, watermark=watermark, exact=exact, tie_break=tie_break)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         sess = batch_df.sparkSession
         cols = batch_df.columns
         try:
@@ -110,11 +112,15 @@ def stream_rollup_to_tier(
             ).unionByName(batch_df)
         else:
             merged = batch_df
-        tmp = tempfile.mkdtemp(prefix="tier_upsert_")
+        # the tmp hop exists because `merged` lazily reads tier_dir — writing
+        # tier_dir in place would clobber the job's own input. One Spark write
+        # into tmp materializes the merge; the swap is then a filesystem
+        # rename, NOT a second write+read (which would double the sink's I/O
+        # per micro-batch).
+        tmp = tempfile.mkdtemp(prefix="tier_upsert_") + "/t"
         merged.write.mode("overwrite").parquet(tmp)
-        out = sess.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(tier_dir)
-        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tier_dir, ignore_errors=True)
+        os.rename(tmp, tier_dir)
 
     writer = rolled.writeStream.outputMode("update").foreachBatch(upsert)
     if checkpoint_dir:
