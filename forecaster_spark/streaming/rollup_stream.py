@@ -116,11 +116,16 @@ def stream_rollup_to_tier(
         # tier_dir in place would clobber the job's own input. One Spark write
         # into tmp materializes the merge; the swap is then a filesystem
         # rename, NOT a second write+read (which would double the sink's I/O
-        # per micro-batch).
-        tmp = tempfile.mkdtemp(prefix="tier_upsert_") + "/t"
+        # per micro-batch). The tmp dir is a SIBLING of the tier dir so the
+        # rename never crosses a mount (os.rename raises EXDEV across
+        # filesystems; TMPDIR is often a different mount than the data path).
+        parent = os.path.dirname(os.path.abspath(tier_dir)) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix="_tier_upsert_", dir=parent) + "/t"
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(tier_dir, ignore_errors=True)
         os.rename(tmp, tier_dir)
+        shutil.rmtree(os.path.dirname(tmp), ignore_errors=True)
 
     writer = rolled.writeStream.outputMode("update").foreachBatch(upsert)
     if checkpoint_dir:
