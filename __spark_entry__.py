@@ -1055,6 +1055,47 @@ def q_rolling_zscore(spark, sf_dir):
     )
 
 
+def q_holt_linear(spark, sf_dir):
+    """Holt double exponential smoothing (level + trend, α=0.25 β=0.5) over
+    the hourly integer signal — the trend-aware sibling of EWMA, replayed
+    bit-for-bit by a row-stepping recursive-CTE oracle carrying (level,
+    trend) state with IEEE-identical expression shapes."""
+    from forecaster_spark.operators.timeweight import holt_linear
+
+    return holt_linear(_hourly_int_series(spark, sf_dir), alpha=0.25, beta=0.5).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "y",
+        "level",
+        "trend",
+        "fc1",
+    )
+
+
+def q_time_in_state(spark, sf_dir):
+    """TimescaleDB state_agg analogue: per-(source, state) held duration /
+    entry count over a 3-way value banding of the event stream — exact
+    integer-millisecond window+agg, one shuffle."""
+    from forecaster_spark.operators.timeweight import time_in_state
+
+    s = _ev(spark, sf_dir).withColumn(
+        "state",
+        F.when(F.col("y") < 25, "low").when(F.col("y") < 75, "mid").otherwise("high"),
+    )
+    return time_in_state(s).select("source", "state", "dur_ms", "n_entries", "n_points")
+
+
+def q_heartbeat_agg(spark, sf_dir):
+    """TimescaleDB heartbeat_agg analogue: liveness accounting (30-min
+    heartbeat validity) per source — live/dead ms partition the observed
+    span exactly; integer-ms arithmetic end to end."""
+    from forecaster_spark.operators.timeweight import heartbeat_agg
+
+    return heartbeat_agg(_ev(spark, sf_dir), threshold_ms=1_800_000).select(
+        "source", "n_heartbeats", "live_ms", "dead_ms", "max_gap_ms", "n_dead_gaps"
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """LTTB downsampling (TimescaleDB lttb hyperfunction analogue): each
     source's series reduced to 20 visually-representative points via exact
@@ -1267,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_deriv_events_1h": q_linear_deriv,
         "lttb_downsample_events": q_lttb_downsample,
         "ewma_events_1h": q_ewma,
+        "holt_linear_events_1h": q_holt_linear,
+        "time_in_state_events": q_time_in_state,
+        "heartbeat_agg_events": q_heartbeat_agg,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
         "session_stats_events": q_session_stats,
@@ -1546,6 +1590,60 @@ WITH RECURSIVE th AS (
   FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
 )
 SELECT source, ts, y, e AS ewma FROM walk""",
+        "holt_linear_events_1h": """
+WITH RECURSIVE th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), walk(source, idx, ts, y, level, trend) AS (
+  SELECT source, idx, ts, y, y, CAST(0 AS DOUBLE) FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p.source, p.idx, p.ts, p.y,
+         p.y * 0.25 + (w.level + w.trend) * 0.75,
+         ((p.y * 0.25 + (w.level + w.trend) * 0.75) - w.level) * 0.5 + w.trend * 0.5
+  FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
+)
+SELECT source, ts, y, level, trend, level + trend AS fc1 FROM walk""",
+        "time_in_state_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid'
+              ELSE 'high' END AS state,
+         epoch_us(ts) // 1000 AS t
+  FROM events
+), l AS (
+  SELECT source, state, t,
+         lead(t) OVER w AS nt, lag(state) OVER w AS ps
+  FROM s WINDOW w AS (PARTITION BY source ORDER BY ts, event_id)
+)
+SELECT source, state,
+       CAST(sum(COALESCE(nt - t, 0)) AS BIGINT) AS dur_ms,
+       CAST(sum(CASE WHEN ps IS NULL OR ps <> state THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_entries,
+       count(*) AS n_points
+FROM l GROUP BY 1, 2""",
+        "heartbeat_agg_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id, epoch_us(ts) // 1000 AS t
+  FROM events
+), l AS (
+  SELECT source, t,
+         lead(t) OVER (PARTITION BY source ORDER BY ts, event_id) AS nt
+  FROM s
+)
+SELECT source, count(*) AS n_heartbeats,
+       CAST(sum(CASE WHEN nt IS NULL THEN 0
+                     ELSE least(nt - t, 1800000) END) AS BIGINT) AS live_ms,
+       CAST(sum(CASE WHEN nt IS NULL THEN 0
+                     ELSE greatest(nt - t - 1800000, 0) END) AS BIGINT) AS dead_ms,
+       COALESCE(max(nt - t), 0) AS max_gap_ms,
+       CAST(sum(CASE WHEN nt - t > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dead_gaps
+FROM l GROUP BY 1""",
         "rolling_zscore_events": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id,

@@ -262,3 +262,133 @@ def rolling_zscore(
         .withColumn("is_anomaly", F.abs(F.col("z")) > threshold)
         .drop("_vq")
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per source —
+    the natural next step from :func:`ewma` and the classic trend-aware
+    forecasting baseline (reference analogue: the trend term of
+    ``ARX.rescale`` trend specs, see modeling/forecasting/arx.py):
+
+    - ``l_t = y_t·α + (l_{t−1} + b_{t−1})·(1−α)``, seeded ``l_0 = y_0``
+    - ``b_t = (l_t − l_{t−1})·β + b_{t−1}·(1−β)``, seeded ``b_0 = 0``
+    - one-step forecast ``fc1 = l_t + b_t``
+
+    Sequential by nature → same design as :func:`ewma`: per-source Arrow
+    kernel with fixed-order float chains; every expression is written in the
+    exact shape the recursive-CTE oracle repeats (including recomputing
+    ``l_t`` inside the ``b_t`` update — identical IEEE expression, identical
+    bits), so the contract check is bit-exact. Tier-bounded inputs only.
+
+    Output: input columns + ``level``, ``trend``, ``fc1``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a1, b1 = 1.0 - alpha, 1.0 - beta
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("fc1", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        ys = pdf[value].tolist()
+        ls, bs, fs = [], [], []
+        l = b = None
+        for y in ys:
+            if l is None:
+                l, b = y, 0.0
+            else:
+                ln = y * alpha + (l + b) * a1
+                b = (ln - l) * beta + b * b1
+                l = ln
+            ls.append(l)
+            bs.append(b)
+            fs.append(l + b)
+        pdf["level"], pdf["trend"], pdf["fc1"] = ls, bs, fs
+        return pdf
+
+    return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def time_in_state(
+    df: DataFrame,
+    state: str = "state",
+    partition: str = "source",
+    ts: str = "ts",
+    order=("ts", "event_id"),
+) -> DataFrame:
+    """Time-in-state aggregation (TimescaleDB ``state_agg`` analogue): each
+    observation's state holds until the next observation of the same source;
+    per (source, state) report total held duration, number of entries
+    (transitions into the state, first observation counts), and point count.
+    The last observation of a source holds for 0 ms (no closing edge — same
+    convention as ``state_agg`` without an interpolated boundary).
+
+    Pure window+agg, integer millisecond durations (``epoch_us // 1000``,
+    the proven cross-engine construct) → exact BIGINT sums, one shuffle.
+
+    Output: (source, state, dur_ms, n_entries, n_points)."""
+    w = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    tms = F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / 1000).cast("long")
+    b = (
+        df.withColumn("_t", tms)
+        .withColumn("_nt", F.lead("_t").over(w))
+        .withColumn("_ps", F.lag(state).over(w))
+    )
+    dur = F.coalesce(F.col("_nt") - F.col("_t"), F.lit(0).cast("long"))
+    entered = F.when(
+        F.col("_ps").isNull() | (F.col("_ps") != F.col(state)), F.lit(1)
+    ).otherwise(F.lit(0))
+    return b.groupBy(partition, state).agg(
+        F.sum(dur).alias("dur_ms"),
+        F.sum(entered).cast("long").alias("n_entries"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def heartbeat_agg(
+    df: DataFrame,
+    threshold_ms: int,
+    partition: str = "source",
+    ts: str = "ts",
+    order=("ts", "event_id"),
+) -> DataFrame:
+    """Liveness from heartbeats (TimescaleDB ``heartbeat_agg`` analogue):
+    each observation asserts the source live for ``threshold_ms``; a gap to
+    the next observation beyond that is dead time. Per source report live /
+    dead ms, the largest gap, the number of dead gaps, and heartbeat count —
+    the uptime primitive over the raw event stream.
+
+    Convention: the final heartbeat contributes no live time (span-bounded,
+    like ``state_agg`` above) so ``live_ms + dead_ms = span_ms`` exactly.
+    Integer-ms window+agg only — exact cross-engine, one shuffle.
+
+    Output: (source, n_heartbeats, live_ms, dead_ms, max_gap_ms,
+    n_dead_gaps)."""
+    w = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    tms = F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / 1000).cast("long")
+    b = df.withColumn("_t", tms).withColumn("_nt", F.lead("_t").over(w))
+    gap = F.col("_nt") - F.col("_t")
+    thr = F.lit(int(threshold_ms)).cast("long")
+    zero = F.lit(0).cast("long")
+    live = F.when(gap.isNull(), zero).otherwise(F.least(gap, thr))
+    dead = F.when(gap.isNull(), zero).otherwise(F.greatest(gap - thr, zero))
+    return b.groupBy(partition).agg(
+        F.count(F.lit(1)).alias("n_heartbeats"),
+        F.sum(live).alias("live_ms"),
+        F.sum(dead).alias("dead_ms"),
+        F.coalesce(F.max(gap), zero).alias("max_gap_ms"),
+        F.sum(F.when(gap > thr, 1).otherwise(0)).cast("long").alias("n_dead_gaps"),
+    )

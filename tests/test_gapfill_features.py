@@ -362,3 +362,90 @@ def test_linear_deriv_matches_numpy(spark):
     assert out.loc["a", "predicted"] == pred
     assert out.loc["b", "deriv"] == 0.0
     assert out.loc["b", "predicted"] == 7.5
+
+
+def test_holt_linear_matches_loop_oracle(spark):
+    """Holt (level+trend) vs an independently-grouped recurrence: the kernel
+    chains l=(y·α)+((l+b)·(1−α)); the oracle groups as fma-free separate
+    terms — equal to 1e-12 rtol; the seed row and fc1=level+trend are exact."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import holt_linear
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 200 + ["t"] * 3,
+            "ts": list(pd.date_range("2028-03-01", periods=200, freq="1h"))
+            + list(pd.date_range("2028-03-01", periods=3, freq="1h")),
+            "y": np.concatenate(
+                [np.cumsum(rng.normal(0.5, 2.0, 200)) + 50, [1.0, 4.0, 9.0]]
+            ),
+        }
+    )
+    got = (
+        holt_linear(spark.createDataFrame(pdf), alpha=0.25, beta=0.5)
+        .toPandas()
+        .sort_values(["source", "ts"])
+        .reset_index(drop=True)
+    )
+    for src, g in got.groupby("source"):
+        ys = pdf[pdf.source == src].sort_values("ts").y.to_numpy()
+        l, b = ys[0], 0.0
+        want_l, want_b = [l], [b]
+        for y in ys[1:]:
+            ln = 0.25 * y + 0.75 * l + 0.75 * b  # different grouping on purpose
+            b = 0.5 * (ln - l) + 0.5 * b
+            l = ln
+            want_l.append(l)
+            want_b.append(b)
+        gg = g.reset_index(drop=True)
+        assert np.allclose(gg.level, want_l, rtol=1e-12)
+        assert np.allclose(gg.trend, want_b, rtol=1e-12)
+        assert (gg.fc1 == gg.level + gg.trend).all()
+        assert gg.loc[0, "level"] == ys[0] and gg.loc[0, "trend"] == 0.0
+
+
+def test_time_in_state_and_heartbeat_agg(spark):
+    """state_agg / heartbeat_agg conventions on a hand-computed series:
+    last point holds 0 ms, entries count transitions (first point included),
+    live+dead partition the span exactly."""
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import heartbeat_agg, time_in_state
+
+    base = pd.Timestamp("2030-05-01 00:00:00")
+    secs = [0, 60, 180, 200, 500]
+    states = ["up", "up", "down", "up", "up"]
+    pdf = pd.DataFrame(
+        {
+            "source": "a",
+            "ts": [base + pd.Timedelta(seconds=s) for s in secs],
+            "state": states,
+            "event_id": range(5),
+        }
+    )
+    tis = (
+        time_in_state(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("state")
+        .sort_index()
+    )
+    # up: [0,60)+[60,180)=180s then [200,500)=300s -> 480_000 ms, 2 entries, 4 pts
+    assert tis.loc["up", "dur_ms"] == 480_000
+    assert tis.loc["up", "n_entries"] == 2 and tis.loc["up", "n_points"] == 4
+    # down: [180,200) = 20_000 ms, 1 entry, 1 pt
+    assert tis.loc["down", "dur_ms"] == 20_000 and tis.loc["down", "n_entries"] == 1
+    assert int(tis.dur_ms.sum()) == (secs[-1] - secs[0]) * 1000  # spans partition
+
+    hb = (
+        heartbeat_agg(spark.createDataFrame(pdf), threshold_ms=100_000)
+        .toPandas()
+        .iloc[0]
+    )
+    # gaps ms: 60k, 120k, 20k, 300k; thr=100k -> live 60+100+20+100, dead 20+200
+    assert hb.n_heartbeats == 5
+    assert hb.live_ms == 280_000 and hb.dead_ms == 220_000
+    assert hb.live_ms + hb.dead_ms == (secs[-1] - secs[0]) * 1000
+    assert hb.max_gap_ms == 300_000 and hb.n_dead_gaps == 2
