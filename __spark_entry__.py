@@ -1096,6 +1096,50 @@ def q_heartbeat_agg(spark, sf_dir):
     )
 
 
+def q_ohlc(spark, sf_dir):
+    """OHLC candlestick tier (TimescaleDB candlestick_agg analogue):
+    first/last/min/max per (source, hour) — pure selections, engine-exact;
+    the min_by/max_by HashAggregate fast path (ts unique per source in this
+    corpus; tie_break=True struct path covered by pytest)."""
+    from forecaster_spark.operators.timeweight import ohlc
+
+    return ohlc(_ev(spark, sf_dir), tie_break=False).select(
+        "source", "bucket_start", "open", "high", "low", "close", "n"
+    )
+
+
+def q_cusum(spark, sf_dir):
+    """Two-sided CUSUM change detection — exact integer milli-unit
+    arithmetic; the max(0,·) reset recurrence rewritten as cumsum minus
+    running-min (pure Catalyst windows, no Python), replayed by the same
+    two-window SQL."""
+    from forecaster_spark.operators.timeweight import cusum
+
+    return cusum(_ev(spark, sf_dir), slack_milli=5_000, threshold_milli=500_000).select(
+        "source", "event_id", "s_pos", "s_neg", "is_change"
+    )
+
+
+def q_seasonal_profile(spark, sf_dir):
+    """Seasonal (hour-of-day) profile per source — the seasonal-naive
+    baseline fold: exact micro-unit sums + truncating integer means over
+    24·|sources| cells, map-side combinable."""
+    from forecaster_spark.operators.timeweight import seasonal_profile
+
+    return seasonal_profile(_ev(spark, sf_dir)).select(
+        "source", "hod", "n", "sum_micro", "mean_micro"
+    )
+
+
+def q_bigram_collocations(spark, sf_dir):
+    """Top-50 adjacent word-pair collocations with PMI ingredients (pair +
+    unigram counts) — all-integer counts, lexicographic tie-break, Spark
+    split/array_remove ≡ DuckDB string_split_regex/list_filter."""
+    from forecaster_spark.operators.textops import bigram_collocations
+
+    return bigram_collocations(read_table(spark, sf_dir, "documents"), topk=50)
+
+
 def q_lttb_downsample(spark, sf_dir):
     """LTTB downsampling (TimescaleDB lttb hyperfunction analogue): each
     source's series reduced to 20 visually-representative points via exact
@@ -1311,6 +1355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_events_1h": q_holt_linear,
         "time_in_state_events": q_time_in_state,
         "heartbeat_agg_events": q_heartbeat_agg,
+        "ohlc_events_1h": q_ohlc,
+        "cusum_events": q_cusum,
+        "seasonal_profile_events": q_seasonal_profile,
+        "bigram_collocations_documents": q_bigram_collocations,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
         "session_stats_events": q_session_stats,
@@ -1644,6 +1692,61 @@ SELECT source, count(*) AS n_heartbeats,
        CAST(sum(CASE WHEN nt - t > 1800000 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_dead_gaps
 FROM l GROUP BY 1""",
+        "ohlc_events_1h": """
+SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+       first(value ORDER BY ts) AS open, max(value) AS high,
+       min(value) AS low, last(value ORDER BY ts) AS close,
+       count(*) AS n
+FROM events GROUP BY 1, 2""",
+        "cusum_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000) AS BIGINT) AS vq
+  FROM events
+), m AS (
+  SELECT source, CAST(sum(vq) // count(*) AS BIGINT) AS mu FROM s GROUP BY 1
+), d AS (
+  SELECT s.source, s.ts, s.event_id,
+         vq - mu - 5000 AS dp, mu - vq - 5000 AS dn
+  FROM s JOIN m ON m.source = s.source
+), c AS (
+  SELECT source, ts, event_id,
+         CAST(sum(dp) OVER w AS BIGINT) AS cp,
+         CAST(sum(dn) OVER w AS BIGINT) AS cn
+  FROM d WINDOW w AS (PARTITION BY source ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), r AS (
+  SELECT source, event_id,
+         cp - least(CAST(0 AS BIGINT), min(cp) OVER w) AS s_pos,
+         cn - least(CAST(0 AS BIGINT), min(cn) OVER w) AS s_neg
+  FROM c WINDOW w AS (PARTITION BY source ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, event_id, s_pos, s_neg,
+       (s_pos > 500000 OR s_neg > 500000) AS is_change
+FROM r""",
+        "seasonal_profile_events": """
+SELECT event_type AS source, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_micro
+FROM events GROUP BY 1, 2""",
+        "bigram_collocations_documents": """
+WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), p AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM w)
+), pc AS (
+  SELECT w1, w2, count(*) AS pair_n FROM p GROUP BY 1, 2
+  ORDER BY pair_n DESC, w1 ASC, w2 ASC LIMIT 50
+), u AS (
+  SELECT uw AS w, count(*) AS n
+  FROM (SELECT unnest(ws) AS uw FROM w) GROUP BY 1
+)
+SELECT pc.w1, pc.w2, pc.pair_n, a.n AS w1_n, b.n AS w2_n
+FROM pc JOIN u a ON a.w = pc.w1 JOIN u b ON b.w = pc.w2""",
         "rolling_zscore_events": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id,

@@ -127,3 +127,47 @@ def with_fingerprint(
         return pd.Series(out_rows)
 
     return df.withColumn(out, sketch(F.col(text_col)))
+
+
+def bigram_collocations(df: DataFrame, text_col: str = "text", topk: int = 50) -> DataFrame:
+    """Top-k adjacent word-pair collocations with the PMI ingredients
+    (pair count + both unigram counts) — the collocation-extraction
+    primitive for training-data vocab/phrase mining.
+
+    Whitespace-lowercase tokens (Spark ``split`` ≡ DuckDB
+    ``string_split_regex``; empties removed on BOTH engines via
+    ``array_remove`` ≡ ``list_filter``), pairs via native ``slice`` +
+    ``arrays_zip`` (no interpreted lambdas), all-integer counts so the
+    result is engine-exact. The top-k pair table (tiny) joins the
+    vocabulary-sized unigram table with the small side broadcast; the
+    unigram aggregate itself is a map-side-combinable hash agg — linear
+    corpus work, no all-pairs anywhere.
+
+    Output: (w1, w2, pair_n, w1_n, w2_n), ties broken lexicographically."""
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    d = df.select(ws.alias("ws"))
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, greatest(size(ws) - 1, 0))").alias("w1"),
+                F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))").alias("w2"),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    top_pairs = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .orderBy(F.desc("pair_n"), F.asc("w1"), F.asc("w2"))
+        .limit(topk)
+    )
+    uni = d.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(top_pairs)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("n", "w1_n"), "w1")
+        .join(
+            uni.withColumnRenamed("w", "w2").withColumnRenamed("n", "w2_n"), "w2"
+        )
+        .select("w1", "w2", "pair_n", "w1_n", "w2_n")
+    )

@@ -392,3 +392,121 @@ def heartbeat_agg(
         F.coalesce(F.max(gap), zero).alias("max_gap_ms"),
         F.sum(F.when(gap > thr, 1).otherwise(0)).cast("long").alias("n_dead_gaps"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    value: str = "y",
+    bucket_unit: str = "hour",
+    partition: str = "source",
+    ts: str = "ts",
+    tie_break: bool = True,
+) -> DataFrame:
+    """OHLC / candlestick aggregate (TimescaleDB ``candlestick_agg``
+    analogue): per (source, bucket) the first (open) and last (close)
+    observation by ``ts``, the min/max (low/high), and the point count.
+
+    open/close are pure selections — no arithmetic — so the result is exact
+    on any engine; one aggregate shuffle, no window sort. Same tie
+    convention as ``rollup.rollup_raw``: ``tie_break=True`` is
+    deterministic under duplicate ts (lexicographic (ts, value) struct
+    min/max — forces SortAggregate); ``tie_break=False`` is the
+    primitive-buffer ``min_by``/``max_by`` HashAggregate fast path, correct
+    when ts is unique within (source, bucket).
+
+    Output: (source, bucket_start, open, high, low, close, n)."""
+    if tie_break:
+        first = F.min(
+            F.struct(F.col(ts).alias("t"), F.col(value).alias("v"))
+        ).getField("v").alias("open")
+        last = F.max(
+            F.struct(F.col(ts).alias("t"), F.col(value).alias("v"))
+        ).getField("v").alias("close")
+    else:
+        first = F.min_by(value, ts).alias("open")
+        last = F.max_by(value, ts).alias("close")
+    return (
+        df.withColumn("_b", F.date_trunc(bucket_unit, F.col(ts)))
+        .groupBy(partition, F.col("_b").alias("bucket_start"))
+        .agg(
+            first,
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            last,
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def cusum(
+    df: DataFrame,
+    slack_milli: int,
+    threshold_milli: int,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts", "event_id"),
+) -> DataFrame:
+    """Two-sided CUSUM change detection per source, exact integer
+    arithmetic end to end (milli-unit quantization):
+
+    - target ``mu`` = per-source truncating integer mean of the quantized
+      signal (``sum div n`` — equals floor for the nonnegative signals this
+      targets; documented requirement),
+    - ``s+_t = max(0, s+_{t-1} + (x_t - mu - k))`` and the mirrored ``s-``,
+      with slack ``k`` and alarm threshold ``h`` in milli-units.
+
+    The max(0, ·) reset recurrence is NOT computed sequentially: with
+    ``c_t = cumsum(d)``, ``s_t = c_t - min(0, min_{j<=t} c_j)`` — so both
+    sides are one cumulative-sum window plus one running-min window, pure
+    Catalyst codegen, no Python. Overflow bound: |d| * rows-per-source must
+    stay under 2^63 (milli-unit devs ~2^20 leave room for ~2^42 rows/source).
+
+    Output: input + (s_pos, s_neg, is_change)."""
+    vq = F.round(F.col(value) * 1000).cast("long")
+    mu_tbl = (
+        df.groupBy(partition)
+        .agg(F.sum(vq).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .withColumn("_mu", F.expr("_s div _n"))
+        .select(partition, "_mu")
+    )
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    k = F.lit(int(slack_milli)).cast("long")
+    h = F.lit(int(threshold_milli)).cast("long")
+    zero = F.lit(0).cast("long")
+    b = (
+        df.join(F.broadcast(mu_tbl), partition)
+        .withColumn("_dp", vq - F.col("_mu") - k)
+        .withColumn("_dn", F.col("_mu") - vq - k)
+        .withColumn("_cp", F.sum("_dp").over(w))
+        .withColumn("_cn", F.sum("_dn").over(w))
+        .withColumn("s_pos", F.col("_cp") - F.least(zero, F.min("_cp").over(w)))
+        .withColumn("s_neg", F.col("_cn") - F.least(zero, F.min("_cn").over(w)))
+    )
+    return b.withColumn(
+        "is_change", (F.col("s_pos") > h) | (F.col("s_neg") > h)
+    ).drop("_mu", "_dp", "_dn", "_cp", "_cn")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Seasonal (hour-of-day) profile per source — the seasonal-naive
+    baseline fold: exact micro-unit sums per (source, hour-of-day) phase and
+    the truncating integer mean (``div`` — floor on the nonnegative signals
+    this targets). Map-side-combinable single hash aggregate over at most
+    24·|sources| cells.
+
+    Output: (source, hod, n, sum_micro, mean_micro)."""
+    vq = F.round(F.col(value) * 1_000_000).cast("long")
+    return (
+        df.groupBy(partition, F.hour(F.col(ts)).cast("long").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(vq).alias("sum_micro"))
+        .withColumn("mean_micro", F.expr("sum_micro div n"))
+    )

@@ -365,3 +365,23 @@ def test_pack_sequences_null_n_tok(spark):
     # d(100) joins bin1
     assert out.bin_id.tolist() == [0, 0, 1, 1]
     assert out.bin_fill.tolist() == [300, 300, 300, 400]
+
+
+def test_bigram_collocations(spark):
+    """Adjacent-pair counts with unigram PMI ingredients; empties removed
+    before pairing so runs of whitespace don't break adjacency."""
+    import pandas as pd
+
+    from forecaster_spark.operators.textops import bigram_collocations
+
+    pdf = pd.DataFrame({"text": [" The cat  sat on the cat ", "the cat", "x", ""]})
+    out = (
+        bigram_collocations(spark.createDataFrame(pdf), topk=10)
+        .toPandas()
+        .set_index(["w1", "w2"])
+        .sort_index()
+    )
+    assert out.loc[("the", "cat")].tolist() == [3, 3, 3]
+    assert out.loc[("cat", "sat")].tolist() == [1, 3, 1]
+    assert out.loc[("on", "the")].tolist() == [1, 1, 3]
+    assert len(out) == 4  # no pair from 'x' or ''

@@ -449,3 +449,100 @@ def test_time_in_state_and_heartbeat_agg(spark):
     assert hb.live_ms == 280_000 and hb.dead_ms == 220_000
     assert hb.live_ms + hb.dead_ms == (secs[-1] - secs[0]) * 1000
     assert hb.max_gap_ms == 300_000 and hb.n_dead_gaps == 2
+
+
+def test_ohlc_both_tie_paths_and_values(spark):
+    """OHLC hand values; the struct tie_break path stays deterministic under
+    duplicate ts (lexicographic (ts, value)) and equals the min_by fast path
+    on unique-ts data."""
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import ohlc
+
+    base = pd.Timestamp("2030-06-01 10:00:00")
+    pdf = pd.DataFrame(
+        {
+            "source": "a",
+            "ts": [base + pd.Timedelta(minutes=m) for m in (5, 20, 40, 55)],
+            "y": [10.0, 30.0, 5.0, 12.0],
+            "event_id": range(4),
+        }
+    )
+    for tb in (True, False):
+        row = ohlc(spark.createDataFrame(pdf), tie_break=tb).toPandas().iloc[0]
+        assert (row["open"], row["high"], row["low"], row["close"], row["n"]) == (
+            10.0,
+            30.0,
+            5.0,
+            12.0,
+            4,
+        )
+    # duplicate ts: struct path picks lexicographic min/max (ts, value)
+    pdf2 = pdf.copy()
+    pdf2.loc[1, "ts"] = pdf2.loc[0, "ts"]
+    pdf2.loc[2, "ts"] = pdf2.loc[3, "ts"]
+    row = ohlc(spark.createDataFrame(pdf2), tie_break=True).toPandas().iloc[0]
+    assert row["open"] == 10.0 and row["close"] == 12.0
+
+
+def test_cusum_matches_sequential_loop(spark):
+    """The cumsum-minus-running-min window rewrite equals the textbook
+    sequential max(0, s + dev) recurrence exactly (integer arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import cusum
+
+    rng = np.random.default_rng(11)
+    y = np.round(rng.normal(50, 3, 400), 3)
+    y[250:] += 20  # planted level shift
+    pdf = pd.DataFrame(
+        {
+            "source": "a",
+            "ts": pd.date_range("2030-01-01", periods=400, freq="1min"),
+            "y": y,
+            "event_id": range(400),
+        }
+    )
+    k, h = 2_000, 30_000
+    got = (
+        cusum(spark.createDataFrame(pdf), slack_milli=k, threshold_milli=h)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    vq = np.round(y * 1000).astype(np.int64)
+    mu = int(vq.sum()) // len(vq) if vq.sum() >= 0 else None
+    sp = sn = 0
+    want_p, want_n = [], []
+    for v in vq:
+        sp = max(0, sp + (int(v) - mu - k))
+        sn = max(0, sn + (mu - int(v) - k))
+        want_p.append(sp)
+        want_n.append(sn)
+    assert got.s_pos.tolist() == want_p
+    assert got.s_neg.tolist() == want_n
+    assert bool(got.is_change.iloc[-1]) and not bool(got.is_change.iloc[0])
+    assert (got.is_change == ((got.s_pos > h) | (got.s_neg > h))).all()
+
+
+def test_seasonal_profile_exact(spark):
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import seasonal_profile
+
+    pdf = pd.DataFrame(
+        {
+            "source": "a",
+            "ts": pd.date_range("2030-01-01", periods=48, freq="1h"),
+            "y": np.arange(48, dtype=float) + 0.25,
+            "event_id": range(48),
+        }
+    )
+    out = seasonal_profile(spark.createDataFrame(pdf)).toPandas().set_index("hod")
+    assert (out.n == 2).all() and len(out) == 24
+    # hod h sees y = h+0.25 and h+24.25 -> sum_micro and truncating mean
+    for h in (0, 7, 23):
+        s = int(round((h + 0.25) * 1e6) + round((h + 24.25) * 1e6))
+        assert out.loc[h, "sum_micro"] == s and out.loc[h, "mean_micro"] == s // 2
