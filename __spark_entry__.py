@@ -1140,6 +1140,40 @@ def q_bigram_collocations(spark, sf_dir):
     return bigram_collocations(read_table(spark, sf_dir, "documents"), topk=50)
 
 
+def q_interval_join(spark, sf_dir):
+    """Range (interval) join via time-grid equi-join — NOT a
+    BroadcastNestedLoopJoin: per-source top-3 busiest hours become 60-min
+    windows shifted +10 min (straddling two grid cells each), every event
+    lands in its cell, and the join runs on (source, cell) + exact range
+    filter. Exact micro sums per interval certify the match set."""
+    from pyspark.sql import Window
+
+    from forecaster_spark.operators.asof import interval_join
+
+    ev = _ev(spark, sf_dir)
+    busy = ev.groupBy("source", F.date_trunc("hour", "ts").alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("b"))
+    iv = (
+        busy.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "source",
+            (F.col("b") + F.expr("interval 10 minutes")).alias("ivl_start"),
+            (F.col("b") + F.expr("interval 70 minutes")).alias("ivl_end"),
+        )
+    )
+    return (
+        interval_join(ev, iv)
+        .groupBy("source", "ivl_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("y") * 1_000_000).cast("long")).alias("sum_micro"),
+        )
+    )
+
+
 def q_lttb_downsample(spark, sf_dir):
     """LTTB downsampling (TimescaleDB lttb hyperfunction analogue): each
     source's series reduced to 20 visually-representative points via exact
@@ -1359,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": q_cusum,
         "seasonal_profile_events": q_seasonal_profile,
         "bigram_collocations_documents": q_bigram_collocations,
+        "interval_join_events_1h": q_interval_join,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
         "session_stats_events": q_session_stats,
@@ -1747,6 +1782,23 @@ WITH w AS (
 )
 SELECT pc.w1, pc.w2, pc.pair_n, a.n AS w1_n, b.n AS w2_n
 FROM pc JOIN u a ON a.w = pc.w1 JOIN u b ON b.w = pc.w2""",
+        "interval_join_events_1h": """
+WITH hb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b, count(*) AS c
+  FROM events GROUP BY 1, 2
+), iv AS (
+  SELECT source, b + INTERVAL 10 MINUTE AS ivl_start,
+         b + INTERVAL 70 MINUTE AS ivl_end
+  FROM (SELECT source, b,
+               row_number() OVER (PARTITION BY source ORDER BY c DESC, b ASC) AS rk
+        FROM hb)
+  WHERE rk <= 3
+)
+SELECT i.source, i.ivl_start, count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+FROM iv i JOIN events e
+  ON e.event_type = i.source AND e.ts >= i.ivl_start AND e.ts < i.ivl_end
+GROUP BY 1, 2""",
         "rolling_zscore_events": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id,

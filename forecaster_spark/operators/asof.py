@@ -127,3 +127,51 @@ def apply_retention(
         return tier
     cutoff = F.lit(horizon) - F.expr(f"INTERVAL {keep_buckets * step_seconds} SECONDS")
     return tier.where(F.col(bucket) > cutoff)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "ivl_start",
+    end: str = "ivl_end",
+    on=("source",),
+    bucket: str = "hour",
+) -> DataFrame:
+    """Range (interval) join: every event row paired with every interval row
+    of the same ``on`` keys satisfying ``start <= ts < end`` (half-open, the
+    tier-bucket convention).
+
+    Spark's native plan for a non-equi join is BroadcastNestedLoopJoin —
+    fine only while one side fits in executor memory, a cliff at
+    10^12-event scale. This instead grids time: each interval explodes into
+    the ``bucket``-sized cells it overlaps (``sequence`` of truncated
+    timestamps; half-open end via ``end − 1µs``), each event truncates to
+    its cell, and the join is a plain equi-join on (on…, cell) with the
+    exact range predicate applied afterward. One shuffle, fanout =
+    interval-length / bucket (pick ``bucket`` at tier granularity), AQE
+    handles hot cells; no broadcast required on either side.
+
+    Intervals with ``end <= start`` are dropped. Output: event columns +
+    interval columns (minus the helper cell)."""
+    step = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}[bucket]
+    iv = (
+        intervals.where(F.col(end) > F.col(start))
+        .withColumn(
+            "_cell",
+            F.explode(
+                F.expr(
+                    f"sequence(date_trunc('{bucket}', {start}),"
+                    f" date_trunc('{bucket}', {end} - interval 1 microsecond),"
+                    f" interval {step})"
+                )
+            ),
+        )
+    )
+    ev = events.withColumn("_cell", F.date_trunc(bucket, F.col(ts)))
+    keys = [*on, "_cell"]
+    return (
+        ev.join(iv, keys)
+        .where((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_cell")
+    )

@@ -118,3 +118,45 @@ def test_asof_join_blocked_null_right_values(spark):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(blocked[plain.columns], plain, check_dtype=False)
+
+
+def test_interval_join_grid_equijoin(spark):
+    """Half-open [start, end) semantics, key equality, empty-interval drop;
+    the 3-min event grid makes expected match counts exact."""
+    import pandas as pd
+
+    from forecaster_spark.operators.asof import interval_join
+
+    ev = pd.DataFrame(
+        {
+            "source": "a",
+            "ts": pd.date_range("2030-01-01 00:00", periods=200, freq="3min"),
+            "y": range(200),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "source": ["a", "a", "b"],
+            "ivl_start": pd.to_datetime(
+                ["2030-01-01 00:10", "2030-01-01 02:30", "2030-01-01 00:00"]
+            ),
+            "ivl_end": pd.to_datetime(
+                ["2030-01-01 01:10", "2030-01-01 02:30", "2030-01-01 09:00"]
+            ),
+            "ivl_id": [1, 2, 3],
+        }
+    )
+    out = (
+        interval_join(spark.createDataFrame(ev), spark.createDataFrame(iv))
+        .groupBy("ivl_id")
+        .count()
+        .toPandas()
+        .set_index("ivl_id")
+    )
+    # ivl 1: events 00:12..01:09 -> 20; ivl 2 empty (end<=start, dropped);
+    # ivl 3 other source -> no rows
+    assert out["count"].to_dict() == {1: 20}
+    rows = interval_join(spark.createDataFrame(ev), spark.createDataFrame(iv))
+    ts_vals = [r["ts"] for r in rows.collect()]
+    assert min(ts_vals) == pd.Timestamp("2030-01-01 00:12")
+    assert max(ts_vals) == pd.Timestamp("2030-01-01 01:09")  # 01:10 excluded
