@@ -1210,6 +1210,38 @@ def q_csv_source_rollup(spark, sf_dir):
     )
 
 
+def q_jsonl_source_rollup(spark, sf_dir):
+    """S1 JSONL source in the driver gate: the events series round-trips
+    through a JSON-lines sink + ``read_jsonl_series`` (DECLARED schema —
+    no inference pass), then aggregates with exact sums; equality with SQL
+    over the original parquet proves the JSON write/read is value-lossless
+    (Spark emits shortest-round-trip doubles)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from forecaster_spark.sources.readers import read_jsonl_series
+
+    d = tempfile.mkdtemp(prefix="contract_jsonl_")
+    _ev(spark, sf_dir).select("source", "event_id", "y").write.mode("overwrite").json(d)
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+    back = read_jsonl_series(spark, d, schema)
+    m = 1_000_000
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("y") * m).cast("long")) / m).alias("sum_y"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
 def q_feature_topk(spark, sf_dir):
     """Top-k feature selection per source (squared-correlation relevance
     over [y lags 1..4, hourly count, time index]) — the torch-free analogue
@@ -1381,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_locf_events": q_stream_locf,
         "feature_topk_events_1h": q_feature_topk,
         "csv_source_rollup_events": q_csv_source_rollup,
+        "jsonl_source_rollup_events": q_jsonl_source_rollup,
         "time_weighted_avg_events_1h": q_time_weighted_avg,
         "counter_delta_events": q_counter_delta,
         "linear_deriv_events_1h": q_linear_deriv,
@@ -1423,6 +1456,8 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_entries()
     # streamed stateful LOCF must equal the batch LOCF SQL exactly
     d["stream_locf_events"] = d["locf_events"]
+    # the JSONL round-trip must equal the same parquet aggregate as the CSV one
+    d["jsonl_source_rollup_events"] = d["csv_source_rollup_events"]
     return d
 
 

@@ -62,3 +62,12 @@ def try_iceberg(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def read_jsonl_series(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with a DECLARED schema — never inference: schema
+    inference on JSONL is a full extra pass over the data (a non-starter at
+    100-TB scale) and silently unifies drifting types. Malformed rows stay
+    visible via Spark's default PERMISSIVE nulls rather than killing the
+    scan; pair with a count-based quality gate downstream."""
+    return spark.read.schema(schema).json(path)
