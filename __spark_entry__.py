@@ -930,6 +930,47 @@ def q_stream_tier_upsert(spark, sf_dir):
     return spark.read.parquet(tier_dir).select(*ROLLUP_ORDER)
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Second custom stateful streaming operator (applyInPandasWithState):
+    gap-based sessionization with the session counter + last event second
+    in keyed state. The events stream arrives in 2 time-half micro-batches
+    (minimum that proves state crosses a batch boundary); the streamed
+    session ids must equal the batch sessionize SQL bit-for-bit."""
+    import tempfile
+
+    from forecaster_spark.streaming.stateful import stream_sessionize
+
+    d = tempfile.mkdtemp(prefix="contract_streamsess_")
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+    ev.where(F.col("ts") < F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
+    ev.where(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    qname = "contract_stream_sessionize"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_sessionize(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).select("user_id", "event_id", "session_id")
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """TimescaleDB time_weight analogue: trapezoidal time-weighted hourly
     mean over the irregular event series (micro-exact pair sums, ms-integer
@@ -1411,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge_increment_events": q_rollup_merge_increment,
         "checkpoint_resume_rollup_events": q_checkpoint_resume,
         "stream_locf_events": q_stream_locf,
+        "stream_sessionize_events": q_stream_sessionize,
         "feature_topk_events_1h": q_feature_topk,
         "csv_source_rollup_events": q_csv_source_rollup,
         "jsonl_source_rollup_events": q_jsonl_source_rollup,
@@ -1458,6 +1500,8 @@ def oracle_sql() -> dict[str, str]:
     d["stream_locf_events"] = d["locf_events"]
     # the JSONL round-trip must equal the same parquet aggregate as the CSV one
     d["jsonl_source_rollup_events"] = d["csv_source_rollup_events"]
+    # streamed stateful sessionization must equal the batch sessionize SQL
+    d["stream_sessionize_events"] = d["sessionize_events"]
     return d
 
 

@@ -126,3 +126,64 @@ def run_stream_locf_to_memory(spark, input_dir: str, query_name: str = "locf_str
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+SESS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("session_id", LongType()),
+    ]
+)
+
+SESS_STATE_SCHEMA = StructType(
+    [StructField("last_sec", LongType()), StructField("n_sessions", LongType())]
+)
+
+SESSION_GAP_S = 1800
+
+
+def _sessionize_batch(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Per-user session assignment with the session counter and the last
+    event's floor-second carried across micro-batches — the same integer
+    gap rule as the batch sessionizer (``unix_timestamp`` floor seconds,
+    new session when gap > 1800 s or first-ever event), so stream ≡ batch
+    bit-for-bit."""
+    (user_id,) = key
+    last_sec, n_sessions = state.get if state.exists else (None, 0)
+    for pdf in pdf_iter:
+        if len(pdf) == 0:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        sec = pdf["ts"].astype("int64") // 1_000_000_000
+        prev = sec.shift(1)
+        gap = sec - prev
+        new_sess = gap.isna() | (gap > SESSION_GAP_S)
+        if last_sec is not None:
+            new_sess.iloc[0] = (int(sec.iloc[0]) - last_sec) > SESSION_GAP_S
+        sid = n_sessions + new_sess.cumsum().astype("int64")
+        n_sessions = int(sid.iloc[-1])
+        last_sec = int(sec.iloc[-1])
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"],
+                "session_id": sid,
+            }
+        )
+    state.update((last_sec, n_sessions))
+
+
+def stream_sessionize(stream: DataFrame) -> DataFrame:
+    """Streaming sessionization over a ``(user_id, ts, event_id)`` stream:
+    gap-based session windows (> 1800 s starts a new session) with the
+    session counter in keyed state — the canonical custom stateful
+    operator. State is two longs per user; requires within-user event-time
+    order across batches (same contract as ``stream_locf``)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_batch,
+        outputStructType=SESS_OUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

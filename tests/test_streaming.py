@@ -162,3 +162,61 @@ def test_stream_rollup_to_tier_upsert(spark, tmp_path):
         check_exact=False,
         rtol=1e-12,
     )
+
+
+def test_stateful_stream_sessionize_carries_across_batches(spark, tmp_path):
+    """The session counter and last-event second must survive the batch
+    boundary: a session straddling two micro-batches keeps ONE id, and a
+    cross-boundary gap > 1800 s opens a new session with the counter
+    continuing (not resetting) from state."""
+    import pandas as pd
+
+    from forecaster_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "sess_stream")
+    base = pd.Timestamp("2030-01-01 00:00:00")
+    # user 1: batch0 [0s, 100s], batch1 [200s (same session), 4000s (new)]
+    # user 2: batch0 [0s], batch1 [3600s] -> new session via state gap
+    b0 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [base, base + pd.Timedelta(seconds=100), base],
+            "event_id": [0, 1, 2],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": [
+                base + pd.Timedelta(seconds=200),
+                base + pd.Timedelta(seconds=4000),
+                base + pd.Timedelta(seconds=3600),
+            ],
+            "event_id": [3, 4, 5],
+        }
+    )
+    for b in (b0, b1):
+        spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.table("t_sess_stream")
+        .toPandas()
+        .set_index("event_id")["session_id"]
+        .to_dict()
+    )
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
