@@ -1181,6 +1181,20 @@ def q_bigram_collocations(spark, sf_dir):
     return bigram_collocations(read_table(spark, sf_dir, "documents"), topk=50)
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """Pairs → clusters → keep/drop verdicts: SimHash near-dup pairs feed
+    distributed min-label propagation (connected components), the minimum
+    id is each cluster's canonical doc, and every corpus document gets a
+    (cluster_id, keep) row. The oracle clusters the brute-force pair set
+    with a recursive-CTE transitive closure — a different pair algorithm
+    AND a different fixpoint, both certified at once."""
+    from forecaster_spark.operators.dedup import dedup_keep_list, simhash, simhash_neardup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(simhash(docs), max_hamming=3)
+    return dedup_keep_list(docs, pairs).select("doc_id", "cluster_id", "keep")
+
+
 def q_interval_join(spark, sf_dir):
     """Range (interval) join via time-grid equi-join — NOT a
     BroadcastNestedLoopJoin: per-source top-3 busiest hours become 60-min
@@ -1469,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_events": q_seasonal_profile,
         "bigram_collocations_documents": q_bigram_collocations,
         "interval_join_events_1h": q_interval_join,
+        "dedup_keep_list_documents": q_dedup_keep_list,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
         "session_stats_events": q_session_stats,
@@ -1980,6 +1995,7 @@ FROM events GROUP BY 1""",
         ),
         "simhash_documents": xhash_sql.simhash_sql(),
         "simhash_neardup_pairs_documents": xhash_sql.simhash_neardup_sql(max_hamming=3),
+        "dedup_keep_list_documents": xhash_sql.dedup_keep_list_sql(max_hamming=3),
         "pack_sequences_documents": pack_sequences_sql(budget=512),
         "hash_split_documents": hash_split_sql(),
         "contamination_flags_documents": xhash_sql.contamination_sql(),

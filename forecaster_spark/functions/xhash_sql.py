@@ -315,3 +315,26 @@ uq AS (SELECT DISTINCT doc_id, g FROM gsm),
 rk AS (SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS pos FROM uq)
 SELECT doc_id, CAST(pos AS INT) AS pos, {to_int64("g")} AS fp
 FROM rk WHERE pos < {keep}"""
+
+
+def dedup_keep_list_sql(max_hamming: int = 3) -> str:
+    """Oracle for ``dedup_keep_list`` over SimHash near-dup pairs: the pair
+    set is recomputed with :func:`simhash_neardup_sql` (brute-force — the
+    opposite algorithm from the engine's blocking), then clustered by a
+    recursive-CTE transitive closure (UNION set semantics terminate it;
+    min reachable id = canonical label) — deliberately NOT the engine's
+    min-label propagation loop, so the fixpoint itself is cross-checked."""
+    return f"""
+WITH RECURSIVE prs AS ({simhash_neardup_sql(max_hamming)}),
+e AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+n AS (SELECT DISTINCT u AS id FROM e),
+r AS (
+  SELECT id, id AS reach FROM n
+  UNION
+  SELECT r.id, e.v FROM r JOIN e ON e.u = r.reach
+),
+cc AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       (cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN cc USING (doc_id)"""

@@ -459,3 +459,85 @@ def simhash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair table
+    ``(id_a, id_b)`` → ``(doc_id, cluster_id)`` with ``cluster_id`` = the
+    minimum doc id reachable in the component (deterministic canonical
+    label). The missing last stage of the dedup pipeline: LSH emits PAIRS,
+    but keep/drop decisions need CLUSTERS.
+
+    Distributed min-label propagation (the standard Spark CC shape, cf.
+    GraphFrames' alternating algorithm): every node starts as its own
+    label; each round pulls the min label across its undirected edges and
+    keeps min(own, neighborhood). Rounds needed ≤ component diameter
+    (near-dup clusters are dense — typically 2-3); each round is one join +
+    one aggregate, and convergence is detected with a single count per
+    round (one scalar to the driver, not the data). ``max_iters`` bounds a
+    pathological chain graph.
+
+    Persist discipline: labels are cached per round and unpersisted after
+    the next round materializes, so lineage doesn't grow across iterations
+    (the classic iterative-Spark trap)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "id")
+            .where(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep/drop verdict per document from a near-dup pair table: cluster
+    via :func:`connected_components`, keep the canonical (minimum-id)
+    member of each cluster, drop the rest; documents in no pair keep
+    themselves. Output: (id_col, cluster_id, keep boolean) — one row per
+    input document. The cluster table is duplicate-bounded (≤ docs in
+    pairs); the join is left to AQE, which broadcasts it when small but
+    degrades gracefully on duplicate-heavy corpora where it isn't."""
+    cc = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(cc.withColumnRenamed("doc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            (
+                F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )

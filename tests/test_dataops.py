@@ -385,3 +385,53 @@ def test_bigram_collocations(spark):
     assert out.loc[("cat", "sat")].tolist() == [1, 3, 1]
     assert out.loc[("on", "the")].tolist() == [1, 1, 3]
     assert len(out) == 4  # no pair from 'x' or ''
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (diameter stresses the loop),
+    a 2-node island, and a self-contained triangle all resolve to their
+    minimum member; convergence must happen before max_iters."""
+    import pandas as pd
+
+    from forecaster_spark.operators.dedup import connected_components
+
+    pairs = pd.DataFrame(
+        [  # chain a-b-c-d-e (worst case for label propagation)
+            ("b", "a"), ("b", "c"), ("c", "d"), ("d", "e"),
+            # island
+            ("y", "z"),
+            # triangle with redundant edges
+            ("p", "q"), ("q", "r"), ("r", "p"),
+        ],
+        columns=["id_a", "id_b"],
+    )
+    cc = (
+        connected_components(spark.createDataFrame(pairs))
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert cc[["a", "b", "c", "d", "e"]].tolist() == ["a"] * 5
+    assert cc[["y", "z"]].tolist() == ["y", "y"]
+    assert cc[["p", "q", "r"]].tolist() == ["p"] * 3
+    assert len(cc) == 10
+
+
+def test_dedup_keep_list_verdicts(spark):
+    """Every corpus doc gets exactly one row; cluster minima keep, other
+    members drop, and docs absent from the pair table keep themselves."""
+    import pandas as pd
+
+    from forecaster_spark.operators.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b", "c", "m", "n", "solo"]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame([("b", "a"), ("b", "c"), ("n", "m")], columns=["id_a", "id_b"])
+    )
+    out = dedup_keep_list(docs, pairs).toPandas().set_index("doc_id")
+    assert len(out) == 6
+    assert out.loc["a", "keep"] and not out.loc["b", "keep"] and not out.loc["c", "keep"]
+    assert out.loc["m", "keep"] and not out.loc["n", "keep"]
+    assert out.loc["solo", "keep"] and out.loc["solo", "cluster_id"] == "solo"
+    assert set(out.cluster_id) == {"a", "m", "solo"}
