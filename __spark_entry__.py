@@ -1195,6 +1195,20 @@ def q_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(docs, pairs).select("doc_id", "cluster_id", "keep")
 
 
+def q_mad_anomaly(spark, sf_dir):
+    """Robust median/MAD anomaly flags per source — the 50%-breakdown-point
+    outlier filter (a rolling z-score's mean/std get dragged by the very
+    burst it should flag). Medians in doubled/quadrupled micro-units keep
+    the even-count interpolation integer-valued, so Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` bit-equal and the ``1000·dev > k·MAD`` verdict
+    is an exact integer comparison on both engines."""
+    from forecaster_spark.operators.timeweight import mad_anomaly
+
+    return mad_anomaly(_ev(spark, sf_dir), k_milli=3000).select(
+        "source", "event_id", "y", "med", "mad", "is_anomaly"
+    )
+
+
 def q_interval_join(spark, sf_dir):
     """Range (interval) join via time-grid equi-join — NOT a
     BroadcastNestedLoopJoin: per-source top-3 busiest hours become 60-min
@@ -1484,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_collocations_documents": q_bigram_collocations,
         "interval_join_events_1h": q_interval_join,
         "dedup_keep_list_documents": q_dedup_keep_list,
+        "mad_anomaly_events": q_mad_anomaly,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
         "session_stats_events": q_session_stats,
@@ -1751,6 +1766,24 @@ SELECT event_type AS source,
        quantile_cont(value, 0.99) AS p99,
        count(*) AS n
 FROM events GROUP BY 1""",
+        "mad_anomaly_events": """
+WITH s AS (
+  SELECT event_type AS source, event_id, value AS y,
+         CAST(round(value * 1000000) AS BIGINT) * 2 AS v2
+  FROM events
+), m AS (
+  SELECT source, quantile_cont(v2, 0.5) AS m2 FROM s GROUP BY 1
+), d AS (
+  SELECT s.source, s.event_id, s.y, m.m2,
+         CAST(abs(CAST(s.v2 AS DOUBLE) - m.m2) AS BIGINT) AS dev2
+  FROM s JOIN m USING (source)
+), md AS (
+  SELECT source, quantile_cont(dev2 * 2, 0.5) AS mad4 FROM d GROUP BY 1
+)
+SELECT d.source, d.event_id, d.y,
+       d.m2 / 2000000.0 AS med, md.mad4 / 4000000.0 AS mad,
+       CAST(d.dev2 * 2000 AS DOUBLE) > 3000.0 * md.mad4 AS is_anomaly
+FROM d JOIN md USING (source)""",
         "ewma_events_1h": """
 WITH RECURSIVE th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -477,21 +477,28 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     round (one scalar to the driver, not the data). ``max_iters`` bounds a
     pathological chain graph.
 
-    Persist discipline: labels are cached per round and unpersisted after
-    the next round materializes, so lineage doesn't grow across iterations
-    (the classic iterative-Spark trap)."""
+    Lineage discipline: each round's labels are ``localCheckpoint``-ed
+    (eager), which BOTH materializes and truncates the logical plan.
+    ``persist`` alone is the classic iterative-Spark trap: it caches the
+    data but the plan tree still embeds the previous round's plan twice
+    (once in the neighbor join, once in the label update), so after k
+    rounds the tree is O(2^k) nodes and the driver dies rendering plan
+    strings for the SQL listener long before any executor runs out. On a
+    real cluster with executor loss, swap localCheckpoint for a reliable
+    ``checkpoint()`` against the cluster checkpoint dir — same truncation,
+    fault-tolerant blocks."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("lbl", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "v"), "v")
@@ -506,7 +513,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("lbl", "new_lbl")
@@ -514,7 +521,6 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .where(F.col("new_lbl") != F.col("lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

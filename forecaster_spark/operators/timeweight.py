@@ -510,3 +510,50 @@ def seasonal_profile(
         .agg(F.count(F.lit(1)).alias("n"), F.sum(vq).alias("sum_micro"))
         .withColumn("mean_micro", F.expr("sum_micro div n"))
     )
+
+
+def mad_anomaly(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    k_milli: int = 3000,
+) -> DataFrame:
+    """Robust (median/MAD) anomaly detection per series — the outlier
+    filter that survives the contamination a rolling z-score doesn't:
+    median and MAD have a 50% breakdown point, so a burst of bad points
+    can't drag the threshold with it (mean/std-based scores mask exactly
+    the anomalies they should flag).
+
+    Exactness: values quantize to micro-units; medians are computed in
+    DOUBLED units so the even-count interpolation (mean of two middles)
+    stays integer-valued — ``(2a+2b)/2 = a+b`` exactly — and Spark's
+    sort-based ``percentile`` matches DuckDB's ``quantile_cont`` bit-equal
+    (same (n−1)·p rule, proven by the quantiles contract query). The flag
+    compares ``1000·dev ≥/> k_milli·MAD`` in quadrupled-micro integers
+    (both sides < 2⁵³, exact in doubles), so verdicts are deterministic
+    cross-engine; zero-MAD series (≥50% identical values) flag any
+    deviation, the standard degenerate MAD behavior.
+
+    Plan shape: two whole-partition window aggregates over one hash
+    partitioning — a single shuffle on ``partition``, no Python. Skew
+    caveat as for LOCF: one giant source serializes into one task; at
+    hot-source scale run it over rolled tiers (bounded rows/source).
+
+    Output: input columns + ``med``, ``mad`` (doubles, original units) +
+    ``is_anomaly``."""
+    w = Window.partitionBy(partition)
+    v2 = (F.round(F.col(value) * 1_000_000).cast("long") * 2).alias("_v2")
+    b = df.withColumn("_v2", v2)
+    b = b.withColumn("_m2", F.percentile("_v2", 0.5).over(w))
+    dev2 = F.abs(F.col("_v2") - F.col("_m2")).cast("long")
+    b = b.withColumn("_dev2", dev2)
+    b = b.withColumn("_mad4", F.percentile(F.col("_dev2") * 2, 0.5).over(w))
+    return (
+        b.withColumn("med", F.col("_m2") / 2_000_000.0)
+        .withColumn("mad", F.col("_mad4") / 4_000_000.0)
+        .withColumn(
+            "is_anomaly",
+            (F.col("_dev2") * 2000).cast("double") > F.lit(float(k_milli)) * F.col("_mad4"),
+        )
+        .drop("_v2", "_m2", "_dev2", "_mad4")
+    )

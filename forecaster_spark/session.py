@@ -53,6 +53,11 @@ def get_spark(
         # the whole engine; 16g = ~500MB/task at 32 threads, ample at bench
         # scale while keeping young-gen evacuation millisecond-cheap.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # cap plan-string rendering: the SQL listener stringifies every
+        # executed plan, and an unbounded (default ~2GB) cap lets one
+        # pathological plan tree OOM the driver building a UI string for a
+        # UI that is disabled anyway. 1MB is plenty for .explain() use.
+        .config("spark.sql.maxPlanStringLength", "1048576")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -546,3 +546,44 @@ def test_seasonal_profile_exact(spark):
     for h in (0, 7, 23):
         s = int(round((h + 0.25) * 1e6) + round((h + 24.25) * 1e6))
         assert out.loc[h, "sum_micro"] == s and out.loc[h, "mean_micro"] == s // 2
+
+
+def test_mad_anomaly_matches_numpy(spark):
+    """Window-percentile MAD flags equal a per-series numpy median/MAD
+    computed in the same doubled-micro integer units, including the
+    breakdown property: a 30% contamination burst is flagged while the
+    clean points are not, and a zero-MAD series flags any deviation."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import mad_anomaly
+
+    rng = np.random.default_rng(7)
+    y = np.round(rng.normal(10, 0.5, 200), 3)
+    y[:60] += 50.0  # 30% contamination burst
+    pdf = pd.DataFrame(
+        {
+            "source": (["a"] * 200) + (["b"] * 5),
+            "y": np.concatenate([y, [3.0, 3.0, 3.0, 3.0, 7.0]]),
+            "event_id": range(205),
+        }
+    )
+    got = (
+        mad_anomaly(spark.createDataFrame(pdf), k_milli=3000)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for src, sub in got.groupby("source"):
+        v2 = np.round(sub.y.to_numpy() * 1e6).astype(np.int64) * 2
+        m2 = int(np.median(v2))  # integer: doubled units
+        dev2 = np.abs(v2 - m2)
+        mad4 = int(np.median(dev2 * 2))
+        assert (np.round(sub.med.to_numpy() * 2e6).astype(np.int64) == m2).all()
+        assert (np.round(sub.mad.to_numpy() * 4e6).astype(np.int64) == mad4).all()
+        want = dev2 * 2000 > 3000 * mad4
+        assert sub.is_anomaly.to_numpy().tolist() == want.tolist()
+    a = got[got.source == "a"]
+    assert a.is_anomaly.to_numpy()[:60].all() and not a.is_anomaly.to_numpy()[60:].any()
+    b = got[got.source == "b"]
+    assert b.mad.eq(0).all() and b.is_anomaly.tolist() == [False] * 4 + [True]
