@@ -1209,6 +1209,38 @@ def q_mad_anomaly(spark, sf_dir):
     )
 
 
+def q_rolling_median(spark, sf_dir):
+    """Trailing 7-row rolling median per source — the local robust
+    smoother. Doubled micro-units keep the even-frame interpolation
+    integer-valued (head frames vary in parity), so Spark ``percentile``
+    over the rows frame ≡ DuckDB windowed ``quantile_cont`` bit-equal."""
+    from forecaster_spark.operators.timeweight import rolling_median
+
+    return rolling_median(_ev(spark, sf_dir), window=7).select(
+        "source", "event_id", "y", "med_roll"
+    )
+
+
+def q_acf(spark, sf_dir):
+    """Integer-centered ACF lags 1..5 per source (reference ar_yw.py:88-94
+    builds exactly these autocovariances for the Yule-Walker solve).
+    gamma_k are exact BIGINT sums of centi-unit deviation products; rho is
+    a single IEEE division of two < 2^53 integers — engine-exact."""
+    from forecaster_spark.operators.timeweight import acf
+
+    return acf(_ev(spark, sf_dir), max_lag=5)
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition/boilerplate signals per document
+    (dup-word / modal-word / dup-bigram / rep-2-gram fractions), all from
+    exact integer count ingredients; fractions are single divisions of
+    exact small integers so the doubles match bit-for-bit."""
+    from forecaster_spark.operators.textops import repetition_signals
+
+    return repetition_signals(read_table(spark, sf_dir, "documents"))
+
+
 def q_interval_join(spark, sf_dir):
     """Range (interval) join via time-grid equi-join — NOT a
     BroadcastNestedLoopJoin: per-source top-3 busiest hours become 60-min
@@ -1499,6 +1531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events_1h": q_interval_join,
         "dedup_keep_list_documents": q_dedup_keep_list,
         "mad_anomaly_events": q_mad_anomaly,
+        "rolling_median_events": q_rolling_median,
+        "acf_events": q_acf,
+        "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
         "session_stats_events": q_session_stats,
@@ -1784,6 +1819,96 @@ SELECT d.source, d.event_id, d.y,
        d.m2 / 2000000.0 AS med, md.mad4 / 4000000.0 AS mad,
        CAST(d.dev2 * 2000 AS DOUBLE) > 3000.0 * md.mad4 AS is_anomaly
 FROM d JOIN md USING (source)""",
+        "rolling_median_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id, value AS y,
+         CAST(round(value * 1000000) AS BIGINT) * 2 AS v2
+  FROM events
+)
+SELECT source, event_id, y,
+       quantile_cont(v2, 0.5) OVER (
+         PARTITION BY source ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) / 2000000.0 AS med_roll
+FROM s""",
+        "acf_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), c AS (
+  SELECT source, ts, event_id, vc,
+         vc - CAST(sum(vc) OVER (PARTITION BY source)
+                   // count(*) OVER (PARTITION BY source) AS BIGINT) AS dev
+  FROM s
+), l AS (
+  SELECT source, dev,
+         lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2,
+         lag(dev, 3) OVER w AS d3, lag(dev, 4) OVER w AS d4,
+         lag(dev, 5) OVER w AS d5
+  FROM c WINDOW w AS (PARTITION BY source ORDER BY ts, event_id)
+), g AS (
+  SELECT source,
+         CAST(sum(dev * dev) AS BIGINT) AS g0,
+         CAST(sum(dev * d1) AS BIGINT) AS g1, count(d1) AS n1,
+         CAST(sum(dev * d2) AS BIGINT) AS g2, count(d2) AS n2,
+         CAST(sum(dev * d3) AS BIGINT) AS g3, count(d3) AS n3,
+         CAST(sum(dev * d4) AS BIGINT) AS g4, count(d4) AS n4,
+         CAST(sum(dev * d5) AS BIGINT) AS g5, count(d5) AS n5
+  FROM l GROUP BY 1
+)
+SELECT source, CAST(1 AS BIGINT) AS lag, g1 AS gamma,
+       CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE) AS rho, n1 AS n_used FROM g
+UNION ALL SELECT source, 2, g2, CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE), n2 FROM g
+UNION ALL SELECT source, 3, g3, CAST(g3 AS DOUBLE) / CAST(g0 AS DOUBLE), n3 FROM g
+UNION ALL SELECT source, 4, g4, CAST(g4 AS DOUBLE) / CAST(g0 AS DOUBLE), n4 FROM g
+UNION ALL SELECT source, 5, g5, CAST(g5 AS DOUBLE) / CAST(g0 AS DOUBLE), n5 FROM g""",
+        "repetition_signals_documents": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY 1, 2
+), wstat AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, max(n) AS top_word_n
+  FROM wc GROUP BY 1
+), pc AS (
+  SELECT doc_id, w1, w2, count(*) AS n
+  FROM (
+    SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+    FROM (SELECT doc_id, ws,
+                 unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+          FROM w)
+  ) GROUP BY 1, 2, 3
+), pstat AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams, max(n) AS top_bigram_n
+  FROM pc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_words, 0) AS n_words,
+       coalesce(n_distinct_words, 0) AS n_distinct_words,
+       coalesce(top_word_n, 0) AS top_word_n,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       coalesce(top_bigram_n, 0) AS top_bigram_n,
+       CASE WHEN coalesce(n_words, 0) > 0 THEN
+         CAST(n_words - n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+       END AS dup_word_frac,
+       CASE WHEN coalesce(n_words, 0) > 0 THEN
+         CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE)
+       END AS top_word_frac,
+       CASE WHEN coalesce(n_bigrams, 0) > 0 THEN
+         CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       END AS dup_bigram_frac,
+       CASE WHEN coalesce(n_bigrams, 0) > 0 THEN
+         CAST(top_bigram_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+       END AS top_bigram_frac
+FROM documents d
+LEFT JOIN wstat USING (doc_id) LEFT JOIN pstat USING (doc_id)""",
         "ewma_events_1h": """
 WITH RECURSIVE th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -171,3 +171,86 @@ def bigram_collocations(df: DataFrame, text_col: str = "text", topk: int = 50) -
         )
         .select("w1", "w2", "pair_n", "w1_n", "w2_n")
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document — the
+    boilerplate/degenerate-text filter stage of a training-data pipeline
+    (Rae et al. 2021 §A1.1 use duplicate-n-gram fractions to drop
+    auto-generated and template pages; word/bigram variants here since the
+    synthetic corpus is single-line).
+
+    Signals (all exact-integer ingredients; the fractions are single IEEE
+    divisions of exact small integers, bit-identical cross-engine):
+      - ``n_words`` / ``n_distinct_words`` / ``dup_word_frac``
+        = (n_words - n_distinct) / n_words
+      - ``top_word_n`` / ``top_word_frac`` — mass of the modal word
+      - ``n_bigrams`` / ``n_distinct_bigrams`` / ``dup_bigram_frac``
+      - ``top_bigram_n`` / ``top_bigram_frac`` — mass of the modal
+        adjacent pair (the rep-2-gram signal)
+    Tokens: lowercase whitespace split with empties removed (the
+    certified cross-engine tokenization, cf. bigram_collocations).
+    Documents with zero words keep a row (zero counts, null fractions);
+    single-word docs have null bigram fractions.
+
+    Plan shape: two explode→hash-agg chains (word level, pair level),
+    each map-side combinable with (id, token) keys — corpus-linear, no
+    all-pairs, no Python; the two per-doc stat tables join back on the
+    id (same-key shuffles, AQE-coalesced).
+
+    Output: one row per input document."""
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    d = df.select(id_col, ws.alias("ws"))
+    word_stats = (
+        d.select(id_col, F.explode("ws").alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("n").alias("top_word_n"),
+        )
+    )
+    pair_stats = (
+        d.select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(ws, 1, greatest(size(ws) - 1, 0))").alias("w1"),
+                    F.expr("slice(ws, 2, greatest(size(ws) - 1, 0))").alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .groupBy(id_col, "p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.max("n").alias("top_bigram_n"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    frac = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double"))
+    out = (
+        df.select(id_col)
+        .join(word_stats, id_col, "left")
+        .join(pair_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", z).alias("n_words"),
+            F.coalesce("n_distinct_words", z).alias("n_distinct_words"),
+            F.coalesce("top_word_n", z).alias("top_word_n"),
+            F.coalesce("n_bigrams", z).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", z).alias("n_distinct_bigrams"),
+            F.coalesce("top_bigram_n", z).alias("top_bigram_n"),
+        )
+    )
+    nw, nb = F.col("n_words"), F.col("n_bigrams")
+    return (
+        out.withColumn("dup_word_frac", frac(nw - F.col("n_distinct_words"), nw))
+        .withColumn("top_word_frac", frac(F.col("top_word_n"), nw))
+        .withColumn("dup_bigram_frac", frac(nb - F.col("n_distinct_bigrams"), nb))
+        .withColumn("top_bigram_frac", frac(F.col("top_bigram_n"), nb))
+    )

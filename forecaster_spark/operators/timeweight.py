@@ -557,3 +557,108 @@ def mad_anomaly(
         )
         .drop("_v2", "_m2", "_dev2", "_mad4")
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: tuple = ("ts", "event_id"),
+    window: int = 7,
+) -> DataFrame:
+    """Trailing rolling median — the robust sliding smoother (a rolling
+    mean follows a single spike; the median of the last ``window`` points
+    ignores it until spikes are half the frame). Pairs with
+    :func:`mad_anomaly`: that one is whole-series robust location, this is
+    the local robust level for drifting series.
+
+    Exactness: medians in DOUBLED micro-units so the even-count
+    interpolation stays integer-valued (head frames have < ``window``
+    rows, so frame parity varies row to row); Spark ``percentile`` over a
+    rows frame ≡ DuckDB windowed ``quantile_cont`` bit-equal.
+
+    Plan shape: one shuffle on ``partition``; the frame percentile is
+    re-evaluated per row (O(window·log window) each) — fine for the small
+    odometer-style frames this is for (7..101); for giant frames use the
+    rollup tiers instead. Skew caveat as for LOCF.
+
+    Output: input columns + ``med_roll`` (double, original units)."""
+    wf = (
+        Window.partitionBy(partition)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(window - 1), 0)
+    )
+    v2 = (F.round(F.col(value) * 1_000_000).cast("long") * 2).alias("_v2")
+    return (
+        df.withColumn("_v2", v2)
+        .withColumn("med_roll", F.percentile("_v2", 0.5).over(wf) / 2_000_000.0)
+        .drop("_v2")
+    )
+
+
+def acf(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: tuple = ("ts", "event_id"),
+    max_lag: int = 5,
+) -> DataFrame:
+    """Integer-centered autocorrelation function per series, lags
+    ``1..max_lag`` — the model-selection primitive behind the reference's
+    Yule-Walker AR fit (autocovariances ARE the Yule-Walker inputs,
+    cf. reference ar_yw.py:88-94 building rho from y): pick p where the
+    ACF cuts off, feed the same sums to the AR solver.
+
+    Estimator (documented, engine-exact): values quantize to centi-units;
+    the series is centered by the TRUNCATING integer mean (within one
+    centi-unit of the exact mean — immaterial for correlation structure,
+    exact cross-engine); ``gamma_k = Σ_{t>k} dev_t·dev_{t-k}`` as exact
+    BIGINTs (unnormalized — both engines hash the same integer);
+    ``rho_k = gamma_k / gamma_0`` is a single IEEE division of two exact
+    integers, bit-identical cross-engine while ``n·max_dev² < 2^53``
+    (~5·10^5 rows/series at the events table's value range; beyond that,
+    roll the tiers first — ACF of 20M raw points isn't a statistic you
+    want anyway).
+
+    Plan shape: one shuffle on ``partition``; lags are a single window
+    pass, the per-(source,lag) sums are one hash aggregate after an
+    ``explode`` of the per-row lag products (map-side combinable).
+
+    Output: (partition, lag, gamma, rho, n_used)."""
+    wo = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    vc = F.round(F.col(value) * 100).cast("long")
+    b = df.select(F.col(partition), *[F.col(c) for c in order], vc.alias("_vc"))
+    b = b.withColumn("_m", F.expr("sum(_vc) over (partition by " + partition + ")"
+                                  " div count(_vc) over (partition by " + partition + ")"))
+    b = b.withColumn("_dev", F.col("_vc") - F.col("_m"))
+    prods = b.select(
+        partition,
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    (F.col("_dev") * F.lag("_dev", k).over(wo)).alias("p"),
+                )
+                for k in range(0, max_lag + 1)
+            ]
+        ).alias("_ps"),
+    ).select(partition, F.explode("_ps").alias("kp"))
+    g = (
+        prods.where(F.col("kp.p").isNotNull())
+        .groupBy(partition, F.col("kp.lag").alias("lag"))
+        .agg(F.sum("kp.p").alias("gamma"), F.count(F.lit(1)).alias("n_used"))
+    )
+    g0 = g.where(F.col("lag") == 0).select(
+        partition, F.col("gamma").alias("_g0")
+    )
+    return (
+        g.where(F.col("lag") > 0)
+        .join(g0, partition)
+        .select(
+            partition,
+            F.col("lag").cast("long").alias("lag"),
+            "gamma",
+            (F.col("gamma").cast("double") / F.col("_g0").cast("double")).alias("rho"),
+            "n_used",
+        )
+    )

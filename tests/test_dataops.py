@@ -435,3 +435,34 @@ def test_dedup_keep_list_verdicts(spark):
     assert out.loc["m", "keep"] and not out.loc["n", "keep"]
     assert out.loc["solo", "keep"] and out.loc["solo", "cluster_id"] == "solo"
     assert set(out.cluster_id) == {"a", "m", "solo"}
+
+
+def test_repetition_signals_handcrafted(spark):
+    """Known counts incl. empty and single-word docs: integer ingredients
+    and exact-fraction columns, null fractions where denominators are 0."""
+    import math
+
+    from forecaster_spark.operators.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the cat the cat sat"),   # 5 words, 3 distinct, top=2; 4 bigrams, 3 distinct, top 'the cat'=2
+            ("d2", "solo"),                   # 1 word; 0 bigrams
+            ("d3", "  "),                     # 0 words
+            ("d4", "a a a a"),               # degenerate: all same
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    d1 = got["d1"]
+    assert (d1["n_words"], d1["n_distinct_words"], d1["top_word_n"]) == (5, 3, 2)
+    assert (d1["n_bigrams"], d1["n_distinct_bigrams"], d1["top_bigram_n"]) == (4, 3, 2)
+    assert d1["dup_word_frac"] == 2.0 / 5.0 and d1["top_bigram_frac"] == 0.5
+    d2 = got["d2"]
+    assert d2["n_words"] == 1 and d2["n_bigrams"] == 0
+    assert d2["dup_word_frac"] == 0.0 and d2["dup_bigram_frac"] is None
+    d3 = got["d3"]
+    assert d3["n_words"] == 0 and d3["dup_word_frac"] is None
+    d4 = got["d4"]
+    assert d4["dup_word_frac"] == 0.75 and d4["top_word_frac"] == 1.0
+    assert d4["dup_bigram_frac"] == 2.0 / 3.0 and d4["top_bigram_frac"] == 1.0

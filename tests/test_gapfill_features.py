@@ -587,3 +587,69 @@ def test_mad_anomaly_matches_numpy(spark):
     assert a.is_anomaly.to_numpy()[:60].all() and not a.is_anomaly.to_numpy()[60:].any()
     b = got[got.source == "b"]
     assert b.mad.eq(0).all() and b.is_anomaly.tolist() == [False] * 4 + [True]
+
+
+def test_rolling_median_matches_pandas(spark):
+    """Trailing 7-frame window median equals pandas rolling median
+    computed in the same doubled-micro integer units (head frames of
+    every parity included)."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import rolling_median
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 40 + ["b"] * 9,
+            "ts": pd.date_range("2030-01-01", periods=49, freq="1min"),
+            "y": np.round(rng.normal(100, 20, 49), 3),
+            "event_id": range(49),
+        }
+    )
+    got = (
+        rolling_median(spark.createDataFrame(pdf), window=7)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for _, sub in pdf.groupby("source"):
+        v2 = pd.Series(np.round(sub.y.to_numpy() * 1e6).astype(np.int64) * 2)
+        want = v2.rolling(7, min_periods=1).median() / 2e6
+        np.testing.assert_array_equal(
+            got[got.event_id.isin(sub.event_id)].med_roll.to_numpy(), want.to_numpy()
+        )
+
+
+def test_acf_matches_numpy_loop(spark):
+    """gamma_k equals the explicit truncated-mean-centered product sum;
+    rho_1 of an alternating series is ~-1, of a smooth ramp ~+1."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import acf
+
+    alt = 50.0 + 5.0 * np.array([1, -1] * 100, dtype=float)
+    ramp = np.linspace(0, 100, 200)
+    pdf = pd.DataFrame(
+        {
+            "source": ["alt"] * 200 + ["ramp"] * 200,
+            "ts": list(pd.date_range("2030-01-01", periods=200, freq="1min")) * 2,
+            "y": np.concatenate([alt, ramp]),
+            "event_id": range(400),
+        }
+    )
+    got = acf(spark.createDataFrame(pdf), max_lag=3).toPandas()
+    for name, y in (("alt", alt), ("ramp", ramp)):
+        vc = np.round(y * 100).astype(np.int64)
+        m = int(vc.sum()) // len(vc)
+        dev = vc - m
+        g0 = int((dev * dev).sum())
+        sub = got[got.source == name].set_index("lag")
+        for k in (1, 2, 3):
+            gk = int((dev[k:] * dev[:-k]).sum())
+            assert sub.loc[k, "gamma"] == gk
+            assert sub.loc[k, "rho"] == float(gk) / float(g0)
+            assert sub.loc[k, "n_used"] == len(y) - k
+    assert got.set_index(["source", "lag"]).loc[("alt", 1), "rho"] < -0.99
+    assert got.set_index(["source", "lag"]).loc[("ramp", 1), "rho"] > 0.98
