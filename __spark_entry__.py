@@ -1231,6 +1231,18 @@ def q_acf(spark, sf_dir):
     return acf(_ev(spark, sf_dir), max_lag=5)
 
 
+def q_pacf(spark, sf_dir):
+    """Yule-Walker PACF lags 1..3 per source (statsmodels pacf_yw
+    semantics; the order-selection companion of q_acf — reference
+    ar_yw.py solves these Toeplitz systems). Deci-unit exact-integer
+    autocovariances, Cramer determinant ratios computed as exact Python
+    ints in an Arrow kernel and divided once through the DuckDB
+    HUGEINT->DOUBLE cast mimic — bit-identical to the HUGEINT SQL."""
+    from forecaster_spark.operators.timeweight import pacf
+
+    return pacf(_ev(spark, sf_dir))
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per document
     (dup-word / modal-word / dup-bigram / rep-2-gram fractions), all from
@@ -1533,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_anomaly_events": q_mad_anomaly,
         "rolling_median_events": q_rolling_median,
         "acf_events": q_acf,
+        "pacf_events": q_pacf,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -1863,6 +1876,48 @@ UNION ALL SELECT source, 2, g2, CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE), n2 FROM
 UNION ALL SELECT source, 3, g3, CAST(g3 AS DOUBLE) / CAST(g0 AS DOUBLE), n3 FROM g
 UNION ALL SELECT source, 4, g4, CAST(g4 AS DOUBLE) / CAST(g0 AS DOUBLE), n4 FROM g
 UNION ALL SELECT source, 5, g5, CAST(g5 AS DOUBLE) / CAST(g0 AS DOUBLE), n5 FROM g""",
+        "pacf_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 10) AS BIGINT) AS vc
+  FROM events
+), c AS (
+  SELECT source, ts, event_id, vc,
+         vc - CAST(sum(vc) OVER (PARTITION BY source)
+                   // count(*) OVER (PARTITION BY source) AS BIGINT) AS dev
+  FROM s
+), l AS (
+  SELECT source, dev,
+         lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2,
+         lag(dev, 3) OVER w AS d3
+  FROM c WINDOW w AS (PARTITION BY source ORDER BY ts, event_id)
+), g AS (
+  SELECT source,
+         CAST(sum(dev * dev) AS HUGEINT) AS g0,
+         CAST(sum(dev * d1) AS HUGEINT) AS g1, count(d1) AS n1,
+         CAST(sum(dev * d2) AS HUGEINT) AS g2, count(d2) AS n2,
+         CAST(sum(dev * d3) AS HUGEINT) AS g3, count(d3) AS n3
+  FROM l GROUP BY 1
+), d AS (
+  SELECT source, g0, g1, g2, g3, n1, n2, n3,
+         g0 * g2 - g1 * g1 AS num2,
+         g0 * g0 - g1 * g1 AS den2,
+         g0 * (g0 * g3 - g2 * g1) - g1 * (g1 * g3 - g2 * g2)
+           + g1 * (g1 * g1 - g0 * g2) AS num3,
+         g0 * (g0 * g0 - g1 * g1) - g1 * (g1 * g0 - g1 * g2)
+           + g2 * (g1 * g1 - g0 * g2) AS den3
+  FROM g
+)
+SELECT source, CAST(1 AS BIGINT) AS lag, CAST(g1 AS BIGINT) AS gamma,
+       CASE WHEN g0 = 0 THEN NULL
+            ELSE CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE) END AS pacf,
+       n1 AS n_used FROM d
+UNION ALL SELECT source, 2, CAST(g2 AS BIGINT),
+       CASE WHEN den2 = 0 THEN NULL
+            ELSE CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE) END, n2 FROM d
+UNION ALL SELECT source, 3, CAST(g3 AS BIGINT),
+       CASE WHEN den3 = 0 THEN NULL
+            ELSE CAST(num3 AS DOUBLE) / CAST(den3 AS DOUBLE) END, n3 FROM d""",
         "repetition_signals_documents": """
 WITH w AS (
   SELECT doc_id,

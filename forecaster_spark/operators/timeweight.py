@@ -662,3 +662,101 @@ def acf(
             "n_used",
         )
     )
+
+
+def _pacf_kernel(it):
+    """Arrow kernel over the tiny per-source gamma rows: exact Python-int
+    Toeplitz determinants (Yule-Walker Cramer, lags 1..3) + the DuckDB
+    HUGEINT->DOUBLE cast mimic so the final division is bit-identical to
+    the SQL oracle. One row in, <=3 rows out — no driver collect, scales
+    with the number of sources."""
+    import pandas as pd
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    def ratio(num: int, den: int):
+        if den == 0:
+            return None
+        return h2d(num) / h2d(den)
+
+    for pdf in it:
+        out = []
+        for r in pdf.itertuples(index=False):
+            g0, g1, g2, g3 = int(r.g0), int(r.g1), int(r.g2), int(r.g3)
+            out.append((r.source, 1, g1, ratio(g1, g0), int(r.n1)))
+            num2 = g0 * g2 - g1 * g1
+            den2 = g0 * g0 - g1 * g1
+            out.append((r.source, 2, g2, ratio(num2, den2), int(r.n2)))
+            num3 = (
+                g0 * (g0 * g3 - g2 * g1)
+                - g1 * (g1 * g3 - g2 * g2)
+                + g1 * (g1 * g1 - g0 * g2)
+            )
+            den3 = (
+                g0 * (g0 * g0 - g1 * g1)
+                - g1 * (g1 * g0 - g1 * g2)
+                + g2 * (g1 * g1 - g0 * g2)
+            )
+            out.append((r.source, 3, g3, ratio(num3, den3), int(r.n3)))
+        yield pd.DataFrame(
+            out, columns=["source", "lag", "gamma", "pacf", "n_used"]
+        )
+
+
+def pacf(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Yule-Walker partial autocorrelation function per series, lags 1..3
+    — the AR-order selection primitive paired with :func:`acf` (reference
+    ar_yw.py solves exactly these Toeplitz systems; PACF(k) is the last
+    coefficient of the order-k solve, statsmodels ``pacf_yw`` semantics).
+
+    Estimator (documented, engine-exact): values quantize to DECI-units
+    (coarser than acf's centi — the lag-3 determinant is a degree-3
+    polynomial in the autocovariances, and deci keeps it inside DuckDB's
+    HUGEINT: gamma <= n*maxdev^2 ~ 2^39 at sf0.1, so |det| < 6*2^117 <
+    2^127; the bound is pinned by a pytest); the series is centered by the
+    truncating integer mean; gamma_k are exact BIGINT sums of deviation
+    products; PACF(k) = det(R_k with last column := r) / det(R_k) by
+    Cramer on the k-by-k Toeplitz autocovariance matrix, both determinants
+    exact Python ints, divided once through the HUGEINT->DOUBLE cast mimic
+    (oracle/ref.py hugeint_to_double) so the double matches the SQL oracle
+    bit-for-bit. Unnormalized gammas are fine: scaling every entry by c
+    scales BOTH determinants by c^k, so the ratio is invariant.
+
+    Plan shape: one shuffle on ``partition``, lag products in a single
+    window pass, one hash aggregate to a row per source, then an Arrow
+    kernel over those rows (no collect — scales with #sources, each row
+    O(1) work). Output: (source, lag, gamma, pacf, n_used)."""
+    wo = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    vc = F.round(F.col(value) * 10).cast("long")
+    b = df.select(F.col(partition), *[F.col(c) for c in order], vc.alias("_vc"))
+    b = b.withColumn(
+        "_m",
+        F.expr(
+            "sum(_vc) over (partition by " + partition + ")"
+            " div count(_vc) over (partition by " + partition + ")"
+        ),
+    )
+    b = b.withColumn("_dev", F.col("_vc") - F.col("_m"))
+    lagged = b.select(
+        F.col(partition).alias("source"),
+        F.col("_dev").alias("d0"),
+        *[F.lag("_dev", k).over(wo).alias(f"d{k}") for k in (1, 2, 3)],
+    )
+    g = lagged.groupBy("source").agg(
+        F.sum(F.col("d0") * F.col("d0")).alias("g0"),
+        F.sum(F.col("d0") * F.col("d1")).alias("g1"),
+        F.count("d1").alias("n1"),
+        F.sum(F.col("d0") * F.col("d2")).alias("g2"),
+        F.count("d2").alias("n2"),
+        F.sum(F.col("d0") * F.col("d3")).alias("g3"),
+        F.count("d3").alias("n3"),
+    )
+    return g.mapInPandas(
+        _pacf_kernel,
+        schema="source string, lag long, gamma long, pacf double, n_used long",
+    ).select("source", "lag", "gamma", "pacf", "n_used")

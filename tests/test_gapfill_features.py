@@ -653,3 +653,95 @@ def test_acf_matches_numpy_loop(spark):
             assert sub.loc[k, "n_used"] == len(y) - k
     assert got.set_index(["source", "lag"]).loc[("alt", 1), "rho"] < -0.99
     assert got.set_index(["source", "lag"]).loc[("ramp", 1), "rho"] > 0.98
+
+
+def test_pacf_matches_float_yule_walker(spark):
+    """PACF(k) from the exact-integer Cramer kernel equals the float
+    Yule-Walker Toeplitz solve's last coefficient to ~1e-12 relative
+    (the estimators share the same quantized gammas, so the only
+    difference is float vs exact-rational determinant arithmetic), and
+    an AR(1) series shows the textbook cutoff: |pacf_1| large,
+    |pacf_2|, |pacf_3| near zero."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import pacf
+
+    rng = np.random.RandomState(7)
+    n = 400
+    ar1 = np.zeros(n)
+    for t in range(1, n):
+        ar1[t] = 0.8 * ar1[t - 1] + rng.normal(0, 5)
+    noise = rng.normal(50, 20, n)
+    pdf = pd.DataFrame(
+        {
+            "source": ["ar1"] * n + ["noise"] * n,
+            "ts": list(pd.date_range("2030-01-01", periods=n, freq="1min")) * 2,
+            "y": np.concatenate([ar1 + 100, noise]),
+            "event_id": range(2 * n),
+        }
+    )
+    got = pacf(spark.createDataFrame(pdf)).toPandas().set_index(["source", "lag"])
+    for name, y in (("ar1", ar1 + 100), ("noise", noise)):
+        vc = np.round(y * 10).astype(np.int64)
+        m = int(vc.sum()) // len(vc)
+        dev = (vc - m).astype(float)
+        g = [float((dev * dev).sum())] + [
+            float((dev[k:] * dev[:-k]).sum()) for k in (1, 2, 3)
+        ]
+        for k in (1, 2, 3):
+            R = np.array([[g[abs(i - j)] for j in range(k)] for i in range(k)])
+            phi = np.linalg.solve(R, np.array(g[1 : k + 1]))
+            want = phi[-1]
+            have = got.loc[(name, k), "pacf"]
+            assert abs(have - want) < 1e-9 * max(1.0, abs(want))
+    assert got.loc[("ar1", 1), "pacf"] > 0.7
+    assert abs(got.loc[("ar1", 2), "pacf"]) < 0.15
+    assert abs(got.loc[("ar1", 3), "pacf"]) < 0.15
+
+
+def test_pacf_hugeint_determinant_bound_sf01():
+    """Pin the deci-unit magnitude bound that keeps the lag-3 Cramer
+    determinants inside DuckDB's HUGEINT at the largest gate scale
+    (sf0.1): |den3|,|num3| must stay below 2^120 (margin 2^6 under the
+    2^126 cap; the operator docstring's scaling argument)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        """
+        WITH s AS (
+          SELECT event_type AS source,
+                 CAST(round(value * 10) AS BIGINT) AS vc,
+                 ts, event_id
+          FROM '/root/testdata/sf0.1/events.parquet'
+        ), c AS (
+          SELECT source,
+                 vc - CAST(sum(vc) OVER (PARTITION BY source)
+                           // count(*) OVER (PARTITION BY source) AS BIGINT) AS dev,
+                 ts, event_id
+          FROM s
+        ), l AS (
+          SELECT source, dev,
+                 lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2,
+                 lag(dev, 3) OVER w AS d3
+          FROM c WINDOW w AS (PARTITION BY source ORDER BY ts, event_id)
+        )
+        SELECT source,
+               CAST(sum(dev * dev) AS HUGEINT) AS g0,
+               CAST(sum(dev * d1) AS HUGEINT) AS g1,
+               CAST(sum(dev * d2) AS HUGEINT) AS g2,
+               CAST(sum(dev * d3) AS HUGEINT) AS g3
+        FROM l GROUP BY 1
+        """
+    ).fetchall()
+    assert rows
+    for _, g0, g1, g2, g3 in rows:
+        g0, g1, g2, g3 = int(g0), int(g1), int(g2), int(g3)
+        num3 = g0 * (g0 * g3 - g2 * g1) - g1 * (g1 * g3 - g2 * g2) + g1 * (
+            g1 * g1 - g0 * g2
+        )
+        den3 = g0 * (g0 * g0 - g1 * g1) - g1 * (g1 * g0 - g1 * g2) + g2 * (
+            g1 * g1 - g0 * g2
+        )
+        assert abs(num3) < 1 << 120
+        assert abs(den3) < 1 << 120
