@@ -1243,6 +1243,17 @@ def q_pacf(spark, sf_dir):
     return pacf(_ev(spark, sf_dir))
 
 
+def q_ccf(spark, sf_dir):
+    """Cross-correlation click-vs-view at lags -3..3 over the shared
+    1-minute grid (the ARX exo-selection primitive: which exo lag drives
+    the endo). gxy are exact BIGINT sums of centi-unit deviation
+    products; r = gxy / sqrt(double(gx0)*double(gy0)) is three
+    correctly-rounded IEEE ops in fixed order — engine-exact."""
+    from forecaster_spark.operators.timeweight import ccf
+
+    return ccf(_ev(spark, sf_dir), "click", "view", max_lag=3)
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per document
     (dup-word / modal-word / dup-bigram / rep-2-gram fractions), all from
@@ -1546,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median_events": q_rolling_median,
         "acf_events": q_acf,
         "pacf_events": q_pacf,
+        "ccf_events": q_ccf,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -1918,6 +1930,52 @@ UNION ALL SELECT source, 2, CAST(g2 AS BIGINT),
 UNION ALL SELECT source, 3, CAST(g3 AS BIGINT),
        CASE WHEN den3 = 0 THEN NULL
             ELSE CAST(num3 AS DOUBLE) / CAST(den3 AS DOUBLE) END, n3 FROM d""",
+        "ccf_events": """
+WITH b AS (
+  SELECT event_type AS s, date_trunc('minute', ts) AS bk,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), gx AS (
+  SELECT bk, CAST(CAST(sum(vc) AS BIGINT) // count(*) AS BIGINT) AS xm
+  FROM b WHERE s = 'click' GROUP BY 1
+), gy AS (
+  SELECT bk, CAST(CAST(sum(vc) AS BIGINT) // count(*) AS BIGINT) AS ym
+  FROM b WHERE s = 'view' GROUP BY 1
+), j AS (
+  SELECT gx.bk, xm, ym FROM gx JOIN gy USING (bk)
+), c AS (
+  SELECT bk,
+         xm - CAST(sum(xm) OVER () // count(*) OVER () AS BIGINT) AS dx,
+         ym - CAST(sum(ym) OVER () // count(*) OVER () AS BIGINT) AS dy
+  FROM j
+), l AS (
+  SELECT dx, dy,
+         lead(dy, 3) OVER w AS dm3, lead(dy, 2) OVER w AS dm2,
+         lead(dy, 1) OVER w AS dm1,
+         lag(dy, 1) OVER w AS dp1, lag(dy, 2) OVER w AS dp2,
+         lag(dy, 3) OVER w AS dp3
+  FROM c WINDOW w AS (ORDER BY bk)
+), t AS (
+  SELECT CAST(sum(dx * dx) AS BIGINT) AS gx0,
+         CAST(sum(dy * dy) AS BIGINT) AS gy0,
+         CAST(sum(dx * dm3) AS BIGINT) AS gm3, count(dm3) AS nm3,
+         CAST(sum(dx * dm2) AS BIGINT) AS gm2, count(dm2) AS nm2,
+         CAST(sum(dx * dm1) AS BIGINT) AS gm1, count(dm1) AS nm1,
+         CAST(sum(dx * dy) AS BIGINT) AS g00, count(dy) AS n00,
+         CAST(sum(dx * dp1) AS BIGINT) AS gp1, count(dp1) AS np1,
+         CAST(sum(dx * dp2) AS BIGINT) AS gp2, count(dp2) AS np2,
+         CAST(sum(dx * dp3) AS BIGINT) AS gp3, count(dp3) AS np3
+  FROM l
+)
+SELECT CAST(-3 AS BIGINT) AS lag, gm3 AS gxy,
+       CAST(gm3 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)) AS r,
+       nm3 AS n_used FROM t
+UNION ALL SELECT -2, gm2, CAST(gm2 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), nm2 FROM t
+UNION ALL SELECT -1, gm1, CAST(gm1 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), nm1 FROM t
+UNION ALL SELECT 0, g00, CAST(g00 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), n00 FROM t
+UNION ALL SELECT 1, gp1, CAST(gp1 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np1 FROM t
+UNION ALL SELECT 2, gp2, CAST(gp2 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np2 FROM t
+UNION ALL SELECT 3, gp3, CAST(gp3 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np3 FROM t""",
         "repetition_signals_documents": """
 WITH w AS (
   SELECT doc_id,

@@ -760,3 +760,101 @@ def pacf(
         _pacf_kernel,
         schema="source string, lag long, gamma long, pacf double, n_used long",
     ).select("source", "lag", "gamma", "pacf", "n_used")
+
+
+def ccf(
+    df: DataFrame,
+    x_source: str,
+    y_source: str,
+    partition: str = "source",
+    ts: str = "ts",
+    value: str = "y",
+    bucket: str = "minute",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Cross-correlation function between two series at lags
+    ``-max_lag..max_lag`` — the exogenous-variable selection primitive for
+    the reference's ARX family (which exo, at which lag, drives the endo?
+    cf. reference arx.py exo lag columns): ``r(k) ~ corr(x_t, y_{t-k})``,
+    so a peak at k>0 means y LEADS x by k buckets.
+
+    Both series are first rolled to the shared ``bucket`` grid with
+    truncating-integer centi-unit means and inner-joined on the bucket
+    (only co-observed buckets enter — a documented estimator choice that
+    keeps the pair count identical cross-engine), then centered by the
+    truncating integer mean over the joined grid. ``gxy_k =
+    sum(devx_t * devy_{t-k})`` are exact BIGINTs; ``r = gxy /
+    sqrt(double(gx0) * double(gy0))`` is three correctly-rounded IEEE ops
+    in a fixed order, bit-identical cross-engine while the integer sums
+    stay < 2^53 (bucket grid <= ~2^20 rows x centi-dev^2 <= 2^33 — roll
+    to a coarser tier first beyond that, which is also the statistically
+    sane move).
+
+    Plan shape: two hash aggregates (one per source filter pushed into
+    the scan), a bucket equi-join, then ONE single-partition window over
+    the joined GRID — bounded by the tier's bucket count (minutes of the
+    retention window), not raw rows; at 100-TB scale the grid after a 1m
+    tier is ~5*10^5 rows/year. Output: (lag, gxy, r, n_used)."""
+    vc = F.round(F.col(value) * 100).cast("long")
+    b = df.select(
+        F.col(partition).alias("_s"), F.date_trunc(bucket, F.col(ts)).alias("_b"), vc.alias("_vc")
+    )
+
+    def grid(src):
+        return (
+            b.where(F.col("_s") == src)
+            .groupBy("_b")
+            .agg((F.sum("_vc").cast("long")).alias("_sum"), F.count(F.lit(1)).alias("_n"))
+            .select("_b", F.expr("_sum div _n").alias("_m"))
+        )
+
+    j = (
+        grid(x_source)
+        .withColumnRenamed("_m", "_xm")
+        .join(grid(y_source).withColumnRenamed("_m", "_ym"), "_b")
+    )
+    w = Window.orderBy("_b")
+    j = j.select(
+        "_b",
+        (F.col("_xm") - F.expr("sum(_xm) over () div count(_xm) over ()")).alias("_dx"),
+        (F.col("_ym") - F.expr("sum(_ym) over () div count(_ym) over ()")).alias("_dy"),
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+    prods = j.select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    (
+                        F.col("_dx")
+                        * (F.lag("_dy", k).over(w) if k >= 0 else F.lead("_dy", -k).over(w))
+                    ).alias("p"),
+                )
+                for k in lags
+            ]
+        ).alias("_ps"),
+        (F.col("_dx") * F.col("_dx")).alias("_dx2"),
+        (F.col("_dy") * F.col("_dy")).alias("_dy2"),
+    )
+    tot = prods.select(
+        F.sum("_dx2").alias("gx0"), F.sum("_dy2").alias("gy0")
+    )
+    g = (
+        prods.select(F.explode("_ps").alias("kp"))
+        .where(F.col("kp.p").isNotNull())
+        .groupBy(F.col("kp.lag").alias("lag"))
+        .agg(F.sum("kp.p").alias("gxy"), F.count(F.lit(1)).alias("n_used"))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "gxy",
+            (
+                F.col("gxy").cast("double")
+                / F.sqrt(F.col("gx0").cast("double") * F.col("gy0").cast("double"))
+            ).alias("r"),
+            "n_used",
+        )
+        .orderBy("lag")
+    )

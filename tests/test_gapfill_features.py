@@ -745,3 +745,41 @@ def test_pacf_hugeint_determinant_bound_sf01():
         )
         assert abs(num3) < 1 << 120
         assert abs(den3) < 1 << 120
+
+
+def test_ccf_detects_lead_lag(spark):
+    """x is y shifted forward by 2 buckets (x_t = y_{t-2}), so the CCF
+    r(k) = corr(x_t, y_{t-k}) must peak at exactly k = +2 with r ~ 1,
+    and the exact-integer gxy equal an explicit numpy replay."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import ccf
+
+    rng = np.random.RandomState(11)
+    n = 300
+    y = rng.uniform(10, 200, n)
+    x = np.roll(y, 2)  # x_t = y_{t-2} for t >= 2
+    ts = pd.date_range("2030-01-01", periods=n, freq="1min")
+    pdf = pd.DataFrame(
+        {
+            "source": ["x"] * n + ["y"] * n,
+            "ts": list(ts) * 2,
+            "y": np.concatenate([x, y]),
+            "event_id": range(2 * n),
+        }
+    )
+    got = (
+        ccf(spark.createDataFrame(pdf), "x", "y", max_lag=3)
+        .toPandas()
+        .set_index("lag")
+    )
+    assert got.loc[2, "r"] > 0.95
+    assert all(abs(got.loc[k, "r"]) < 0.3 for k in (-3, -2, -1, 0, 1, 3))
+    # exact replay of the integer estimator for the peak lag
+    xi = np.round(x * 100).astype(np.int64)
+    yi = np.round(y * 100).astype(np.int64)
+    dx = xi - int(xi.sum()) // n
+    dy = yi - int(yi.sum()) // n
+    assert got.loc[2, "gxy"] == int((dx[2:] * dy[:-2]).sum())
+    assert got.loc[2, "n_used"] == n - 2
