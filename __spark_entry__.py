@@ -1254,6 +1254,20 @@ def q_ccf(spark, sf_dir):
     return ccf(_ev(spark, sf_dir), "click", "view", max_lag=3)
 
 
+def q_hdr_quantiles(spark, sf_dir):
+    """Percentiles from a mergeable HDR log-bucket histogram: 1m counter
+    partials sum-merged per source (the tier cascade read path), then
+    p50/p90/p99 = smallest bin lower bound reaching ceil(q*n/100).
+    The oracle computes the SAME sketch direct from raw — a match
+    certifies the merge, exactly like the HLL query. All-integer until
+    one /100.0 per output; bit lengths via binary-string length on both
+    engines (no float log2 tie-break risk)."""
+    from forecaster_spark.operators.sketches import hdr_histogram_partials, hdr_quantiles
+
+    parts = hdr_histogram_partials(_ev(spark, sf_dir))
+    return hdr_quantiles(parts)
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per document
     (dup-word / modal-word / dup-bigram / rep-2-gram fractions), all from
@@ -1558,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_events": q_acf,
         "pacf_events": q_pacf,
         "ccf_events": q_ccf,
+        "hdr_quantiles_events": q_hdr_quantiles,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -1976,6 +1991,29 @@ UNION ALL SELECT 0, g00, CAST(g00 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(g
 UNION ALL SELECT 1, gp1, CAST(gp1 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np1 FROM t
 UNION ALL SELECT 2, gp2, CAST(gp2 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np2 FROM t
 UNION ALL SELECT 3, gp3, CAST(gp3 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np3 FROM t""",
+        "hdr_quantiles_events": """
+WITH s AS (
+  SELECT event_type AS source,
+         greatest(CAST(round(value * 100) AS BIGINT), 0) AS vc
+  FROM events
+), l AS (
+  SELECT source, vc,
+         greatest(length(bin(vc)) - 4, 0) AS sh
+  FROM s
+), h AS (
+  SELECT source, (vc >> sh) << sh AS bin_lb, count(*) AS cnt
+  FROM l GROUP BY 1, 2
+), c AS (
+  SELECT source, bin_lb, cnt,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bin_lb) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM h
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p50,
+       CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p90,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p99
+FROM c GROUP BY 1""",
         "repetition_signals_documents": """
 WITH w AS (
   SELECT doc_id,

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from forecaster_spark.functions import xhash
 
@@ -233,3 +233,85 @@ def cm_point_estimates(sketch_rows: list[tuple], words: list[str],
     ).astype(np.int64)  # (depth, n_words)
     ests = acc[np.arange(depth)[:, None], cols].min(axis=0)
     return {w: int(e) for w, e in zip(words, ests)}
+
+
+def hdr_histogram_partials(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    bucket: str = "minute",
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Mergeable HDR-style log-bucket histogram partials per (partition,
+    time bucket) — the Prometheus-native-histogram / HdrHistogram shape
+    the tiered engine stores instead of raw values for percentile reads.
+
+    Bin key = the value's own floor-quantization to ``sub_bits`` mantissa
+    bits: ``lb = (vc >> sh) << sh`` with ``sh = max(bit_length(vc) - 1 -
+    sub_bits, 0)`` on the non-negative centi-unit value. ``lb`` is
+    monotone in ``vc``, self-describing (its own bit length recovers
+    ``sh``), and exact-integer on both engines — bit_length via the
+    binary-string length (Spark ``conv(v,10,2)`` ≡ DuckDB ``bin(v)``,
+    verified 0/5/2^26-1), so no float ``log2`` tie-break risk. Relative
+    bin width ≤ 2^-sub_bits (12.5% at the default — Prometheus schema-0
+    coarseness; raise sub_bits for HdrHistogram-grade 2^-7).
+
+    Counters merge via ``+`` exactly like the engine's other partial
+    aggregates: 1m partials sum-merge to 1h/1d/global without touching
+    raw data. Output: (partition, bucket_start, bin_lb, cnt)."""
+    vc = F.greatest(F.round(F.col(value) * 100).cast("long"), F.lit(0))
+    b = df.select(
+        F.col(partition),
+        F.date_trunc(bucket, F.col(ts)).alias("bucket_start"),
+        vc.alias("_vc"),
+    )
+    b = b.withColumn("_bl", F.length(F.conv(F.col("_vc"), 10, 2)))
+    b = b.withColumn(
+        "_sh", F.greatest(F.col("_bl") - F.lit(1 + sub_bits), F.lit(0))
+    )
+    return (
+        b.withColumn("bin_lb", F.expr("shiftleft(shiftright(_vc, _sh), _sh)"))
+        .groupBy(partition, "bucket_start", "bin_lb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    partials: DataFrame,
+    partition: str = "source",
+    qs: tuple = (50, 90, 99),
+) -> DataFrame:
+    """Percentile estimates from merged HDR histogram partials: sum-merge
+    the per-bucket counters to one histogram per ``partition`` (the tier
+    cascade read path — raw data never re-scanned), then pick, for each
+    q, the smallest bin lower bound whose cumulative count reaches
+    ``ceil(q·n/100)`` (exact integer target ``(q·n + 99) div 100``; the
+    lower-bound estimator under-reads by at most the bin's relative
+    width). Everything is integer until one final /100.0 per output —
+    bit-reproducible cross-engine and merge-order-independent.
+
+    Plan: one hash aggregate (map-side combinable), one window over the
+    per-partition BIN list (≤ ~64·2^sub_bits rows per partition — bins,
+    not data), one final aggregate. Output: (partition, n, p<q>...)."""
+    tot = partials.groupBy(partition, "bin_lb").agg(F.sum("cnt").alias("cnt"))
+    wc = (
+        Window.partitionBy(partition)
+        .orderBy("bin_lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = tot.withColumn("_cum", F.sum("cnt").over(wc)).withColumn(
+        "_n", F.sum("cnt").over(Window.partitionBy(partition))
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in qs:
+        tgt = F.expr(f"({q} * _n + 99) div 100")
+        aggs.append(
+            (
+                F.min(F.when(F.col("_cum") >= tgt, F.col("bin_lb"))).cast(
+                    "double"
+                )
+                / F.lit(100.0)
+            ).alias(f"p{q}")
+        )
+    return c.groupBy(partition).agg(*aggs)

@@ -118,3 +118,48 @@ def test_cm_salts_stable():
         for j in range(sketches.CM_DEPTH)
     ]
     assert len(set(int(v) for v in s)) == sketches.CM_DEPTH
+
+
+def test_hdr_quantiles_accuracy_and_merge(spark):
+    """The HDR lower-bound estimate sits within one bin (relative width
+    2^-sub_bits = 12.5%) BELOW the exact quantile, never above it; and
+    merging 1m partials gives bit-identical results to a single-shot
+    histogram (counter sum-merge associativity)."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.sketches import (
+        hdr_histogram_partials,
+        hdr_quantiles,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    y = rng.lognormal(3.0, 1.0, n)
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * n,
+            "ts": pd.date_range("2030-01-01", periods=n, freq="13s"),
+            "y": y,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        hdr_quantiles(hdr_histogram_partials(df))
+        .toPandas()
+        .set_index("source")
+        .loc["a"]
+    )
+    vc = np.round(y * 100).astype(np.int64)
+    for q in (50, 90, 99):
+        k = -(-q * n // 100)  # ceil rank
+        exact = np.sort(vc)[k - 1] / 100.0
+        est = got[f"p{q}"]
+        assert est <= exact
+        assert est >= exact * (1 - 0.125) - 0.01
+    # merge associativity: hour-grain partials == minute-grain partials
+    per_min = hdr_histogram_partials(df, bucket="minute")
+    per_hr = hdr_histogram_partials(df, bucket="hour")
+    a = hdr_quantiles(per_min).toPandas().set_index("source")
+    b = hdr_quantiles(per_hr).toPandas().set_index("source")
+    assert a.equals(b)
