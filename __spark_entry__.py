@@ -971,6 +971,50 @@ def q_stream_sessionize(spark, sf_dir):
     return spark.table(qname).select("user_id", "event_id", "session_id")
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the events
+    stream arrives in 2 micro-batches split by event_id parity, with
+    every 10th even event RE-DELIVERED in the second batch (an
+    at-least-once source crossing the batch boundary). The streamed
+    output must be each event exactly once ≡ the plain events SQL. The
+    30-day dedup horizon exceeds the table's time span, so no state is
+    evicted mid-proof; production sizes it to the redelivery window."""
+    import tempfile
+
+    from forecaster_spark.streaming.stateful import stream_dedup
+
+    d = tempfile.mkdtemp(prefix="contract_streamdedup_")
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    dups = even.where(F.col("event_id") % 10 == 0)
+    even.coalesce(1).write.mode("append").parquet(d)
+    odd.unionAll(dups).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    qname = "contract_stream_dedup"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_dedup(stream, ["event_id"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).select("event_id", "ts", "value")
+
+
 def q_time_weighted_avg(spark, sf_dir):
     """TimescaleDB time_weight analogue: trapezoidal time-weighted hourly
     mean over the irregular event series (micro-exact pair sums, ms-integer
@@ -1550,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume_rollup_events": q_checkpoint_resume,
         "stream_locf_events": q_stream_locf,
         "stream_sessionize_events": q_stream_sessionize,
+        "stream_dedup_events": q_stream_dedup,
         "feature_topk_events_1h": q_feature_topk,
         "csv_source_rollup_events": q_csv_source_rollup,
         "jsonl_source_rollup_events": q_jsonl_source_rollup,
@@ -1607,6 +1652,9 @@ def oracle_sql() -> dict[str, str]:
     d["jsonl_source_rollup_events"] = d["csv_source_rollup_events"]
     # streamed stateful sessionization must equal the batch sessionize SQL
     d["stream_sessionize_events"] = d["sessionize_events"]
+    # streamed dedup of the duplicate-injected stream must recover the
+    # original table: each event exactly once
+    d["stream_dedup_events"] = "SELECT event_id, ts, value FROM events"
     return d
 
 

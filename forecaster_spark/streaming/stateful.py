@@ -187,3 +187,23 @@ def stream_sessionize(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts: str = "ts", delay: str = "30 days"
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` — the ingestion-side guard of the
+    dedup pipeline (at-least-once sources like Kafka redeliver; the batch
+    ``dedup_exact`` then never sees the duplicates). Built on
+    ``dropDuplicatesWithinWatermark``: keyed state keeps one marker per
+    key and expires it once the event-time watermark passes ``delay``
+    beyond the key's timestamp, so state is bounded by the key arrival
+    rate x the dedup horizon — NOT by stream lifetime (the classic
+    unbounded ``dropDuplicates`` trap). The output NEVER contains
+    duplicates: in-horizon redeliveries are deduped by state, and
+    later-than-watermark ones are discarded by the watermark filter
+    itself (pinned in pytest); what ``delay`` sizes is how long a
+    late-but-FIRST arrival is still accepted. State is per-key
+    hash-partitioned — scales with executors, no skew beyond the key
+    distribution itself."""
+    return stream.withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)

@@ -220,3 +220,53 @@ def test_stateful_stream_sessionize_carries_across_batches(spark, tmp_path):
         .to_dict()
     )
     assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
+
+
+def test_stream_dedup_cross_batch_and_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned: (a) a redelivery in
+    a later micro-batch is dropped while the original's state lives; (b)
+    a very-late redelivery (after the watermark passed the event's ts) is
+    dropped by the WATERMARK filter, not re-emitted — so the output never
+    contains duplicates; what `delay` sizes is how long a late-but-first
+    arrival is still accepted."""
+    import pandas as pd
+
+    from forecaster_spark.streaming.stateful import stream_dedup
+
+    src = str(tmp_path / "dedup_src")
+    t0 = pd.Timestamp("2030-01-01 00:00:00")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    # b1: originals; b2: one redelivery + rows advancing the watermark far
+    # past t0 + 2 hours; b3: a second redelivery of the same event, now
+    # below the watermark -> dropped as late data (never re-emitted).
+    write_batch([(1, t0, 10.0), (2, t0 + pd.Timedelta("1min"), 20.0)])
+    write_batch(
+        [(1, t0, 10.0), (3, t0 + pd.Timedelta("10 hours"), 30.0)]
+    )
+    write_batch([(1, t0, 10.0)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_dedup(stream, ["event_id"], delay="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_horizon_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("dedup_horizon_test").toPandas()
+    # ids 1,2,3 each exactly once: the b2 redelivery of id 1 is deduped
+    # by state, the b3 one is discarded by the watermark (t0 < t0+8h),
+    # so no duplicate can ever surface in the output
+    assert sorted(out.event_id.tolist()) == [1, 2, 3]
