@@ -682,6 +682,48 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking (adapted: 'late' = any lineitem
+    shipped >60 days after the order date, since the testdata has no
+    commit/receipt dates): EXISTS semi-join shape — the lineitem side is
+    aggregated to nothing, it only gates orders. Spark left_semi with a
+    non-equi residual keeps the hashed equi-key plan (one shuffle on
+    orderkey; the orders side is the small filtered one)."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """TPC-H Q22-like negative join: DORMANT customers — no orders since
+    2001 — counted per market segment with their exact centi-unit
+    account balance sum. left_anti on custkey against the date-filtered
+    orders (filter pushed into the probe scan) — the complement shape of
+    Q4's semi-join; the anti side stays shuffle-hashed on the key."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    )
+    no_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0
+        ).alias("sum_acctbal"),
+    )
+
+
 def q_nation_revenue(spark, sf_dir):
     """TPC-H Q5-like: revenue per nation for ASIA-region customers, 1996-97.
     nation/region are broadcast dims; the fact-side join order lets Catalyst
@@ -1580,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_lineitem": q_tpch_q1,
         "tpch_q6_lineitem": q_tpch_q6,
         "tpch_q3_top_orders": q_tpch_q3,
+        "tpch_q4_order_priority": q_tpch_q4,
+        "customers_without_orders": q_customers_without_orders,
         "nation_revenue_join": q_nation_revenue,
         "promo_revenue_part_join": q_promo_revenue,
         "supplier_volume_topk": q_supplier_volume,
@@ -2485,6 +2529,22 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_ord
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10""",
+        "tpch_q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
+        "customers_without_orders": """
+SELECT c_mktsegment, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment""",
         "nation_revenue_join": """
 SELECT n_name,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) / 1000000.0 AS revenue,
