@@ -1354,6 +1354,16 @@ def q_hdr_quantiles(spark, sf_dir):
     return hdr_quantiles(parts)
 
 
+def q_trimmed_mean(spark, sf_dir):
+    """Rank-based 5% trimmed mean per source (robust location estimate;
+    exact micro-unit sum over the rank-retained rows, truncating integer
+    mean, one final /1e6 — engine-exact, deterministic under ties via
+    the (value, event_id) rank order)."""
+    from forecaster_spark.operators.timeweight import trimmed_mean
+
+    return trimmed_mean(_ev(spark, sf_dir))
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition/boilerplate signals per document
     (dup-word / modal-word / dup-bigram / rep-2-gram fractions), all from
@@ -1662,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_events": q_pacf,
         "ccf_events": q_ccf,
         "hdr_quantiles_events": q_hdr_quantiles,
+        "trimmed_mean_events": q_trimmed_mean,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -2106,6 +2117,23 @@ SELECT source, CAST(max(n) AS BIGINT) AS n,
        CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p90,
        CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p99
 FROM c GROUP BY 1""",
+        "trimmed_mean_events": """
+WITH s AS (
+  SELECT event_type AS source, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), r AS (
+  SELECT source, vm,
+         row_number() OVER (PARTITION BY source ORDER BY vm, event_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM s
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n,
+       count(*) AS n_kept,
+       CAST(CAST(sum(vm) AS BIGINT) // count(*) AS BIGINT) / 1000000.0 AS trimmed_mean
+FROM r
+WHERE rk > (5 * n + 99) // 100 AND rk <= n - (5 * n + 99) // 100
+GROUP BY 1""",
         "repetition_signals_documents": """
 WITH w AS (
   SELECT doc_id,

@@ -858,3 +858,36 @@ def ccf(
         )
         .orderBy("lag")
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    tie_break: str = "event_id",
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Rank-based trimmed mean per series — the robust location estimate
+    completing the MAD/median family (a mean the tail can't drag: drop
+    the lowest and highest ``ceil(trim_pct% * n)`` observations by exact
+    rank, average the rest). Unlike winsorizing against interpolated
+    percentile BOUNDS (fractional, float-sum drift), rank trimming keeps
+    every retained value an exact integer: micro-unit sum, truncating
+    integer mean, ONE final /1e6 — bit-reproducible cross-engine.
+
+    Rank = row_number over (value, tie_break) — fully deterministic under
+    ties. Plan: one shuffle on ``partition``, one window pass, one hash
+    aggregate. Output: (partition, n, n_kept, trimmed_mean)."""
+    m = 1_000_000
+    vm = F.round(F.col(value) * m).cast("long")
+    w = Window.partitionBy(partition).orderBy(F.col("_vm"), F.col(tie_break))
+    b = df.select(F.col(partition), vm.alias("_vm"), F.col(tie_break)).withColumn(
+        "_rk", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(partition)))
+    k = F.expr(f"({trim_pct} * _n + 99) div 100")
+    kept = b.where((F.col("_rk") > k) & (F.col("_rk") <= F.col("_n") - k))
+    return kept.groupBy(partition).agg(
+        F.max("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.expr("sum(_vm) div count(_vm)") / F.lit(float(m))).alias("trimmed_mean"),
+    )

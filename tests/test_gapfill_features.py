@@ -783,3 +783,41 @@ def test_ccf_detects_lead_lag(spark):
     dy = yi - int(yi.sum()) // n
     assert got.loc[2, "gxy"] == int((dx[2:] * dy[:-2]).sum())
     assert got.loc[2, "n_used"] == n - 2
+
+
+def test_trimmed_mean_resists_outliers(spark):
+    """A 5% trimmed mean of clean data + huge outliers recovers the clean
+    center (plain mean is dragged far off), and the exact integer
+    estimator replays in numpy: drop ceil(5% n) per side by sorted rank,
+    truncating micro-unit mean of the rest."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import trimmed_mean
+
+    rng = np.random.RandomState(5)
+    n = 1000
+    y = rng.uniform(99, 101, n)
+    y[:20] = 1e6  # 2% gross outliers
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * n,
+            "ts": pd.date_range("2030-01-01", periods=n, freq="1min"),
+            "y": y,
+            "event_id": range(n),
+        }
+    )
+    got = (
+        trimmed_mean(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("source")
+        .loc["a"]
+    )
+    assert abs(got["trimmed_mean"] - 100.0) < 0.5
+    assert y.mean() > 10000  # the plain mean is ruined
+    vm = np.round(y * 1_000_000).astype(np.int64)
+    order = np.lexsort((np.arange(n), vm))
+    k = -(-5 * n // 100)
+    kept = vm[order][k : n - k]
+    assert got["n_kept"] == len(kept)
+    assert got["trimmed_mean"] == (int(kept.sum()) // len(kept)) / 1_000_000
