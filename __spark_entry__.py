@@ -1354,6 +1354,19 @@ def q_hdr_quantiles(spark, sf_dir):
     return hdr_quantiles(parts)
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical decomposition y = trend + seasonal + resid per source
+    (statsmodels seasonal_decompose analogue, robust median trend):
+    49-point trailing median trend in doubled micro-units, hour-of-day
+    floor-division seasonal means of the detrended series, exact
+    remainder. Reconstruction is bit-exact by construction."""
+    from forecaster_spark.operators.timeweight import seasonal_decompose
+
+    return seasonal_decompose(_ev(spark, sf_dir)).select(
+        "source", "ts", "event_id", "y", "trend", "seasonal", "resid"
+    )
+
+
 def q_trimmed_mean(spark, sf_dir):
     """Rank-based 5% trimmed mean per source (robust location estimate;
     exact micro-unit sum over the rank-retained rows, truncating integer
@@ -1673,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_events": q_ccf,
         "hdr_quantiles_events": q_hdr_quantiles,
         "trimmed_mean_events": q_trimmed_mean,
+        "seasonal_decompose_events": q_seasonal_decompose,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -2117,6 +2131,36 @@ SELECT source, CAST(max(n) AS BIGINT) AS n,
        CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p90,
        CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p99
 FROM c GROUP BY 1""",
+        "seasonal_decompose_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id, value AS y,
+         CAST(round(value * 1000000) AS BIGINT) * 2 AS y2
+  FROM events
+), t AS (
+  SELECT source, ts, event_id, y, y2,
+         CAST(quantile_cont(y2, 0.5) OVER (
+           PARTITION BY source ORDER BY ts, event_id
+           ROWS BETWEEN 48 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS t2
+  FROM s
+), d AS (
+  SELECT source, ts, event_id, y, y2, t2, y2 - t2 AS d2,
+         CAST(hour(ts) AS BIGINT) AS hod
+  FROM t
+), se AS (
+  SELECT source, hod,
+         CAST(sum(d2) AS BIGINT) AS sd, count(*) AS n
+  FROM d GROUP BY 1, 2
+), sm AS (
+  SELECT source, hod,
+         CAST((sd - ((sd % n + n) % n)) // n AS BIGINT) AS s2
+  FROM se
+)
+SELECT d.source, d.ts, d.event_id, d.y,
+       t2 / 2000000.0 AS trend,
+       s2 / 2000000.0 AS seasonal,
+       (d2 - s2) / 2000000.0 AS resid
+FROM d JOIN sm ON d.source = sm.source AND d.hod = sm.hod""",
         "trimmed_mean_events": """
 WITH s AS (
   SELECT event_type AS source, event_id,

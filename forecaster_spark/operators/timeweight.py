@@ -891,3 +891,63 @@ def trimmed_mean(
         F.count(F.lit(1)).alias("n_kept"),
         (F.expr("sum(_vm) div count(_vm)") / F.lit(float(m))).alias("trimmed_mean"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    order: tuple = ("ts", "event_id"),
+    window: int = 49,
+) -> DataFrame:
+    """Classical per-series decomposition ``y = trend + seasonal + resid``
+    (statsmodels ``seasonal_decompose`` analogue, robust variant): trend =
+    trailing rolling MEDIAN over ``window`` points (spike-proof, cf.
+    :func:`rolling_median`), seasonal = hour-of-day mean of the detrended
+    series (the :func:`seasonal_profile` fold), resid = the exact
+    remainder — reconstruction is bit-exact BY CONSTRUCTION, pinned in
+    pytest.
+
+    Exactness: everything is computed in DOUBLED micro-units so the
+    even-frame median interpolation stays integer-valued; the seasonal
+    mean uses an explicit floor-division ``(s - ((s % n + n) % n)) div n``
+    because the detrended values can be negative and Spark ``div``
+    (truncates toward zero) would disagree with a floor there; three
+    final /2e6 divisions per row return original units.
+
+    Plan shape: one shuffle on ``partition`` for the median window, one
+    map-side-combinable aggregate to the ≤ 24·|sources| seasonal cells,
+    one broadcast join back. Output: (partition, *order, y, trend,
+    seasonal, resid)."""
+    wf = (
+        Window.partitionBy(partition)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(window - 1), 0)
+    )
+    m2 = 2_000_000.0
+    b = df.select(
+        F.col(partition),
+        *[F.col(c) for c in order],
+        F.col(value).alias("_y"),
+        (F.round(F.col(value) * 1_000_000).cast("long") * 2).alias("_y2"),
+    )
+    b = b.withColumn("_t2", F.percentile("_y2", 0.5).over(wf).cast("long"))
+    b = b.withColumn("_d2", F.col("_y2") - F.col("_t2")).withColumn(
+        "_hod", F.hour(F.col(ts)).cast("long")
+    )
+    seas = (
+        b.groupBy(partition, "_hod")
+        .agg(F.sum("_d2").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .withColumn("_s2", F.expr("(_s - ((_s % _n + _n) % _n)) div _n"))
+        .select(partition, "_hod", "_s2")
+    )
+    out = b.join(F.broadcast(seas), [partition, "_hod"])
+    return out.select(
+        F.col(partition),
+        *[F.col(c) for c in order],
+        F.col("_y").alias(value),
+        (F.col("_t2") / m2).alias("trend"),
+        (F.col("_s2") / m2).alias("seasonal"),
+        ((F.col("_d2") - F.col("_s2")) / m2).alias("resid"),
+    )
