@@ -1367,6 +1367,16 @@ def q_seasonal_decompose(spark, sf_dir):
     )
 
 
+def q_simpson_diversity(spark, sf_dir):
+    """Inverse-Simpson lexical diversity per document (log-free Rényi-2
+    'effective vocabulary size' n²/Σc² — exact integer ingredients, one
+    IEEE division; the whole-distribution complement of the Gopher modal
+    fractions)."""
+    from forecaster_spark.operators.textops import simpson_diversity
+
+    return simpson_diversity(read_table(spark, sf_dir, "documents"))
+
+
 def q_trimmed_mean(spark, sf_dir):
     """Rank-based 5% trimmed mean per source (robust location estimate;
     exact micro-unit sum over the rank-retained rows, truncating integer
@@ -1687,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles_events": q_hdr_quantiles,
         "trimmed_mean_events": q_trimmed_mean,
         "seasonal_decompose_events": q_seasonal_decompose,
+        "simpson_diversity_documents": q_simpson_diversity,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -2131,6 +2142,26 @@ SELECT source, CAST(max(n) AS BIGINT) AS n,
        CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p90,
        CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p99
 FROM c GROUP BY 1""",
+        "simpson_diversity_documents": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS n
+  FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY 1, 2
+), st AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words,
+         CAST(sum(n * n) AS BIGINT) AS collision_mass
+  FROM wc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_words, 0) AS n_words,
+       coalesce(n_distinct_words, 0) AS n_distinct_words,
+       coalesce(collision_mass, 0) AS collision_mass,
+       CAST(n_words * n_words AS DOUBLE) / CAST(collision_mass AS DOUBLE) AS inv_simpson
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""",
         "seasonal_decompose_events": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id, value AS y,

@@ -254,3 +254,48 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .withColumn("dup_bigram_frac", frac(nb - F.col("n_distinct_bigrams"), nb))
         .withColumn("top_bigram_frac", frac(F.col("top_bigram_n"), nb))
     )
+
+
+def simpson_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverse-Simpson lexical diversity per document — the log-free
+    entropy analogue (Rényi-2 / "effective vocabulary size"): with word
+    counts c_i and n = Σc_i, collision mass = Σc_i² and inv_simpson =
+    n²/Σc_i² ∈ [1, n_distinct]. A diversity filter complementing the
+    Gopher repetition fractions: those flag the MODAL word/bigram, this
+    scores the whole distribution — and unlike Shannon entropy it needs
+    NO logarithm, so every ingredient is an exact integer and the final
+    score is one IEEE division of exact ints (cross-engine ``ln`` is not
+    correctly-rounded-guaranteed; n ≤ 2^26 keeps n² < 2^53).
+
+    Tokens: lowercase whitespace split with empties removed (the
+    certified cross-engine tokenization). Empty documents keep a row with
+    null diversity.
+
+    Plan shape: one explode→hash-agg chain, map-side combinable on
+    (id, word) — corpus-linear. Output: (doc_id, n_words,
+    n_distinct_words, collision_mass, inv_simpson)."""
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    stats = (
+        df.select(id_col, F.explode(ws).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(F.col("n") * F.col("n")).alias("collision_mass"),
+        )
+    )
+    out = df.select(id_col).join(stats, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_distinct_words", F.lit(0)).alias("n_distinct_words"),
+        F.coalesce("collision_mass", F.lit(0)).alias("collision_mass"),
+        (
+            (F.col("n_words") * F.col("n_words")).cast("double")
+            / F.col("collision_mass").cast("double")
+        ).alias("inv_simpson"),
+    )

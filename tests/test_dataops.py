@@ -466,3 +466,33 @@ def test_repetition_signals_handcrafted(spark):
     d4 = got["d4"]
     assert d4["dup_word_frac"] == 0.75 and d4["top_word_frac"] == 1.0
     assert d4["dup_bigram_frac"] == 2.0 / 3.0 and d4["top_bigram_frac"] == 1.0
+
+
+def test_simpson_diversity_handcrafted(spark):
+    """Handcrafted docs: uniform words give inv_simpson = n_distinct, a
+    fully repeated doc gives 1.0, empty text keeps a row with zero counts
+    and null diversity; the integer ingredients match exact counts."""
+    import pandas as pd
+
+    from forecaster_spark.operators.textops import simpson_diversity
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b c d",          # uniform: inv_simpson = 4
+                    "x x x x x",        # degenerate: inv_simpson = 1
+                    "a a b",            # 9 / (4+1) = 1.8
+                    "   ",              # empty after split
+                ],
+            }
+        )
+    )
+    got = simpson_diversity(docs).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[1, "inv_simpson"] == 4.0
+    assert got.loc[2, "inv_simpson"] == 1.0
+    assert got.loc[3, "inv_simpson"] == 9.0 / 5.0
+    assert got.loc[3, "collision_mass"] == 5
+    assert got.loc[4, "n_words"] == 0
+    assert pd.isna(got.loc[4, "inv_simpson"])
