@@ -1367,6 +1367,25 @@ def q_seasonal_decompose(spark, sf_dir):
     )
 
 
+def q_croston(spark, sf_dir):
+    """Croston intermittent-demand forecast over a genuinely sparse
+    series (per-minute purchase demand with value > 100 — 2.6% of grid
+    minutes at sf0.01), 4 user-bucket series. The compressed nonzero-
+    demand rows carry exact centi-unit sizes and integer minute indexes;
+    the coupled size/interval smoothers (alpha=0.25, exact 1-alpha) are
+    replayed bit-for-bit by a row-stepping recursive-CTE oracle."""
+    from forecaster_spark.operators.timeweight import croston
+
+    ev = read_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    )
+    b = ev.groupBy(
+        F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.expr("unix_micros(date_trunc('minute', ts)) div 60000000").alias("m"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("d"))
+    return croston(b)
+
+
 def q_simpson_diversity(spark, sf_dir):
     """Inverse-Simpson lexical diversity per document (log-free Rényi-2
     'effective vocabulary size' n²/Σc² — exact integer ingredients, one
@@ -1698,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_events": q_trimmed_mean,
         "seasonal_decompose_events": q_seasonal_decompose,
         "simpson_diversity_documents": q_simpson_diversity,
+        "croston_purchase_events": q_croston,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -2142,6 +2162,30 @@ SELECT source, CAST(max(n) AS BIGINT) AS n,
        CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p90,
        CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p99
 FROM c GROUP BY 1""",
+        "croston_purchase_events": """
+WITH RECURSIVE s AS (
+  SELECT concat('u', CAST(user_id % 4 AS VARCHAR)) AS source,
+         epoch_us(date_trunc('minute', ts)) // 60000000 AS m,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS d
+  FROM events
+  WHERE event_type = 'purchase' AND value > 100
+  GROUP BY 1, 2
+), o AS (
+  SELECT source, m, CAST(d AS DOUBLE) AS d,
+         CAST(m - lag(m) OVER (PARTITION BY source ORDER BY m) AS DOUBLE) AS i,
+         row_number() OVER (PARTITION BY source ORDER BY m) - 1 AS idx
+  FROM s
+), walk(source, idx, z, q) AS (
+  SELECT source, idx, d, CAST(1 AS DOUBLE) FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p.source, p.idx, p.d * 0.25 + w.z * 0.75, p.i * 0.25 + w.q * 0.75
+  FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
+), fin AS (
+  SELECT source, max(idx) AS mi FROM o GROUP BY 1
+)
+SELECT w.source, CAST(f.mi + 1 AS BIGINT) AS n_demands, w.z, w.q,
+       w.z / w.q / 100.0 AS rate
+FROM walk w JOIN fin f ON w.source = f.source AND w.idx = f.mi""",
         "simpson_diversity_documents": """
 WITH w AS (
   SELECT doc_id,

@@ -951,3 +951,61 @@ def seasonal_decompose(
         (F.col("_s2") / m2).alias("seasonal"),
         ((F.col("_d2") - F.col("_s2")) / m2).alias("resid"),
     )
+
+
+def croston(
+    df: DataFrame,
+    alpha: float = 0.25,
+    partition: str = "source",
+    minute: str = "m",
+    demand: str = "d",
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand — the forecasting family
+    member the smooth-series models (EWMA/Holt/ARX) mishandle: series
+    that are zero most periods (idle token sources, sparse purchases).
+    Input is the COMPRESSED form — one row per nonzero-demand period
+    ``(partition, m, d)`` with ``m`` the integer period index and ``d``
+    the exact integer demand; zero periods are implicit (they only widen
+    the intervals), so the 10^12-scale zero grid is never materialized.
+
+    Chain (Croston 1972): two coupled exponential smoothers stepped only
+    at demand points — size ``z' = d·α + z·(1−α)`` and inter-demand
+    interval ``q' = i·α + q·(1−α)`` with ``i = m_t − m_{t−1}``; seeds
+    ``z = d_1, q = 1`` (documented choice). Demand rate = ``z/q`` per
+    period. ``α`` defaults to 0.25 because 1−α must be EXACT in binary
+    (``1.0 − 0.2`` ≠ the literal ``0.8`` by 1 ulp — the oracle writes
+    literals); the fixed-order float chain is replayed bit-for-bit by a
+    row-stepping recursive-CTE oracle, like :func:`ewma`.
+
+    Plan: one shuffle on ``partition``, per-series Arrow kernel over the
+    DEMAND rows only (tier-bounded), one output row per series.
+    Output: (partition, n_demands, z, q, rate) with rate in
+    centi-units/period ÷ 100 → original units."""
+    import pandas as pd
+
+    beta = 1.0 - alpha
+    assert alpha + beta == 1.0 and (1.0 - alpha) == beta
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(minute).reset_index(drop=True)
+        ms = pdf[minute].tolist()
+        ds = pdf[demand].tolist()
+        z = float(ds[0])
+        q = 1.0
+        for j in range(1, len(ds)):
+            z = float(ds[j]) * alpha + z * beta
+            q = float(ms[j] - ms[j - 1]) * alpha + q * beta
+        return pd.DataFrame(
+            {
+                partition: [pdf[partition].iloc[0]],
+                "n_demands": [len(ds)],
+                "z": [z],
+                "q": [q],
+                "rate": [z / q / 100.0],
+            }
+        )
+
+    return df.groupBy(partition).applyInPandas(
+        kernel,
+        schema=f"{partition} string, n_demands long, z double, q double, rate double",
+    )

@@ -866,3 +866,29 @@ def test_seasonal_decompose_reconstructs_and_recovers_cycle(spark):
     c = np.corrcoef(prof.to_numpy(), want)[0, 1]
     assert c > 0.9
     assert got["resid"].to_numpy().std() < cycle.std() / 3
+
+
+def test_croston_golden_and_rate(spark):
+    """Croston on a handcrafted intermittent series matches an explicit
+    Python replay of the coupled smoothers exactly, and the rate lands
+    between the naive mean-demand-over-all-periods and the mean nonzero
+    size (the interval smoother divides the size estimate)."""
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import croston
+
+    # demands of 300, 600, 300 centi at minutes 0, 4, 6 (intervals 4, 2)
+    pdf = pd.DataFrame(
+        {"source": ["a"] * 3, "m": [100, 104, 106], "d": [300, 600, 300]}
+    )
+    got = croston(spark.createDataFrame(pdf)).toPandas().set_index("source").loc["a"]
+    z, q = 300.0, 1.0
+    for dd, ii in ((600.0, 4.0), (300.0, 2.0)):
+        z = dd * 0.25 + z * 0.75
+        q = ii * 0.25 + q * 0.75
+    assert got["n_demands"] == 3
+    assert got["z"] == z
+    assert got["q"] == q
+    assert got["rate"] == z / q / 100.0
+    # rate below the mean nonzero size (q > 1 divides it down)
+    assert got["rate"] < (3.0 + 6.0 + 3.0) / 3 / 1.0
