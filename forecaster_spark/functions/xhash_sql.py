@@ -323,10 +323,15 @@ def dedup_keep_list_sql(max_hamming: int = 3) -> str:
     opposite algorithm from the engine's blocking), then clustered by a
     recursive-CTE transitive closure (UNION set semantics terminate it;
     min reachable id = canonical label) — deliberately NOT the engine's
-    min-label propagation loop, so the fixpoint itself is cross-checked."""
+    contraction loop, so the fixpoint itself is cross-checked.
+
+    The non-recursive CTEs are forced MATERIALIZED: DuckDB may otherwise
+    inline them into every recursion step, re-running the brute all-pairs
+    simhash recompute once per closure iteration (measured: minutes at
+    sf0.1 vs seconds materialized)."""
     return f"""
-WITH RECURSIVE prs AS ({simhash_neardup_sql(max_hamming)}),
-e AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+WITH RECURSIVE prs AS MATERIALIZED ({simhash_neardup_sql(max_hamming)}),
+e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
 n AS (SELECT DISTINCT u AS id FROM e),
 r AS (
   SELECT id, id AS reach FROM n
