@@ -3,8 +3,11 @@
 ``entry(spark)`` is the smoke check; each ``queries()[name]`` runs at
 sf=0.01 and is compared against ``oracle_sql()[name]`` via DuckDB
 (row-count + schema + order-insensitive value-hash). Every operator from
-SURVEY.md §2 claimed as done has an entry here; non-SQL-expressible kernels
-(recursive forecast, Gorilla, weighted backcast) get rows-only checks.
+SURVEY.md §2 claimed as done has an entry here, and every entry has a value
+oracle — the sequential/recursive kernels (forecast solvers, EWMA/Holt/
+Croston chains, backcast, LTTB, connected components) via generated
+HUGEINT-determinant or recursive-CTE SQL; all green under the driver's
+ANSI session and at sf0.1 as well (tools/check_entry.py mirrors the gate).
 
 Float determinism: contract queries use the rollup operators' ``exact`` mode
 (integer micro-unit sums) so Spark and DuckDB produce bit-identical doubles —
