@@ -1389,6 +1389,24 @@ def q_croston(spark, sf_dir):
     return croston(b)
 
 
+def q_tokens_checksum(spark, sf_dir):
+    """The north-rule per-row token-array invariant IN THE HARD GATE:
+    deterministic tokens (cross-engine word hash mod 2^31 per split
+    position) + the reference polynomial checksum sum(tok_i * 31^(n-1-i))
+    mod 2^64 computed by the PIPELINE's own token_checksum_fast kernel —
+    the oracle re-derives the tokens and folds the same polynomial in
+    HUGEINT, so a checksum match certifies token-array equality per doc."""
+    from forecaster_spark.operators.seriesify import token_checksum_fast
+    from forecaster_spark.operators.textops import text_tokens
+
+    t = text_tokens(read_table(spark, sf_dir, "documents"))
+    return t.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        token_checksum_fast(F.col("tokens")).alias("tok_checksum"),
+    )
+
+
 def q_simpson_diversity(spark, sf_dir):
     """Inverse-Simpson lexical diversity per document (log-free Rényi-2
     'effective vocabulary size' n²/Σc² — exact integer ingredients, one
@@ -1721,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_decompose_events": q_seasonal_decompose,
         "simpson_diversity_documents": q_simpson_diversity,
         "croston_purchase_events": q_croston,
+        "tokens_checksum_documents": q_tokens_checksum,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -2759,4 +2778,5 @@ FROM (
         # partials — a value match certifies merge associativity too
         "hll_distinct_users_events_1h": xhash_sql.hll_registers_sql(),
         "cmsketch_words_documents": _cm_sketch_oracle(),
+        "tokens_checksum_documents": xhash_sql.tokens_checksum_sql(),
     }

@@ -343,3 +343,34 @@ SELECT d.doc_id,
        coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
        (cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id) AS keep
 FROM documents d LEFT JOIN cc USING (doc_id)"""
+
+
+def tokens_checksum_sql(
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+    max_tok: int = 1024,
+) -> str:
+    """Oracle for the north-rule token-array invariant: re-derive the
+    deterministic tokens (word hash mod 2^31 per split position, empties
+    included — exactly ``textops.text_tokens``) and fold the reference
+    polynomial checksum ``Σ tok_i·31^(n−1−i) mod 2^64`` in HUGEINT
+    arithmetic. tok < 2^31 and 31^k mod 2^64 < 2^64, so each term < 2^95
+    and the per-doc sum < 2^102 — inside HUGEINT with no limb splitting.
+
+    The 31-power list is sized ``max_tok`` (default 1024, >10x the
+    testdata's 100-word max — pinned in pytest): past it the list index
+    would return NULL and sum() would SILENTLY drop the term (the
+    word_hash max_word_len lesson), so size it above the corpus bound."""
+    pows = "[" + ", ".join(
+        f"CAST({pow(31, k, 1 << 64)} AS HUGEINT)" for k in range(max_tok)
+    ) + "]"
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+tk AS (SELECT doc_id, wpos, h % 2147483648 AS tok FROM wh),
+ln AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+term AS (
+  SELECT t.doc_id, t.tok * ({pows})[l.n_tok - t.wpos] AS v
+  FROM tk t JOIN ln l USING (doc_id)
+),
+chk AS (SELECT doc_id, sum(v) % {W} AS c FROM term GROUP BY 1)
+SELECT l.doc_id, CAST(l.n_tok AS BIGINT) AS n_tok, {to_int64("c")} AS tok_checksum
+FROM ln l JOIN chk USING (doc_id)"""

@@ -299,3 +299,48 @@ def simpson_diversity(
             / F.col("collision_mass").cast("double")
         ).alias("inv_simpson"),
     )
+
+
+def text_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic tokenizer producing the north-rule corpus shape
+    ``(doc_id, tokens array<int32>, n_tok)`` from raw text: token_i =
+    word_hash(word_i) mod 2^31 over the whitespace split (empties
+    included — Spark ``split`` ≡ DuckDB ``string_split_regex``), using the
+    cross-engine splitmix64 word hashes, so the DuckDB oracle re-derives
+    the SAME token arrays symbol-for-symbol. Combined with the reference
+    polynomial checksum (:func:`~forecaster_spark.operators.seriesify.token_checksum_fast`)
+    this puts the input_hint's per-row token-array-equality invariant in
+    the driver's hard gate, not just pytest.
+
+    Plan: narrow map, one Arrow kernel per batch (flat-vectorized word
+    hashing, no per-word Python), no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.functions import xhash
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _tokens(words: pd.Series) -> pd.Series:
+        import numpy as np
+
+        arrs = words.to_numpy()
+        n = len(arrs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in arrs), np.int64, count=n)
+        flat = [w for a in arrs for w in a]
+        hs = xhash.word_hash_flat(flat)
+        toks = (hs % np.uint64(1 << 31)).astype(np.int32)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        return pd.Series(
+            [toks[s:e] for s, e in zip(starts, ends)], dtype=object
+        )
+
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    out = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _tokens(w).alias("tokens")
+    )
+    return out.withColumn("n_tok", F.size("tokens"))

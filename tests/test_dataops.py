@@ -496,3 +496,57 @@ def test_simpson_diversity_handcrafted(spark):
     assert got.loc[3, "collision_mass"] == 5
     assert got.loc[4, "n_words"] == 0
     assert pd.isna(got.loc[4, "inv_simpson"])
+
+
+def test_text_tokens_roundtrip_and_checksum(spark):
+    """text_tokens derives the same token array a direct Python replay
+    does (split-with-empties, word hash mod 2^31), n_tok equals the split
+    length, the polynomial checksum equals a big-int Java-long fold over
+    those tokens, and the corpus stays far inside the oracle's 31-power
+    table bound (max_tok=1024)."""
+    import re
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.functions import xhash
+    from forecaster_spark.operators.seriesify import token_checksum_fast
+    from forecaster_spark.operators.textops import text_tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "Hello  world",          # double space -> empty word
+                    " leading and trailing ",  # boundary empties
+                    "one",
+                ],
+            }
+        )
+    )
+    got = (
+        text_tokens(docs)
+        .withColumn("chk", token_checksum_fast(F.col("tokens")))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for doc_id, text in ((1, "Hello  world"), (2, " leading and trailing "), (3, "one")):
+        words = re.split(r"\s+", text.lower())
+        toks = (xhash.word_hash_flat(words) % np.uint64(1 << 31)).astype(np.int64)
+        row = got.loc[doc_id]
+        assert row["n_tok"] == len(words)
+        assert list(row["tokens"]) == list(toks)
+        acc = 0
+        for t in toks:
+            acc = (acc * 31 + int(t)) % (1 << 64)
+        if acc >= 1 << 63:
+            acc -= 1 << 64
+        assert row["chk"] == acc
+    mx = duckdb.sql(
+        "select max(len(string_split_regex(lower(text), '\\s+') )) "
+        "from '/root/testdata/sf0.1/documents.parquet'"
+    ).fetchone()[0]
+    assert mx < 1024  # the oracle's pow-31 list bound
