@@ -1389,6 +1389,15 @@ def q_croston(spark, sf_dir):
     return croston(b)
 
 
+def q_burstiness(spark, sf_dir):
+    """Index of dispersion of per-minute event counts per source over the
+    spanned grid (zero minutes in closed form, never materialized):
+    (N*sum(c^2) - S^2) / (N*S) — one IEEE division of exact integers."""
+    from forecaster_spark.operators.timeweight import burstiness
+
+    return burstiness(_ev(spark, sf_dir))
+
+
 def q_tokens_checksum(spark, sf_dir):
     """The north-rule per-row token-array invariant IN THE HARD GATE:
     deterministic tokens (cross-engine word hash mod 2^31 per split
@@ -1740,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_diversity_documents": q_simpson_diversity,
         "croston_purchase_events": q_croston,
         "tokens_checksum_documents": q_tokens_checksum,
+        "burstiness_events": q_burstiness,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -2184,6 +2194,24 @@ SELECT source, CAST(max(n) AS BIGINT) AS n,
        CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p90,
        CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p99
 FROM c GROUP BY 1""",
+        "burstiness_events": """
+WITH pm AS (
+  SELECT event_type AS source,
+         epoch_us(date_trunc('minute', ts)) // 60000000 AS m,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT source,
+         CAST(max(m) - min(m) + 1 AS BIGINT) AS n_minutes_spanned,
+         count(*) AS n_minutes_active,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS c2
+  FROM pm GROUP BY 1
+)
+SELECT source, n_minutes_spanned, n_minutes_active, n_events,
+       CAST(n_minutes_spanned * c2 - n_events * n_events AS DOUBLE)
+         / CAST(n_minutes_spanned * n_events AS DOUBLE) AS dispersion
+FROM g""",
         "croston_purchase_events": """
 WITH RECURSIVE s AS (
   SELECT concat('u', CAST(user_id % 4 AS VARCHAR)) AS source,

@@ -1009,3 +1009,43 @@ def croston(
         kernel,
         schema=f"{partition} string, n_demands long, z double, q double, rate double",
     )
+
+
+def burstiness(
+    df: DataFrame,
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-minute event COUNTS per
+    series — the burstiness gate for ingest monitoring: ~1 for a Poisson
+    arrival stream, >>1 for bursty/hot sources (the ones the salted
+    rollup path exists for), <1 for metronome-regular feeds.
+
+    Zero-count minutes matter (a source that bursts once an hour is NOT
+    Poisson) but are never materialized: over the N grid minutes spanned
+    by the series, ``Σ(c_i − μ)² = Σc² − S²/N`` with S = Σc, so with
+    exact integer S, Σc², and N, the dispersion ``var/mean = (N·Σc² −
+    S²)/(N·S)`` is ONE IEEE division of exact integers (< 2^53 for
+    ~10^6 events x 10^3-event minutes per series; roll coarser first
+    beyond that — same bound discipline as acf).
+
+    Plan: one map-side-combinable hash aggregate to per-minute counts,
+    one per-series aggregate. Output: (partition, n_minutes_spanned,
+    n_minutes_active, n_events, dispersion)."""
+    m = F.expr(f"unix_micros(date_trunc('minute', {ts})) div 60000000")
+    per_min = df.groupBy(F.col(partition), m.alias("_m")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    g = per_min.groupBy(partition).agg(
+        (F.max("_m") - F.min("_m") + 1).alias("n_minutes_spanned"),
+        F.count(F.lit(1)).alias("n_minutes_active"),
+        F.sum("_c").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_c2"),
+    )
+    nn = F.col("n_minutes_spanned")
+    s = F.col("n_events")
+    disp = (nn * F.col("_c2") - s * s).cast("double") / (nn * s).cast("double")
+    return g.select(
+        partition, "n_minutes_spanned", "n_minutes_active", "n_events",
+        disp.alias("dispersion"),
+    )

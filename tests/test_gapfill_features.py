@@ -892,3 +892,42 @@ def test_croston_golden_and_rate(spark):
     assert got["rate"] == z / q / 100.0
     # rate below the mean nonzero size (q > 1 divides it down)
     assert got["rate"] < (3.0 + 6.0 + 3.0) / 3 / 1.0
+
+
+def test_burstiness_poisson_vs_bursty(spark):
+    """A uniform one-event-per-minute stream has dispersion ~0 (regular),
+    a stream cramming the same events into 1-of-10 minutes is
+    over-dispersed (Fano >> 1), and the closed-form zero-minute identity
+    matches an explicit numpy replay over the materialized grid."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import burstiness
+
+    t0 = pd.Timestamp("2030-01-01")
+    n = 600
+    regular = pd.DataFrame(
+        {"source": "reg", "ts": [t0 + pd.Timedelta(minutes=i) for i in range(n)]}
+    )
+    bursty = pd.DataFrame(
+        {
+            "source": "burst",
+            "ts": [
+                t0 + pd.Timedelta(minutes=10 * (i // 10), seconds=i % 10)
+                for i in range(n)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pd.concat([regular, bursty], ignore_index=True))
+    got = burstiness(df).toPandas().set_index("source")
+    assert got.loc["reg", "dispersion"] == 0.0  # exactly 1 event/minute
+    assert got.loc["burst", "dispersion"] > 5.0
+    # replay: materialize the grid for the bursty source
+    r = got.loc["burst"]
+    counts = np.zeros(int(r["n_minutes_spanned"]), dtype=np.int64)
+    for i in range(n):
+        counts[(10 * (i // 10))] += 1
+    want = counts.var() / counts.mean()
+    assert abs(r["dispersion"] - want) < 1e-9
+    assert r["n_events"] == n
+    assert r["n_minutes_active"] == len(np.nonzero(counts)[0])
