@@ -1389,6 +1389,16 @@ def q_croston(spark, sf_dir):
     return croston(b)
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust slope per (source, hour): median of pairwise
+    floor-divided integer slopes (1e-5 units/sec quanta), median in
+    doubled quanta, one final /2e5 — engine-exact; the robust
+    counterpart of linear_deriv's least-squares slope."""
+    from forecaster_spark.operators.timeweight import theil_sen
+
+    return theil_sen(_ev(spark, sf_dir))
+
+
 def q_burstiness(spark, sf_dir):
     """Index of dispersion of per-minute event counts per source over the
     spanned grid (zero minutes in closed form, never materialized):
@@ -1750,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston_purchase_events": q_croston,
         "tokens_checksum_documents": q_tokens_checksum,
         "burstiness_events": q_burstiness,
+        "theil_sen_events_1h": q_theil_sen,
         "repetition_signals_documents": q_repetition_signals,
         "rolling_zscore_events": q_rolling_zscore,
         "quantiles_events": q_quantiles,
@@ -2194,6 +2205,26 @@ SELECT source, CAST(max(n) AS BIGINT) AS n,
        CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p90,
        CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin_lb END) AS DOUBLE) / 100.0 AS p99
 FROM c GROUP BY 1""",
+        "theil_sen_events_1h": """
+WITH p AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         epoch_us(ts) // 1000000 AS t,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), pr AS (
+  SELECT a.source, a.bucket_start,
+         ((b.v - a.v) * 1000
+            - ((((b.v - a.v) * 1000) % (b.t - a.t) + (b.t - a.t)) % (b.t - a.t))
+         ) // (b.t - a.t) * 2 AS s2
+  FROM p a JOIN p b
+    ON a.source = b.source AND a.bucket_start = b.bucket_start AND a.t < b.t
+), np_ AS (
+  SELECT source, bucket_start, count(*) AS n_points FROM p GROUP BY 1, 2
+)
+SELECT pr.source, pr.bucket_start, n.n_points, count(*) AS n_pairs,
+       quantile_cont(s2, 0.5) / 200000.0 AS slope
+FROM pr JOIN np_ n ON pr.source = n.source AND pr.bucket_start = n.bucket_start
+GROUP BY pr.source, pr.bucket_start, n.n_points""",
         "burstiness_events": """
 WITH pm AS (
   SELECT event_type AS source,

@@ -1049,3 +1049,77 @@ def burstiness(
         partition, "n_minutes_spanned", "n_minutes_active", "n_events",
         disp.alias("dispersion"),
     )
+
+
+def _theil_sen_kernel(pdf):
+    """Per-(source, bucket) Theil-Sen: pairwise integer slopes via numpy
+    broadcasting (n <= a bucket's points, bounded by the tier grain) and
+    the exact doubled-unit median. numpy's ``//`` floors like the SQL
+    mirror's explicit floor-division; buckets with no positive-dt pair
+    emit nothing (matching the oracle's inner aggregate)."""
+    import numpy as np
+    import pandas as pd
+
+    t = pdf["_t"].to_numpy()
+    v = pdf["_v"].to_numpy()
+    o = np.argsort(t, kind="mergesort")
+    t, v = t[o], v[o]
+    iu, ju = np.triu_indices(len(t), k=1)
+    dt = t[ju] - t[iu]
+    keep = dt > 0
+    if not keep.any():
+        return pd.DataFrame(
+            columns=["source", "bucket_start", "n_points", "n_pairs", "slope"]
+        )
+    dv = (v[ju] - v[iu])[keep] * 1000
+    s2 = (dv // dt[keep]) * 2
+    med2 = int(np.median(s2))
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "bucket_start": [pdf["bucket_start"].iloc[0]],
+            "n_points": [len(t)],
+            "n_pairs": [int(keep.sum())],
+            "slope": [med2 / 200000.0],
+        }
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    bucket_unit: str = "hour",
+) -> DataFrame:
+    """Theil-Sen robust slope per (source, bucket) — the median of all
+    pairwise slopes (statsmodels ``theilslopes``; 29% breakdown vs 0% for
+    the least-squares ``linear_deriv``): one wild point bends OLS, not
+    the pairwise median. Completes the robust family (median / MAD /
+    trimmed mean / Theil-Sen).
+
+    Exactness with NO floats until the end: each pairwise slope is the
+    FLOOR-divided integer ``(dv_centi*1000) fd dt_sec`` (1e-5 units/sec
+    quanta; floor-div because dv goes negative where truncation and floor
+    disagree cross-engine — numpy ``//`` floors, the SQL mirror floors
+    explicitly), the median is taken in DOUBLED quanta so even-count
+    midpoints stay integral, and ONE final /2e5 returns units/sec.
+    Same-timestamp pairs are excluded (slope undefined); buckets with no
+    positive-dt pair emit no row on both engines.
+
+    Plan: one shuffle on (partition, bucket); the Arrow kernel does the
+    O(n²) pair work INSIDE each bounded bucket (n = points per tier
+    bucket — ~10²-10³; feed rolled tiers, never raw hot buckets, the same
+    contract as the model kernels). Output: (partition, bucket_start,
+    n_points, n_pairs, slope)."""
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.date_trunc(bucket_unit, F.col(ts)).alias("bucket_start"),
+        F.expr(f"unix_micros(cast({ts} as timestamp)) div 1000000").alias("_t"),
+        F.round(F.col(value) * 100).cast("long").alias("_v"),
+    )
+    return b.groupBy("source", "bucket_start").applyInPandas(
+        _theil_sen_kernel,
+        schema="source string, bucket_start timestamp, n_points long, "
+        "n_pairs long, slope double",
+    )

@@ -931,3 +931,39 @@ def test_burstiness_poisson_vs_bursty(spark):
     assert abs(r["dispersion"] - want) < 1e-9
     assert r["n_events"] == n
     assert r["n_minutes_active"] == len(np.nonzero(counts)[0])
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """On a clean slope-2 line with one wild outlier, Theil-Sen recovers
+    ~2 while the OLS slope is dragged far off; the quantized-integer
+    estimator matches an explicit numpy pairwise replay exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import theil_sen
+
+    t0 = pd.Timestamp("2030-01-01")
+    n = 40
+    ys = [2.0 * i + 10 for i in range(n)]
+    ys[7] = 5000.0  # wild point
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * n,
+            "ts": [t0 + pd.Timedelta(seconds=i) for i in range(n)],
+            "y": ys,
+            "event_id": range(n),
+        }
+    )
+    got = theil_sen(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert abs(got["slope"] - 2.0) < 0.01
+    # OLS on the same data is ruined by the single outlier
+    tt = np.arange(n, dtype=float)
+    ols = np.polyfit(tt, np.array(ys), 1)[0]
+    assert abs(ols - 2.0) > 1.0
+    # exact replay
+    v = np.round(np.array(ys) * 100).astype(np.int64)
+    t = np.arange(n, dtype=np.int64)
+    iu, ju = np.triu_indices(n, k=1)
+    s2 = (((v[ju] - v[iu]) * 1000) // (t[ju] - t[iu])) * 2
+    assert got["slope"] == int(np.median(s2)) / 200000.0
+    assert got["n_pairs"] == len(s2)
