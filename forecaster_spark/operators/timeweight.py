@@ -1051,40 +1051,6 @@ def burstiness(
     )
 
 
-def _theil_sen_kernel(pdf):
-    """Per-(source, bucket) Theil-Sen: pairwise integer slopes via numpy
-    broadcasting (n <= a bucket's points, bounded by the tier grain) and
-    the exact doubled-unit median. numpy's ``//`` floors like the SQL
-    mirror's explicit floor-division; buckets with no positive-dt pair
-    emit nothing (matching the oracle's inner aggregate)."""
-    import numpy as np
-    import pandas as pd
-
-    t = pdf["_t"].to_numpy()
-    v = pdf["_v"].to_numpy()
-    o = np.argsort(t, kind="mergesort")
-    t, v = t[o], v[o]
-    iu, ju = np.triu_indices(len(t), k=1)
-    dt = t[ju] - t[iu]
-    keep = dt > 0
-    if not keep.any():
-        return pd.DataFrame(
-            columns=["source", "bucket_start", "n_points", "n_pairs", "slope"]
-        )
-    dv = (v[ju] - v[iu])[keep] * 1000
-    s2 = (dv // dt[keep]) * 2
-    med2 = int(np.median(s2))
-    return pd.DataFrame(
-        {
-            "source": [pdf["source"].iloc[0]],
-            "bucket_start": [pdf["bucket_start"].iloc[0]],
-            "n_points": [len(t)],
-            "n_pairs": [int(keep.sum())],
-            "slope": [med2 / 200000.0],
-        }
-    )
-
-
 def theil_sen(
     df: DataFrame,
     value: str = "y",
@@ -1101,25 +1067,68 @@ def theil_sen(
     Exactness with NO floats until the end: each pairwise slope is the
     FLOOR-divided integer ``(dv_centi*1000) fd dt_sec`` (1e-5 units/sec
     quanta; floor-div because dv goes negative where truncation and floor
-    disagree cross-engine — numpy ``//`` floors, the SQL mirror floors
-    explicitly), the median is taken in DOUBLED quanta so even-count
-    midpoints stay integral, and ONE final /2e5 returns units/sec.
-    Same-timestamp pairs are excluded (slope undefined); buckets with no
-    positive-dt pair emit no row on both engines.
+    disagree cross-engine — ``(a - ((a % b + b) % b)) div b`` makes the
+    numerator exactly divisible so Spark's truncating ``div`` IS floor,
+    matching the SQL mirror's explicit floor-mod), the median is taken in
+    DOUBLED quanta so even-count midpoints stay integral (``percentile``'s
+    0.5-interpolation ``(a+b)/2`` of two even longs is an exact double),
+    and ONE final /2e5 returns units/sec. Same-timestamp pairs are
+    excluded (slope undefined); buckets with no positive-dt pair emit no
+    row on both engines.
 
-    Plan: one shuffle on (partition, bucket); the Arrow kernel does the
-    O(n²) pair work INSIDE each bounded bucket (n = points per tier
-    bucket — ~10²-10³; feed rolled tiers, never raw hot buckets, the same
-    contract as the model kernels). Output: (partition, bucket_start,
-    n_points, n_pairs, slope)."""
+    Plan: pure JVM codegen — ONE shuffle on (partition, bucket) collects
+    each bounded bucket into an array (``n_points`` = size, free), a
+    double explode emits the O(n²) positive-dt pairs inside the JVM, and
+    a hash re-aggregate takes the exact median. Replaced the r3
+    per-bucket ``applyInPandas`` kernel: with 3,600 tiny groups the
+    Arrow/pandas per-group machinery cost 13-17 s at sf0.1 where this
+    plan runs in well under a second (a TRIVIAL pandas kernel over the
+    same grouping still cost 13 s — the overhead is per-group, not the
+    pair math; same lesson as the sliding-median A/B in CLAUDE.md). The
+    O(n²) bound is per tier bucket (~10²-10³ points; feed rolled tiers,
+    never raw hot buckets — the same contract as the model kernels).
+    Output: (partition, bucket_start, n_points, n_pairs, slope)."""
     b = df.select(
         F.col(partition).alias("source"),
         F.date_trunc(bucket_unit, F.col(ts)).alias("bucket_start"),
         F.expr(f"unix_micros(cast({ts} as timestamp)) div 1000000").alias("_t"),
         F.round(F.col(value) * 100).cast("long").alias("_v"),
     )
-    return b.groupBy("source", "bucket_start").applyInPandas(
-        _theil_sen_kernel,
-        schema="source string, bucket_start timestamp, n_points long, "
-        "n_pairs long, slope double",
+    g = b.groupBy("source", "bucket_start").agg(
+        F.collect_list(F.struct("_t", "_v")).alias("pts")
+    )
+    pairs = (
+        g.select(
+            "source",
+            "bucket_start",
+            F.size("pts").alias("n_points"),
+            "pts",
+            F.explode("pts").alias("pa"),
+        )
+        .select(
+            "source",
+            "bucket_start",
+            "n_points",
+            F.col("pa._t").alias("ta"),
+            F.col("pa._v").alias("va"),
+            F.explode("pts").alias("pb"),
+        )
+        .filter(F.col("pb._t") > F.col("ta"))
+        .selectExpr(
+            "source",
+            "bucket_start",
+            "n_points",
+            "(pb._v - va) * 1000L AS dv",
+            "pb._t - ta AS dt",
+        )
+        .selectExpr(
+            "source",
+            "bucket_start",
+            "n_points",
+            "((dv - ((dv % dt + dt) % dt)) div dt) * 2L AS s2",
+        )
+    )
+    return pairs.groupBy("source", "bucket_start", "n_points").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.percentile("s2", F.lit(0.5)) / F.lit(200000.0)).alias("slope"),
     )
