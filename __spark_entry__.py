@@ -153,6 +153,25 @@ def q_minmax_scale(spark, sf_dir):
     return out.select("source", "event_id", "y", "y_mm")
 
 
+def q_robust_scale(spark, sf_dir):
+    """Robust scaler (sklearn RobustScaler semantics): center by the
+    per-source median, scale by the IQR — completes the scaler family
+    (P6 MinMax, P7 Standard). Quarter-quanta integer quantiles make the
+    params and the scaled output bit-exact vs quantile_cont SQL."""
+    s = _ev(spark, sf_dir).drop("ts")
+    out = FT.transform_robust(s, FT.fit_robust(s, ["y"]), ["y"])
+    return out.select("source", "event_id", "y", F.col("y_rs"))
+
+
+def q_drift_chi2(spark, sf_dir):
+    """Distribution-drift monitor: per-source two-sample histogram split
+    at the global time-span midpoint, per-bin chi-square dispersion term
+    (count-based, so exact — PSI's log-ratio is not bit-reproducible)."""
+    from forecaster_spark.operators.timeweight import histogram_drift
+
+    return histogram_drift(_ev(spark, sf_dir))
+
+
 def _ev_nulled(spark, sf_dir):
     return _ev(spark, sf_dir).withColumn(
         "y", F.when(F.col("event_id") % 7 == 3, F.lit(None)).otherwise(F.col("y"))
@@ -820,6 +839,14 @@ def q_distinct_users(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 keywords by log-free TF-IDF (tf·N/df, exact-integer
+    division; term-asc tie-break makes ranks engine-independent)."""
+    from forecaster_spark.operators.textops import tfidf_topk
+
+    return tfidf_topk(read_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_token_histogram(spark, sf_dir):
     """Token histogram: explode BPE-ish segments → top-50 by count (the
     vocabulary-stats primitive for training-data pipelines)."""
@@ -1199,6 +1226,44 @@ def q_holt_linear(spark, sf_dir):
         "level",
         "trend",
         "fc1",
+    )
+
+
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple smoothing (level + trend + 24-hour
+    seasonal, α=0.25 β=0.5 γ=0.125) over the hourly integer signal —
+    completes the classical family (EWMA → Holt → HW). The recursive-CTE
+    oracle carries a LENGTH-24 list of trailing seasonals in its state and
+    replays every fixed-order float chain bit-for-bit."""
+    from forecaster_spark.operators.timeweight import holt_winters
+
+    return holt_winters(
+        _hourly_int_series(spark, sf_dir), alpha=0.25, beta=0.5, gamma=0.125, period=24
+    ).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "y",
+        "level",
+        "trend",
+        "seasonal",
+        "fc1",
+    )
+
+
+def q_kalman_level(spark, sf_dir):
+    """Kalman local-level filter (q=0.25, r=4.0) over the hourly integer
+    signal — optimal-gain smoothing with a (x, P) recursive-CTE oracle:
+    every step is singly-rounded adds/multiplies and ONE division, so the
+    full-precision walk replays bit-for-bit with no quantization."""
+    from forecaster_spark.operators.timeweight import kalman_level
+
+    return kalman_level(_hourly_int_series(spark, sf_dir), q=0.25, r=4.0).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "y",
+        "x",
+        "gain",
+        "p_var",
     )
 
 
@@ -1676,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lead_targets_events": q_lead_targets,
         "trend_time_index_events": q_trend_time_index,
         "minmax_scale_events": q_minmax_scale,
+        "robust_scale_events": q_robust_scale,
+        "drift_chi2_events": q_drift_chi2,
         "locf_events": q_locf,
         "linear_interp_events": q_linear_interp,
         "qof_persistence_events": q_qof_persistence,
@@ -1722,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cube_events": q_rollup_cube,
         "distinct_users_events": q_distinct_users,
         "token_histogram_documents": q_token_histogram,
+        "tfidf_topk_documents": q_tfidf_topk,
         "topk_per_group_events": q_topk_per_group,
         "sessionize_events": q_sessionize,
         "stream_rollup_1m_events": q_stream_rollup_1m,
@@ -1740,6 +1808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample_events": q_lttb_downsample,
         "ewma_events_1h": q_ewma,
         "holt_linear_events_1h": q_holt_linear,
+        "holt_winters_events_1h": q_holt_winters,
+        "kalman_level_events_1h": q_kalman_level,
         "time_in_state_events": q_time_in_state,
         "heartbeat_agg_events": q_heartbeat_agg,
         "ohlc_events_1h": q_ohlc,
@@ -1848,6 +1918,34 @@ FROM (
          max(y) OVER (PARTITION BY source) AS mx
   FROM series
 )""",
+        "robust_scale_events": """
+WITH q AS (
+  SELECT event_type AS source,
+         quantile_cont(CAST(round(value * 100) AS BIGINT) * 4, 0.5) AS med4,
+         quantile_cont(CAST(round(value * 100) AS BIGINT) * 4, 0.75)
+           - quantile_cont(CAST(round(value * 100) AS BIGINT) * 4, 0.25) AS iqr4
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS source, e.event_id, e.value AS y,
+       (CAST(round(e.value * 100) AS BIGINT) * 4 - q.med4)
+         / (CASE WHEN q.iqr4 = 0.0 THEN 4.0 ELSE q.iqr4 END) AS y_rs
+FROM events e JOIN q ON e.event_type = q.source""",
+        "drift_chi2_events": """
+WITH b AS (
+  SELECT event_type AS source, epoch_us(ts) AS tm,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), m AS (SELECT (min(tm) + max(tm)) // 2 AS mid FROM b),
+h AS (
+  SELECT source, v // 2500 AS bin,
+         sum(CASE WHEN tm <= mid THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN tm > mid THEN 1 ELSE 0 END) AS c2
+  FROM b, m GROUP BY 1, 2
+)
+SELECT source, bin, bin * 2500 AS bin_lo,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST((c1 - c2) * (c1 - c2) AS DOUBLE) / CAST(c1 + c2 AS DOUBLE) AS chi2_term
+FROM h""",
         "locf_events": f"""
 WITH nulled AS (
   SELECT event_type AS source, ts, event_id,
@@ -2414,6 +2512,52 @@ WITH RECURSIVE th AS (
   FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
 )
 SELECT source, ts, y, level, trend, level + trend AS fc1 FROM walk""",
+        "holt_winters_events_1h": """
+WITH RECURSIVE th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), walk(source, idx, ts, y, level, trend, seasonal, slist) AS (
+  SELECT source, idx, ts, y, y, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         list_transform(range(24), x -> CAST(0 AS DOUBLE))
+  FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p.source, p.idx, p.ts, p.y,
+         (p.y - w.slist[1]) * 0.25 + (w.level + w.trend) * 0.75,
+         (((p.y - w.slist[1]) * 0.25 + (w.level + w.trend) * 0.75) - w.level) * 0.5
+           + w.trend * 0.5,
+         (p.y - (w.level + w.trend)) * 0.125 + w.slist[1] * 0.875,
+         list_append(w.slist[2:],
+                     (p.y - (w.level + w.trend)) * 0.125 + w.slist[1] * 0.875)
+  FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
+)
+SELECT source, ts, y, level, trend, seasonal,
+       level + trend + slist[1] AS fc1
+FROM walk""",
+        "kalman_level_events_1h": """
+WITH RECURSIVE th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), walk(source, idx, ts, y, x, gain, p) AS (
+  SELECT source, idx, ts, y, y, CAST(0 AS DOUBLE), CAST(4.0 AS DOUBLE)
+  FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p2.source, p2.idx, p2.ts, p2.y,
+         w.x + ((w.p + 0.25) / ((w.p + 0.25) + 4.0)) * (p2.y - w.x),
+         (w.p + 0.25) / ((w.p + 0.25) + 4.0),
+         (1.0 - (w.p + 0.25) / ((w.p + 0.25) + 4.0)) * (w.p + 0.25)
+  FROM walk w JOIN o p2 ON p2.source = w.source AND p2.idx = w.idx + 1
+)
+SELECT source, ts, y, x, gain, p AS p_var FROM walk""",
         "time_in_state_events": """
 WITH s AS (
   SELECT event_type AS source, ts, event_id,
@@ -2811,6 +2955,26 @@ GROUP BY ROLLUP(event_type, date_trunc('day', ts))""",
         "distinct_users_events": """
 SELECT event_type AS source, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY 1""",
+        "tfidf_topk_documents": """
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS _n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * n._n AS DOUBLE) / dfreq.df AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rnk
+      FROM s)
+WHERE rnk <= 3""",
         "token_histogram_documents": f"""
 SELECT tok, count(*) AS cnt
 FROM (SELECT unnest(regexp_extract_all(text, '{_BPE_SQL}')) AS tok FROM documents)

@@ -164,6 +164,57 @@ def transform_minmax(
     return out.drop(*drop)
 
 
+def fit_robust(
+    df: DataFrame, cols: list[str], partition: str = "source", quantum: int = 100
+) -> DataFrame:
+    """Per-source median/IQR params for each column — the robust scaler
+    (sklearn ``RobustScaler`` semantics: center by the median, scale by
+    ``q75 - q25``; outliers move neither parameter, unlike mean/std P7).
+
+    Cross-engine exactness: each value is quantized to integers
+    (``round(x * quantum)``), then QUADRUPLED before ``percentile``. At
+    the quartile positions ``g = 0.25*(n-1)`` the interpolation fraction
+    is always one of {0, .25, .5, .75}, so on 4×-scaled integers the
+    interpolated quantile ``(1-g)*a + g*b`` is itself an exact integer —
+    identical no matter which algebraic form of the interpolation either
+    engine uses (Spark ``percentile`` ↔ DuckDB ``quantile_cont``), so
+    the params are bit-exact doubles. One row per source — broadcast."""
+    aggs = []
+    for c in cols:
+        q4 = F.round(F.col(c) * quantum).cast("long") * 4
+        aggs += [
+            F.percentile(q4, F.lit(0.5)).alias(f"{c}__med4"),
+            (F.percentile(q4, F.lit(0.75)) - F.percentile(q4, F.lit(0.25))).alias(
+                f"{c}__iqr4"
+            ),
+        ]
+    return df.groupBy(partition).agg(*aggs)
+
+
+def transform_robust(
+    df: DataFrame,
+    params: DataFrame,
+    cols: list[str],
+    partition: str = "source",
+    quantum: int = 100,
+    suffix: str = "_rs",
+) -> DataFrame:
+    """Apply ``(x - median) / IQR`` with the quarter-quanta exact params:
+    the numerator ``4*q - med4`` is an exact integer-valued double, the
+    single division is correctly rounded on every IEEE engine → the
+    scaled output replays bit-for-bit in SQL. Zero-IQR sources scale by
+    1 quantum-unit (mirroring the min==max guard in MinMax). Params side
+    is one row per source → broadcast join, no shuffle of the big side."""
+    out = df.join(F.broadcast(params), on=partition)
+    for c in cols:
+        q4 = F.round(F.col(c) * quantum).cast("long") * 4
+        iqr = F.col(f"{c}__iqr4")
+        safe = F.when(iqr == 0.0, F.lit(4.0)).otherwise(iqr)
+        out = out.withColumn(f"{c}{suffix}", (q4 - F.col(f"{c}__med4")) / safe)
+    drop = [f"{c}__med4" for c in cols] + [f"{c}__iqr4" for c in cols]
+    return out.drop(*drop)
+
+
 def fit_standard(df: DataFrame, cols: list[str], partition: str = "source") -> DataFrame:
     """Per-source mean/population-std params (P7)."""
     aggs = []

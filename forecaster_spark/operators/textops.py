@@ -344,3 +344,43 @@ def text_tokens(
         F.col(id_col), _tokens(w).alias("tokens")
     )
     return out.withColumn("n_tok", F.size("tokens"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic keyword-extraction
+    primitive of a training-data pipeline (reference has no text layer; this
+    extends the engine's corpus-stats family).
+
+    The score is the LOG-FREE form ``tf · N / df`` (rank-equivalent to
+    ``tf · log(N/df)`` per document when df varies — and ``ln`` is not
+    bit-reproducible cross-engine, while this is ONE correctly-rounded
+    division of exact integers). Ties (same score within a doc) break on
+    the term string ascending, so ranks are engine-independent.
+
+    Tokens: lowercase whitespace split with empties removed (the proven
+    Spark ``split``/``array_remove`` ≡ DuckDB ``string_split_regex``/
+    ``list_filter`` alignment). Plan: explode → (doc, term) count (one
+    shuffle), document frequency over the tf table (second shuffle, partial
+    aggs), corpus size as a 1-row broadcast, top-k via a doc-partitioned
+    window. No driver-side collection; every stage is hash-aggregate +
+    shuffle-join shaped at 100 TB.
+
+    Output: (doc_id, term, tf, df, score, rnk ≤ k)."""
+    from pyspark.sql import Window
+
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    tok = docs.select("doc_id", F.explode(ws).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    s = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.col("_n")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )

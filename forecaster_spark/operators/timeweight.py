@@ -1132,3 +1132,205 @@ def theil_sen(
         F.count(F.lit(1)).alias("n_pairs"),
         (F.percentile("s2", F.lit(0.5)) / F.lit(200000.0)).alias("slope"),
     )
+
+
+def histogram_drift(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    bin_centi: int = 2500,
+) -> DataFrame:
+    """Two-sample distribution-drift histogram per partition: split each
+    series at the midpoint of the GLOBAL time span, histogram the value
+    in fixed integer bins on each side, and emit the per-bin chi-square
+    dispersion term ``(c1-c2)^2 / (c1+c2)`` — the standard two-sample
+    chi-square / PSI-style drift monitor, with counts instead of
+    log-ratios so every emitted number is exact (PSI's ``ln(p1/p2)`` is
+    not bit-reproducible cross-engine; the chi-square term is one
+    correctly-rounded division of exact integers).
+
+    The split point is ``(min_us + max_us) div 2`` over the whole input
+    (integer microseconds; ANSI-safe — no wrap below ~292,000 years) so
+    both engines derive the identical boundary from the data. Bins are
+    floor-divided quantized values (floor-mod identity, not truncating
+    ``div``, so negative values bin identically to DuckDB's ``//``).
+
+    Plan: one tiny global agg broadcast back onto the scan, then ONE
+    shuffle on (partition, bin) with map-side partial counts — the same
+    shape at 100 TB. Output: (partition, bin, bin_lo, c1, c2,
+    chi2_term) — one row per non-empty bin.
+    """
+    tmic = F.expr(f"unix_micros(cast({ts} as timestamp))")
+    b = df.select(
+        F.col(partition).alias("source"),
+        tmic.alias("_tm"),
+        F.round(F.col(value) * 100).cast("long").alias("_v"),
+    )
+    bounds = b.agg(
+        F.min("_tm").alias("_mn"), F.max("_tm").alias("_mx")
+    ).selectExpr("(_mn + _mx) div 2 AS _mid")
+    w = bin_centi
+    binned = (
+        b.crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "source",
+            f"(_v - ((_v % {w} + {w}) % {w})) div {w} AS bin",
+            "CASE WHEN _tm <= _mid THEN 1 ELSE 0 END AS in1",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.sum("in1").alias("c1"),
+            F.sum(F.expr("1 - in1")).alias("c2"),
+        )
+    )
+    d = F.col("c1") - F.col("c2")
+    return binned.select(
+        "source",
+        "bin",
+        (F.col("bin") * w).alias("bin_lo"),
+        "c1",
+        "c2",
+        ((d * d).cast("double") / (F.col("c1") + F.col("c2")).cast("double")).alias(
+            "chi2_term"
+        ),
+    )
+
+
+def holt_winters(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (level + trend +
+    seasonal, period ``m``) per source — completes the classical smoothing
+    family (:func:`ewma` → :func:`holt_linear` → here; reference analogue:
+    the trend+seasonal specs of ``ARX.rescale``):
+
+    - ``l_t = (y_t − s_{t−m})·α + (l_{t−1} + b_{t−1})·(1−α)``
+    - ``b_t = (l_t − l_{t−1})·β + b_{t−1}·(1−β)``
+    - ``s_t = (y_t − (l_{t−1} + b_{t−1}))·γ + s_{t−m}·(1−γ)``
+    - one-step forecast ``fc1 = (l_t + b_t) + s_{t+1−m}``
+
+    Seeds: ``l_0 = y_0``, ``b_0 = 0``, and the pre-history seasonals are 0
+    (``s_j = 0`` for j < 1, and ``s_0 = 0``) — the filter behaves like Holt
+    for the first season while the seasonal ring fills; a documented,
+    cross-engine-trivial convention (classical mean-of-first-season seeds
+    add a division whose operand order is easy to get wrong in SQL).
+
+    Sequential by nature → same design as :func:`holt_linear`: per-source
+    Arrow kernel with fixed-order float chains, every expression written in
+    the exact IEEE shape a recursive-CTE oracle carrying a LENGTH-m LIST of
+    trailing seasonals replays bit-for-bit. Pick α/β/γ with binary-exact
+    complements (0.25/0.5/0.125 …) — ``1−α`` is a LITERAL on both engines.
+    Tier-bounded inputs only (bounded rows per source, like the model
+    kernels). Output: input columns + ``level``, ``trend``, ``seasonal``,
+    ``fc1``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a1, b1, g1 = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+    m = period
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("seasonal", T.DoubleType()),
+            T.StructField("fc1", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        ys = pdf[value].tolist()
+        ring = [0.0] * m  # ring[t % m] holds s_{t-m} until step t overwrites
+        ls, bs, ss, fs = [], [], [], []
+        l = b = None
+        for i, y in enumerate(ys):
+            if l is None:
+                l, b, s = y, 0.0, 0.0
+            else:
+                s_old = ring[i % m]
+                ln = (y - s_old) * alpha + (l + b) * a1
+                bn = (ln - l) * beta + b * b1
+                s = (y - (l + b)) * gamma + s_old * g1
+                l, b = ln, bn
+            ring[i % m] = s
+            ls.append(l)
+            bs.append(b)
+            ss.append(s)
+            fs.append((l + b) + ring[(i + 1) % m])
+        pdf["level"], pdf["trend"], pdf["seasonal"], pdf["fc1"] = ls, bs, ss, fs
+        return pdf
+
+    return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def kalman_level(
+    df: DataFrame,
+    q: float,
+    r: float,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+) -> DataFrame:
+    """Kalman filter for the LOCAL-LEVEL state-space model per source
+    (random-walk state x, observation y = x + noise; process variance
+    ``q``, observation variance ``r``) — the optimal-gain counterpart of
+    the fixed-gain :func:`ewma`, and the engine's state-space family
+    opener. Per step, in this exact order:
+
+    - ``P⁻ = P + q``             (predicted variance; x⁻ = x)
+    - ``K  = P⁻ / (P⁻ + r)``     (gain)
+    - ``x  = x + K·(y − x)``     (filtered level)
+    - ``P  = (1 − K)·P⁻``        (filtered variance)
+
+    Seeds: ``x₀ = y₀``, ``P₀ = r`` (diffuse-ish: first gain ≈ ½ for q≪r).
+    As t→∞ the gain converges and the filter becomes an EWMA whose α
+    solves the steady-state Riccati equation — the pytest pins that.
+
+    Sequential → per-source Arrow kernel (the :func:`holt_linear` design)
+    with fixed-order float chains: every step is two adds, one multiply
+    and ONE division, each singly-rounded, so a recursive-CTE oracle
+    carrying (x, P) replays the whole walk bit-for-bit — no quantization
+    needed even though the gain is a full-precision quotient. Pick q/r as
+    binary-exact literals. Tier-bounded inputs only. Output: input
+    columns + ``x`` (filtered level), ``gain``, ``p_var``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("x", T.DoubleType()),
+            T.StructField("gain", T.DoubleType()),
+            T.StructField("p_var", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        ys = pdf[value].tolist()
+        xs, ks, ps = [], [], []
+        x = p = None
+        for y in ys:
+            if x is None:
+                x, k, p = y, 0.0, r
+            else:
+                pp = p + q
+                k = pp / (pp + r)
+                x = x + k * (y - x)
+                p = (1.0 - k) * pp
+            xs.append(x)
+            ks.append(k)
+            ps.append(p)
+        pdf["x"], pdf["gain"], pdf["p_var"] = xs, ks, ps
+        return pdf
+
+    return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)

@@ -967,3 +967,159 @@ def test_theil_sen_robust_to_outlier(spark):
     s2 = (((v[ju] - v[iu]) * 1000) // (t[ju] - t[iu])) * 2
     assert got["slope"] == int(np.median(s2)) / 200000.0
     assert got["n_pairs"] == len(s2)
+
+
+def test_robust_scale_outlier_immune(spark):
+    """RobustScaler semantics: one wild outlier moves neither the median
+    nor the IQR, and the quarter-quanta arithmetic reproduces the exact
+    numpy quantile interpolation."""
+    import numpy as np
+    import pandas as pd
+
+    ys = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 10000.0]
+    pdf = pd.DataFrame(
+        {"source": ["a"] * len(ys), "y": ys, "event_id": range(len(ys))}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        FT.transform_robust(df, FT.fit_robust(df, ["y"]), ["y"])
+        .toPandas()
+        .sort_values("event_id")
+    )
+    q4 = np.round(np.array(ys) * 100).astype(np.int64) * 4
+    med4 = np.quantile(q4, 0.5)
+    iqr4 = np.quantile(q4, 0.75) - np.quantile(q4, 0.25)
+    want = (q4 - med4) / iqr4
+    assert np.array_equal(out["y_rs"].to_numpy(), want)
+    # the outlier's own scaled value is huge but the rest sit in ~[-1, 1]
+    assert np.all(np.abs(want[:-1]) <= 1.0)
+    # quantile positions on n-1 are quarter-integral -> med4/iqr4 integral
+    assert med4 == int(med4) and iqr4 == int(iqr4)
+
+
+def test_histogram_drift_detects_shift(spark):
+    """A mean shift between the two time halves concentrates counts in
+    disjoint bins -> large chi-square terms; identical halves -> zero."""
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import histogram_drift
+
+    t0 = pd.Timestamp("2030-01-01")
+    rows = []
+    for i in range(100):
+        rows.append(("a", t0 + pd.Timedelta(minutes=i), 10.0, i))
+    for i in range(100):
+        rows.append(("a", t0 + pd.Timedelta(minutes=100 + i), 90.0, 100 + i))
+    # a stable source: same value both halves
+    for i in range(200):
+        rows.append(("s", t0 + pd.Timedelta(minutes=i), 50.0, 400 + i))
+    pdf = pd.DataFrame(rows, columns=["source", "ts", "y", "event_id"])
+    out = histogram_drift(spark.createDataFrame(pdf)).toPandas()
+    a = out[out.source == "a"].sort_values("bin")
+    # two disjoint bins, each fully one-sided: term == count
+    assert len(a) == 2
+    assert set(zip(a.c1, a.c2)) == {(100, 0), (0, 100)}
+    assert (a.chi2_term == 100.0).all()
+    s = out[out.source == "s"]
+    assert len(s) == 1 and float(s.chi2_term.iloc[0]) == 0.0
+    assert int(s.c1.iloc[0]) == 100 and int(s.c2.iloc[0]) == 100
+
+
+def test_holt_winters_seasonal_convergence(spark):
+    """On a clean linear+seasonal signal HW's one-step forecast converges;
+    during the first (zero-seeded) season its level/trend chain is
+    bit-identical to plain Holt with the same alpha/beta."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import holt_linear, holt_winters
+
+    m, n = 6, 120
+    pattern = [0.0, 4.0, 8.0, 2.0, -6.0, -8.0]
+    t0 = pd.Timestamp("2030-01-01")
+    ys = [10.0 + 0.5 * i + pattern[i % m] for i in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * n,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)],
+            "y": ys,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    hw = (
+        holt_winters(df, alpha=0.25, beta=0.5, gamma=0.5, period=m)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # late one-step forecasts track the signal closely (fc1[t] predicts y[t+1])
+    err = np.abs(hw["fc1"].to_numpy()[:-1] - np.array(ys)[1:])
+    assert err[-2 * m :].max() < 0.7
+    # untrained start is far off (trend + seasonal unlearned) — HW earned it
+    assert err[:m].max() > 3.0
+    # first season (seasonal ring still zero-seeded): level/trend == Holt
+    h = (
+        holt_linear(df, alpha=0.25, beta=0.5)
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    for col in ("level", "trend"):
+        assert np.array_equal(
+            hw[col].to_numpy()[:m], h[col].to_numpy()[:m]
+        ), col
+
+
+def test_kalman_level_steady_state(spark):
+    """The local-level Kalman gain converges to the Riccati fixed point
+    K* = p/(p+r), p = (q + sqrt(q^2 + 4qr))/2; a constant series is left
+    untouched (x == y, innovation 0 every step)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import kalman_level
+
+    q, r, n = 0.25, 4.0, 120
+    t0 = pd.Timestamp("2030-01-01")
+    rng = np.random.default_rng(7)
+    ys = (50 + rng.normal(0, 2, n).cumsum()).tolist()
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * n + ["const"] * n,
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(n)] * 2,
+            "y": ys + [42.0] * n,
+        }
+    )
+    out = kalman_level(spark.createDataFrame(pdf), q=q, r=r).toPandas()
+    a = out[out.source == "a"].sort_values("ts")
+    p_star = (q + math.sqrt(q * q + 4 * q * r)) / 2
+    k_star = p_star / (p_star + r)
+    assert abs(a["gain"].iloc[-1] - k_star) < 1e-9
+    assert abs(a["gain"].iloc[-50] - k_star) < 1e-9
+    c = out[out.source == "const"].sort_values("ts")
+    assert (c["x"] == 42.0).all()
+
+
+def test_tfidf_topk_scores_and_tiebreak(spark):
+    """Hand-checked tf*N/df scores; equal scores rank by term ascending."""
+    import pandas as pd
+
+    from forecaster_spark.operators.textops import tfidf_topk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Apple banana APPLE", "banana cherry", "cherry Cherry durian"],
+        }
+    )
+    out = tfidf_topk(spark.createDataFrame(docs), k=3).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("rnk")
+    assert list(d1.term) == ["apple", "banana"]
+    assert list(d1.score) == [6.0, 1.5]
+    d3 = out[out.doc_id == 3].sort_values("rnk")
+    # cherry and durian both score 3.0 -> term-asc tie-break
+    assert list(d3.term) == ["cherry", "durian"]
+    assert list(d3.score) == [3.0, 3.0]
+    assert list(d3.tf) == [2, 1] and list(d3.df) == [2, 1]
