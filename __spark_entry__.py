@@ -658,6 +658,73 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel view → click → purchase per user: each step counts
+    users whose FIRST qualifying event strictly follows their previous
+    step's timestamp (classic product-analytics funnel; min-ts chaining).
+    All counts exact; the rate is one correctly-rounded division. Plan:
+    three user-keyed hash aggs + co-partitioned joins on user_id."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    u2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = (
+        u1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(1).alias("step"), F.lit("view").alias("name"), "n_users")
+        .unionAll(u2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(2).alias("step"), F.lit("click").alias("name"), "n_users"))
+        .unionAll(u3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(3).alias("step"), F.lit("purchase").alias("name"), "n_users"))
+    )
+    base = u1.agg(F.count(F.lit(1)).alias("n_base"))
+    return steps.crossJoin(F.broadcast(base)).select(
+        "step",
+        "name",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("n_base")).alias("conversion"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume: the six-way join flagship — three
+    broadcast dims (supplier/nation/region after the region filter) over
+    the orders⋈lineitem⋈customer fact chain, revenue as exact micro-unit
+    longs. Filters push to the scans; AQE picks the join order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    m = 1_000_000
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        (F.sum(F.round(rev * m).cast("long")) / m).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecast-revenue: selective filter → single global agg.
     The filters push down to the parquet scan (PushedFilters in explain)."""
@@ -1782,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_lineitem": q_tpch_q6,
         "tpch_q3_top_orders": q_tpch_q3,
         "tpch_q4_order_priority": q_tpch_q4,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "funnel_conversion_events": q_funnel_conversion,
         "customers_without_orders": q_customers_without_orders,
         "nation_revenue_join": q_nation_revenue,
         "promo_revenue_part_join": q_promo_revenue,
@@ -2886,6 +2955,39 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q5_local_supplier": """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY n_name""",
+        "funnel_conversion_events": """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+), u3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+), steps AS (
+  SELECT 1 AS step, 'view' AS name, count(*) AS n_users FROM u1
+  UNION ALL
+  SELECT 2, 'click', count(*) FROM u2
+  UNION ALL
+  SELECT 3, 'purchase', count(*) FROM u3
+)
+SELECT step, name, n_users,
+       CAST(n_users AS DOUBLE) / (SELECT count(*) FROM u1) AS conversion
+FROM steps""",
         "tpch_q6_lineitem": """
 SELECT sum(CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)) / 1000000.0 AS revenue,
        count(*) AS n_items
