@@ -1317,6 +1317,15 @@ def q_holt_winters(spark, sf_dir):
     )
 
 
+def q_sax_symbols(spark, sf_dir):
+    """SAX symbolic discretization (PAA width-8 segments over the hourly
+    integer signal, empirical-quartile alphabet 'abcd') — exact-integer
+    variant; quartiles on quadrupled segment sums."""
+    from forecaster_spark.operators.downsample import sax_symbols
+
+    return sax_symbols(_hourly_int_series(spark, sf_dir), width=8)
+
+
 def q_kalman_level(spark, sf_dir):
     """Kalman local-level filter (q=0.25, r=4.0) over the hourly integer
     signal — optimal-gain smoothing with a (x, P) recursive-CTE oracle:
@@ -1879,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear_events_1h": q_holt_linear,
         "holt_winters_events_1h": q_holt_winters,
         "kalman_level_events_1h": q_kalman_level,
+        "sax_symbols_events_1h": q_sax_symbols,
         "time_in_state_events": q_time_in_state,
         "heartbeat_agg_events": q_heartbeat_agg,
         "ohlc_events_1h": q_ohlc,
@@ -2607,6 +2617,31 @@ WITH RECURSIVE th AS (
 SELECT source, ts, y, level, trend, seasonal,
        level + trend + slist[1] AS fc1
 FROM walk""",
+        "sax_symbols_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, CAST(yd AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), segs AS (
+  SELECT source, idx // 8 AS seg, count(*) AS n_points,
+         CAST(sum(y) AS BIGINT) AS seg_sum
+  FROM o GROUP BY 1, 2 HAVING count(*) = 8
+), q AS (
+  SELECT source, quantile_cont(seg_sum * 4, 0.25) AS q1,
+         quantile_cont(seg_sum * 4, 0.5) AS q2,
+         quantile_cont(seg_sum * 4, 0.75) AS q3
+  FROM segs GROUP BY 1
+)
+SELECT s.source, s.seg, s.n_points, s.seg_sum,
+       CASE WHEN s.seg_sum * 4 < q.q1 THEN 'a'
+            WHEN s.seg_sum * 4 < q.q2 THEN 'b'
+            WHEN s.seg_sum * 4 < q.q3 THEN 'c'
+            ELSE 'd' END AS symbol
+FROM segs s JOIN q ON s.source = q.source""",
         "kalman_level_events_1h": """
 WITH RECURSIVE th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -160,3 +160,70 @@ WITH RECURSIVE s AS (
 SELECT source, eid AS event_id, CAST(b + 1 AS INT) AS sel_order FROM sel
 UNION ALL
 SELECT source, eid, CAST({k - 1} AS INT) FROM pts WHERE idx = n - 1"""
+
+
+def sax_symbols(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+    width: int = 8,
+    alphabet: str = "abcd",
+) -> DataFrame:
+    """SAX-style symbolic discretization per source: PAA (piecewise
+    aggregate approximation — the series in bucket order, cut into
+    segments of ``width`` points, one aggregate per segment) followed by
+    alphabet assignment, the classic time-series indexing/motif primitive
+    (Lin et al., "Symbolic Aggregate approXimation").
+
+    Exactness variant, documented deviation from the textbook: classical
+    SAX z-normalizes (needs sqrt — not bit-reproducible cross-engine) and
+    cuts at GAUSSIAN breakpoints; this implementation ranks each segment
+    against the source's own EMPIRICAL quartiles instead — the same
+    discretization capability (relative-level symbols), but every number
+    stays exact: the trailing partial segment is dropped so segments have
+    identical width and the integer segment SUM is a faithful proxy for
+    the PAA mean; quartiles are taken on QUADRUPLED integer sums (the
+    :func:`~forecaster_spark.operators.features.fit_robust` trick — the
+    0.25-step interpolation lands on exact integers, independent of the
+    interpolation's algebraic form), and symbol assignment is integer-vs-
+    integral-double comparison. Equality goes to the higher symbol on
+    both engines (``< q`` strictly).
+
+    Plan: one shuffle for the per-source row index, one hash agg to
+    segments, per-source quartiles as a tiny broadcast join. Alphabet is
+    fixed at 4 symbols (quartiles) — the exactness argument is per-0.25
+    steps; larger alphabets would need eighth-quanta etc.
+
+    Output: (partition, seg, n_points, seg_sum, symbol)."""
+    if alphabet != "abcd":
+        raise ValueError("quartile SAX supports exactly 4 symbols ('abcd')")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    idx = F.row_number().over(w) - 1
+    segs = (
+        df.withColumn("_seg", (idx / width).cast("long"))
+        .groupBy(partition, F.col("_seg").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col(value).cast("long")).alias("seg_sum"),
+        )
+        .where(F.col("n_points") == width)
+    )
+    q = segs.groupBy(partition).agg(
+        F.percentile(F.col("seg_sum") * 4, F.lit(0.25)).alias("_q1"),
+        F.percentile(F.col("seg_sum") * 4, F.lit(0.5)).alias("_q2"),
+        F.percentile(F.col("seg_sum") * 4, F.lit(0.75)).alias("_q3"),
+    )
+    s4 = F.col("seg_sum") * 4
+    sym = (
+        F.when(s4 < F.col("_q1"), F.lit("a"))
+        .when(s4 < F.col("_q2"), F.lit("b"))
+        .when(s4 < F.col("_q3"), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        segs.join(F.broadcast(q), partition)
+        .select(partition, "seg", "n_points", "seg_sum", sym.alias("symbol"))
+    )

@@ -1123,3 +1123,30 @@ def test_tfidf_topk_scores_and_tiebreak(spark):
     assert list(d3.term) == ["cherry", "durian"]
     assert list(d3.score) == [3.0, 3.0]
     assert list(d3.tf) == [2, 1] and list(d3.df) == [2, 1]
+
+
+def test_sax_symbols_quartile_alphabet(spark):
+    """Four equal-width segments with strictly increasing sums map to
+    'a','b','c','d'; a trailing partial segment is dropped."""
+    import pandas as pd
+
+    from forecaster_spark.operators.downsample import sax_symbols
+
+    t0 = pd.Timestamp("2030-01-01")
+    ys = [1.0] * 8 + [2.0] * 8 + [3.0] * 8 + [4.0] * 8 + [9.0] * 3  # partial tail
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * len(ys),
+            "ts": [t0 + pd.Timedelta(hours=i) for i in range(len(ys))],
+            "y": ys,
+        }
+    )
+    out = (
+        sax_symbols(spark.createDataFrame(pdf), width=8)
+        .toPandas()
+        .sort_values("seg")
+    )
+    assert list(out.seg) == [0, 1, 2, 3]  # tail segment (3 points) dropped
+    assert list(out.seg_sum) == [8, 16, 24, 32]
+    assert list(out.symbol) == ["a", "b", "c", "d"]
+    assert (out.n_points == 8).all()
