@@ -1808,6 +1808,81 @@ def q_cm_sketch(spark, sf_dir):
     )
 
 
+def _hourly_micro_buckets(spark, sf_dir):
+    """Hourly exact rollup exposing the floor-quantized BIGINT micro-mean
+    (``sum_micro div cnt``) — the engine-exact integer signal the
+    profile/indicator operators consume (both engines floor-divide)."""
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    return t.select(
+        "source", "bucket_start", F.expr("sum_micro div cnt").alias("v_micro")
+    )
+
+
+def q_matrix_profile(spark, sf_dir):
+    """Squared-distance matrix profile (Yeh et al. ICDM'16) per source over
+    the hourly tier, m=4: for every subsequence, the exact BIGINT squared
+    distance to its nearest non-trivial neighbor (|i-j| >= m) and that
+    neighbor's position (smallest on ties). Motif minima / discord maxima —
+    the non-linear companion of q_acf's order diagnostics. Arrow numpy
+    kernel per series ≡ DuckDB O(n²) self-join replay, bit-exact."""
+    from forecaster_spark.operators.motifs import matrix_profile
+
+    return matrix_profile(_hourly_micro_buckets(spark, sf_dir), m=4).select(
+        "source", "pos", "mp_sq", "nn_pos"
+    )
+
+
+def q_bollinger(spark, sf_dir):
+    """Bollinger band breakouts over the trailing 24 raw events per source:
+    the mean ± 2σ test cross-multiplied to pure BIGINT form
+    ((n·v−S)² > k²·(n·Q−S²), centi-units) so no sqrt/division precedes a
+    boolean; `mean` is a single IEEE division of exact integers."""
+    from forecaster_spark.operators.technicals import bollinger
+
+    return bollinger(_ev(spark, sf_dir), window=24, k=2).select(
+        "source", "event_id", "y", "mean", "above", "below", "n_in_frame"
+    )
+
+
+def q_rsi(spark, sf_dir):
+    """Cutler's RSI (SMA relative-strength index, window 14) on the hourly
+    micro-mean tier: gain/loss sums of BIGINT deltas, rsi_ppm = floor
+    (10^6·G/(G+L)) — exact integer on both engines; NULL until a full
+    window or on flat frames."""
+    from forecaster_spark.operators.technicals import rsi_cutler
+
+    return rsi_cutler(_hourly_micro_buckets(spark, sf_dir), window=14).select(
+        "source", "bucket_start", "rsi_ppm", "rsi"
+    )
+
+
+def q_longest_run(spark, sf_dir):
+    """Longest strictly-increasing run per source (gaps-and-islands over
+    micro-unit values in (ts, event_id) order): the nonparametric
+    trend/randomness diagnostic. Window + two hash aggregates, one
+    shuffle."""
+    from forecaster_spark.operators.technicals import longest_runs
+
+    return longest_runs(_ev(spark, sf_dir)).select(
+        "source", "max_run", "n_runs", "n_rows"
+    )
+
+
+def q_series_dist_pairs(spark, sf_dir):
+    """Series-similarity join: exact squared Euclidean distance between
+    every source pair on the shared hourly grid (centi-unit BIGINT sums —
+    which series co-move). Self-equi-join on the bucket + one hash
+    aggregate on the pair."""
+    from forecaster_spark.operators.technicals import series_distance_pairs
+
+    b = _hourly_micro_buckets(spark, sf_dir).select(
+        "source", "bucket_start", F.expr("v_micro div 10000").alias("v_centi")
+    )
+    return series_distance_pairs(b).select(
+        "source_a", "source_b", "sq_dist", "n_shared"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -1918,6 +1993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_events_1h": q_hll_distinct_users,
         "cmsketch_words_documents": q_cm_sketch,
         "stream_tier_upsert_events_1m": q_stream_tier_upsert,
+        "matrix_profile_events_1h": q_matrix_profile,
+        "bollinger_breakout_events": q_bollinger,
+        "rsi_events_1h": q_rsi,
+        "longest_run_events": q_longest_run,
+        "series_dist_pairs_events_1h": q_series_dist_pairs,
     }
 
 
@@ -3139,4 +3219,117 @@ FROM (
         "hll_distinct_users_events_1h": xhash_sql.hll_registers_sql(),
         "cmsketch_words_documents": _cm_sketch_oracle(),
         "tokens_checksum_documents": xhash_sql.tokens_checksum_sql(),
+        "matrix_profile_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_start) - 1 AS pos
+  FROM mb
+), lagm AS (
+  SELECT source, pos, v AS d0,
+         lead(v, 1) OVER w AS d1, lead(v, 2) OVER w AS d2, lead(v, 3) OVER w AS d3
+  FROM o WINDOW w AS (PARTITION BY source ORDER BY pos)
+), subs AS (
+  SELECT * FROM lagm WHERE d3 IS NOT NULL
+), dists AS (
+  SELECT a.source, a.pos AS i, b.pos AS j,
+         (a.d0 - b.d0) * (a.d0 - b.d0) + (a.d1 - b.d1) * (a.d1 - b.d1)
+       + (a.d2 - b.d2) * (a.d2 - b.d2) + (a.d3 - b.d3) * (a.d3 - b.d3) AS dist
+  FROM subs a JOIN subs b
+    ON a.source = b.source AND abs(a.pos - b.pos) >= 4
+), best AS (
+  SELECT source, i, dist, j,
+         row_number() OVER (PARTITION BY source, i ORDER BY dist, j) AS rn
+  FROM dists
+)
+SELECT s.source, CAST(s.pos AS BIGINT) AS pos,
+       CAST(coalesce(m.dist, -1) AS BIGINT) AS mp_sq,
+       CAST(coalesce(m.j, -1) AS BIGINT) AS nn_pos
+FROM subs s LEFT JOIN best m
+  ON m.source = s.source AND m.i = s.pos AND m.rn = 1""",
+        "bollinger_breakout_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id, value AS y,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), w AS (
+  SELECT source, ts, event_id, y, vc,
+         CAST(sum(vc) OVER fr AS BIGINT) AS s24,
+         CAST(sum(vc * vc) OVER fr AS BIGINT) AS q24,
+         count(*) OVER fr AS n24
+  FROM s
+  WINDOW fr AS (PARTITION BY source ORDER BY ts, event_id
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT source, event_id, y,
+       s24 / (n24 * 100.0) AS mean,
+       (n24 * vc - s24) > 0
+         AND (n24 * vc - s24) * (n24 * vc - s24) > 4 * (n24 * q24 - s24 * s24) AS above,
+       (n24 * vc - s24) < 0
+         AND (n24 * vc - s24) * (n24 * vc - s24) > 4 * (n24 * q24 - s24 * s24) AS below,
+       CAST(n24 AS BIGINT) AS n_in_frame
+FROM w""",
+        "rsi_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT source, bucket_start,
+         v_micro - lag(v_micro, 1) OVER (PARTITION BY source ORDER BY bucket_start) AS dd
+  FROM mb
+), w AS (
+  SELECT source, bucket_start,
+         CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) OVER fr AS BIGINT) AS gsum,
+         CAST(sum(CASE WHEN dd < 0 THEN -dd ELSE 0 END) OVER fr AS BIGINT) AS lsum,
+         count(dd) OVER fr AS nd
+  FROM d
+  WINDOW fr AS (PARTITION BY source ORDER BY bucket_start
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT source, bucket_start,
+       CASE WHEN nd = 14 AND gsum + lsum > 0
+            THEN CAST((1000000 * gsum) // (gsum + lsum) AS BIGINT) END AS rsi_ppm,
+       CASE WHEN nd = 14 AND gsum + lsum > 0
+            THEN CAST((1000000 * gsum) // (gsum + lsum) AS BIGINT) / 10000.0 END AS rsi
+FROM w""",
+        "longest_run_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), b AS (
+  SELECT source, ts, event_id,
+         CASE WHEN lag(vm, 1) OVER w IS NULL OR vm <= lag(vm, 1) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM s WINDOW w AS (PARTITION BY source ORDER BY ts, event_id)
+), r AS (
+  SELECT source,
+         sum(brk) OVER (PARTITION BY source ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM b
+), runs AS (
+  SELECT source, run_id, count(*) AS run_len FROM r GROUP BY 1, 2
+)
+SELECT source, CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_rows
+FROM runs GROUP BY source""",
+        "series_dist_pairs_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), cb AS (
+  SELECT source, bucket_start, v_micro // 10000 AS v_centi FROM mb
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum((a.v_centi - b.v_centi) * (a.v_centi - b.v_centi)) AS BIGINT) AS sq_dist,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM cb a JOIN cb b
+  ON a.bucket_start = b.bucket_start AND a.source < b.source
+GROUP BY 1, 2""",
     }

@@ -1,0 +1,191 @@
+"""Technical-indicator operators: Bollinger bands, Cutler RSI, run-length
+statistics, and pairwise series distances.
+
+Classic sliding-window signal diagnostics (public formulas: Bollinger 1983;
+Cutler's SMA RSI variant of Wilder 1978; run tests from basic
+nonparametric statistics).  The reference Forecaster computes rolling
+means/variances inside its QoF and scaler paths (reference
+forecaster.py rollValidate, modeling/scalers); these operators expose the
+same rolling first/second moments as standalone per-row signals with
+engine-exact integer arithmetic.
+
+Exactness discipline (CLAUDE.md): every comparison that mixes a mean and a
+standard deviation is CROSS-MULTIPLIED into pure integer form —
+``(n·v − Σv)² vs k²·(n·Σv² − (Σv)²)`` — so no sqrt or division ever
+happens before a boolean; emitted continuous columns are single IEEE
+divisions of exact BIGINTs (bit-identical cross-engine).  Quanta are
+chosen so every product stays far under 2^63 (ANSI-safe): centi-units for
+raw-event windows (|v| ≤ ~10^5 centi ⇒ n·Σv² ≤ 10^13 at n=24), micro-units
+only where no squared-sum appears.
+
+Plan shape: every operator is one shuffle on ``source`` + Catalyst window
+frames (whole-stage codegen, no Python).  At 10^12-sequence scale these run
+over rolled tiers (bounded rows/series); the raw-event variants document
+their window caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bollinger(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: tuple = ("ts", "event_id"),
+    window: int = 24,
+    k: int = 2,
+) -> DataFrame:
+    """Bollinger band position per row: is the point above/below
+    mean ± k·stddev of the trailing ``window`` rows (population σ,
+    current row included — the standard band definition).
+
+    Integer form: with centi-units v, n = rows in frame, S = Σv,
+    Q = Σv², the breakout test ``|v − S/n| > k·σ`` cross-multiplies to
+    ``(n·v − S)² > k²·(n·Q − S²)`` — exact BIGINTs end to end.  Emitted
+    ``mean`` is the single division S/(100·n).
+
+    Output: input columns + ``mean`` (double) + ``above``/``below``
+    (boolean breakout flags) + ``n_in_frame``.
+    """
+    wf = (
+        Window.partitionBy(partition)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(window - 1), 0)
+    )
+    vc = F.round(F.col(value) * 100).cast("long")
+    b = (
+        df.withColumn("_vc", vc)
+        .withColumn("_s", F.sum("_vc").over(wf))
+        .withColumn("_q", F.sum(F.col("_vc") * F.col("_vc")).over(wf))
+        .withColumn("_n", F.count("_vc").over(wf))
+    )
+    dev = F.col("_n") * F.col("_vc") - F.col("_s")  # n·v − S
+    var_n2 = F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s")  # n²·σ²
+    kk = F.lit(int(k * k))
+    return (
+        b.withColumn("mean", F.col("_s") / (F.col("_n") * 100.0))
+        .withColumn("above", (dev > 0) & (dev * dev > kk * var_n2))
+        .withColumn("below", (dev < 0) & (dev * dev > kk * var_n2))
+        .withColumn("n_in_frame", F.col("_n"))
+        .drop("_vc", "_s", "_q", "_n")
+    )
+
+
+def rsi_cutler(
+    df: DataFrame,
+    value_micro: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+    window: int = 14,
+) -> DataFrame:
+    """Cutler's RSI (the SMA variant of Wilder's relative strength index —
+    chosen over Wilder's EMA form because simple sums of integer deltas
+    are engine-exact, no smoothing recurrence).  Over the trailing
+    ``window`` deltas: G = Σ max(Δ,0), L = Σ max(−Δ,0),
+    ``rsi_ppm = (10^6·G) div (G+L)`` (floor — integer on both engines);
+    NULL until a full window of deltas exists or when G+L = 0 (flat
+    series).
+
+    Input is a rolled tier with an exact BIGINT ``value_micro`` signal.
+    Bound: 10^6·G ≤ 10^6·window·2·max|v| — ~10^16 for micro-unit event
+    means at window 14, ANSI-safe.
+
+    Output: (partition, order, rsi_ppm bigint, rsi double = ppm/10^4).
+    """
+    wo = Window.partitionBy(partition).orderBy(order)
+    wf = wo.rowsBetween(-(window - 1), 0)
+    d = F.col(value_micro) - F.lag(value_micro, 1).over(wo)
+    # CASE (not greatest) so a NULL head delta contributes 0 on BOTH
+    # engines — Spark's greatest skips NULLs, DuckDB's semantics shifted
+    # across releases; the explicit conditional is version-proof
+    gain = F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0))
+    loss = F.when(F.col("_d") < 0, -F.col("_d")).otherwise(F.lit(0))
+    b = (
+        df.withColumn("_d", d)
+        .withColumn("_g", F.sum(gain).over(wf))
+        .withColumn("_l", F.sum(loss).over(wf))
+        .withColumn("_nd", F.count("_d").over(wf))
+    )
+    gl = F.col("_g") + F.col("_l")
+    # integer floor division, expressed with `div` so both engines floor
+    b = b.withColumn(
+        "rsi_ppm",
+        F.when(
+            (F.col("_nd") == window) & (gl > 0),
+            F.expr("(1000000 * _g) div (_g + _l)"),
+        ).cast("long"),
+    )
+    return (
+        b.withColumn("rsi", F.col("rsi_ppm") / 10_000.0)
+        .drop("_d", "_g", "_l", "_nd")
+    )
+
+
+def longest_runs(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """Longest strictly-increasing run per series (gaps-and-islands):
+    the nonparametric trend/randomness diagnostic — an i.i.d. series has
+    short runs; a trending or periodic one has long ones.
+
+    Construction: a ``break`` flag where v_t ≤ v_{t−1} (micro-units, exact),
+    a running sum of breaks assigns each row a run id, then two
+    aggregations give per-run lengths and the per-series maximum.  Pure
+    Catalyst (window + 2 hash aggregates), one shuffle on ``partition``.
+
+    Output: (partition, max_run, n_runs, n_rows) — BIGINTs.  Ties in the
+    raw order column are broken by the ``order`` tuple (CLAUDE.md
+    invariant).
+    """
+    wo = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    vm = F.round(F.col(value) * 1_000_000).cast("long")
+    b = df.withColumn("_vm", vm)
+    prev = F.lag("_vm", 1).over(wo)
+    brk = F.when(prev.isNull() | (F.col("_vm") <= prev), 1).otherwise(0)
+    b = b.withColumn("_run", F.sum(brk).over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = b.groupBy(partition, "_run").agg(F.count(F.lit(1)).alias("_len"))
+    return runs.groupBy(partition).agg(
+        F.max("_len").alias("max_run"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("_len").alias("n_rows"),
+    )
+
+
+def series_distance_pairs(
+    buckets: DataFrame,
+    value_centi: str = "v_centi",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Exact squared Euclidean distance between every pair of series on
+    their SHARED bucket grid — the series-similarity join (which sources
+    co-move?).  Inner-join on the bucket timestamp keeps only co-observed
+    points; distances are BIGINT sums of centi-unit squared diffs
+    (≤ ~10^13 for month-long hourly tiers — ANSI-safe).
+
+    Plan: self-equi-join on the bucket column (sort-merge or broadcast
+    per AQE), one hash aggregate on the (a,b) pair.  The number of SERIES
+    pairs is the output size — run over sources, not raw keys; for
+    10^5+ sources prefilter with SAX/fingerprint buckets first.
+
+    Output: (source_a, source_b, sq_dist, n_shared) with source_a <
+    source_b.
+    """
+    left = buckets.select(
+        F.col(partition).alias("source_a"), F.col(order).alias("_b"), F.col(value_centi).alias("_va")
+    )
+    right = buckets.select(
+        F.col(partition).alias("source_b"), F.col(order).alias("_b"), F.col(value_centi).alias("_vb")
+    )
+    j = left.join(right, "_b").where(F.col("source_a") < F.col("source_b"))
+    d = F.col("_va") - F.col("_vb")
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(F.sum(d * d).alias("sq_dist"), F.count(F.lit(1)).alias("n_shared"))
+    )
