@@ -1883,6 +1883,72 @@ def q_series_dist_pairs(spark, sf_dir):
     )
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test per source over the hourly tier:
+    exact-integer S statistic + tie-corrected 18·Var(S); tau is the one
+    division. Collect-per-series + double pair explode (one shuffle,
+    bounded series — the Theil-Sen plan)."""
+    from forecaster_spark.operators.stats_tests import mann_kendall
+
+    return mann_kendall(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n", "s_stat", "var18", "tau"
+    )
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """Two-sample KS drift per source: first-half vs second-half ECDF sup
+    as the exact integer max|n2·cum1 − n1·cum2| over grouped values —
+    the distribution-level drift check beside chi-square's binned one."""
+    from forecaster_spark.operators.stats_tests import ks_two_sample
+
+    return ks_two_sample(_ev(spark, sf_dir)).select(
+        "source", "n1", "n2", "d_num", "ks_stat"
+    )
+
+
+def q_permutation_patterns(spark, sf_dir):
+    """Bandt-Pompe ordinal pattern distribution (m=3, tie classes kept)
+    per source over the hourly tier: exact pattern counts + floor-ppm
+    shares; the permutation-entropy sufficient statistics."""
+    from forecaster_spark.operators.stats_tests import permutation_patterns
+
+    return permutation_patterns(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "pattern_id", "cnt", "n_windows", "share_ppm"
+    )
+
+
+def q_seasonal_naive_qof(spark, sf_dir):
+    """Seasonal-naive (lag-24) baseline QoF per source on the hourly tier:
+    exact centi-unit SSE/SAE, mse/mae as fixed left-assoc division
+    chains. The seasonal analogue of qof_persistence."""
+    from forecaster_spark.operators.stats_tests import seasonal_naive_qof
+
+    return seasonal_naive_qof(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "m", "sse_centi2", "sae_centi", "mse", "mae"
+    )
+
+
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per source over raw events: exact micro-unit
+    running-peak-minus-value max (path-dependent worst decline)."""
+    from forecaster_spark.operators.technicals import max_drawdown
+
+    return max_drawdown(_ev(spark, sf_dir)).select(
+        "source", "n_rows", "max_dd_micro", "max_dd"
+    )
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary profile per language shard: vocab size, token
+    total, hapax/dis legomena counts and floor-ppm hapax share — the
+    Zipf-tail corpus-quality diagnostics."""
+    from forecaster_spark.operators.textops import vocab_stats
+
+    return vocab_stats(read_table(spark, sf_dir, "documents")).select(
+        "lang", "vocab", "total_tokens", "n_hapax", "n_dis", "hapax_ppm"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -1998,6 +2064,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsi_events_1h": q_rsi,
         "longest_run_events": q_longest_run,
         "series_dist_pairs_events_1h": q_series_dist_pairs,
+        "mann_kendall_events_1h": q_mann_kendall,
+        "ks_two_sample_events": q_ks_two_sample,
+        "permutation_patterns_events_1h": q_permutation_patterns,
+        "seasonal_naive_qof_events_1h": q_seasonal_naive_qof,
+        "max_drawdown_events": q_max_drawdown,
+        "vocab_stats_documents": q_vocab_stats,
     }
 
 
@@ -3332,4 +3404,127 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM cb a JOIN cb b
   ON a.bucket_start = b.bucket_start AND a.source < b.source
 GROUP BY 1, 2""",
+        "mann_kendall_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.source,
+         CAST(sum(CASE WHEN b.v_micro > a.v_micro THEN 1
+                       WHEN b.v_micro < a.v_micro THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM mb a JOIN mb b ON a.source = b.source AND b.bucket_start > a.bucket_start
+  GROUP BY a.source
+), nn AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM mb GROUP BY 1
+), ties AS (
+  SELECT source, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT source, v_micro, count(*) AS t FROM mb GROUP BY 1, 2)
+  GROUP BY source
+)
+SELECT s.source, nn.n, s.s_stat,
+       CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS BIGINT) AS var18,
+       CAST(2 * s.s_stat AS DOUBLE) / CAST(nn.n * (nn.n - 1) AS DOUBLE) AS tau
+FROM s JOIN nn USING (source) JOIN ties USING (source)""",
+        "ks_two_sample_events": """
+WITH s AS (
+  SELECT event_type AS source, CAST(round(value * 1000000) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), h AS (
+  SELECT source, vm, n // 2 AS n1, n - n // 2 AS n2,
+         CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS half
+  FROM s
+), pv AS (
+  SELECT source, n1, n2, vm,
+         sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS c2
+  FROM h GROUP BY 1, 2, 3, 4
+), cum AS (
+  SELECT source, n1, n2,
+         n2 * sum(c1) OVER w - n1 * sum(c2) OVER w AS d
+  FROM pv WINDOW w AS (PARTITION BY source ORDER BY vm
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT source, n1, n2, CAST(max(abs(d)) AS BIGINT) AS d_num
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT source, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, d_num,
+       CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_stat
+FROM agg""",
+        "permutation_patterns_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT source, v_micro AS v0,
+         lead(v_micro, 1) OVER w AS v1,
+         lead(v_micro, 2) OVER w AS v2
+  FROM mb WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+), p AS (
+  SELECT source,
+         9 * (CASE WHEN v1 > v0 THEN 2 WHEN v1 < v0 THEN 0 ELSE 1 END)
+       + 3 * (CASE WHEN v2 > v1 THEN 2 WHEN v2 < v1 THEN 0 ELSE 1 END)
+       +     (CASE WHEN v2 > v0 THEN 2 WHEN v2 < v0 THEN 0 ELSE 1 END) AS pattern_id
+  FROM l WHERE v2 IS NOT NULL
+), c AS (
+  SELECT source, pattern_id, count(*) AS cnt FROM p GROUP BY 1, 2
+)
+SELECT source, CAST(pattern_id AS BIGINT) AS pattern_id, CAST(cnt AS BIGINT) AS cnt,
+       CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_windows,
+       CAST((1000000 * cnt) // (sum(cnt) OVER (PARTITION BY source)) AS BIGINT) AS share_ppm
+FROM c""",
+        "seasonal_naive_qof_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), cb AS (
+  SELECT source, bucket_start, v_micro // 10000 AS vc FROM mb
+), l AS (
+  SELECT source, vc,
+         lag(vc, 24) OVER (PARTITION BY source ORDER BY bucket_start) AS hat
+  FROM cb
+), e AS (
+  SELECT source, vc - hat AS err FROM l WHERE hat IS NOT NULL
+)
+SELECT source, CAST(count(*) AS BIGINT) AS m,
+       CAST(sum(err * err) AS BIGINT) AS sse_centi2,
+       CAST(sum(abs(err)) AS BIGINT) AS sae_centi,
+       (CAST(sum(err * err) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 10000.0 AS mse,
+       (CAST(sum(abs(err)) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 100.0 AS mae
+FROM e GROUP BY source""",
+        "max_drawdown_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), p AS (
+  SELECT source,
+         max(vm) OVER (PARTITION BY source ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - vm AS dd
+  FROM s
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(dd) AS BIGINT) AS max_dd_micro,
+       CAST(max(dd) AS DOUBLE) / 1000000.0 AS max_dd
+FROM p GROUP BY source""",
+        "vocab_stats_documents": """
+WITH w AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), f AS (
+  SELECT lang, w, count(*) AS f FROM w GROUP BY 1, 2
+), g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(f) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+  FROM f GROUP BY lang
+)
+SELECT lang, vocab, total_tokens, n_hapax, n_dis,
+       CAST((1000000 * n_hapax) // vocab AS BIGINT) AS hapax_ppm
+FROM g""",
     }

@@ -1,0 +1,280 @@
+"""Nonparametric statistical tests over rolled series: Mann-Kendall trend,
+two-sample Kolmogorov-Smirnov drift, ordinal (permutation) pattern counts,
+and the seasonal-naive forecast baseline QoF.
+
+Public formulas: Mann (1945) / Kendall (1975) trend test with the tie
+correction from Kendall's rank-correlation book; the discrete two-sample
+KS statistic (sup of ECDF differences evaluated at sample points); ordinal
+pattern analysis after Bandt & Pompe (PRL 2002, "Permutation entropy");
+seasonal-naive is the standard M-competition baseline.  The reference
+Forecaster ships trend diagnostics and baseline QoF through its
+``rollValidate``/``diagnose`` path (reference forecaster.py, qof.py);
+these operators expose the nonparametric complements the reference's OLS
+diagnostics assume away.
+
+Exactness discipline (CLAUDE.md): every statistic is accumulated in
+BIGINT integer quanta and any continuous column is a SINGLE IEEE division
+(or a fixed left-assoc chain written identically in the SQL mirror) of
+exact integers — no sqrt, no pow, no engine-varying math.  Quanta bounds:
+micro-unit values |v| <= ~6e8 here, pair counts <= ~3e5 per series on the
+hourly tier, so n(n-1)(2n+5) <= ~1.5e9 and n2*cum1 <= n1*n2 <= 1e8 — all
+orders of magnitude under 2^63, ANSI-safe.
+
+Plan shape (100-TB lens): Mann-Kendall uses the collect-per-group +
+double-explode pair generator (ONE shuffle, pairs materialize inside the
+JVM — the Theil-Sen lesson: per-group Arrow kernels cost 13+ s of
+machinery where this codegens); it is O(n^2) per SERIES, so feed rolled
+tiers (bounded rows/series), never raw hot series.  KS, patterns, and the
+seasonal baseline are pure window + hash-aggregate plans: one shuffle on
+the series key, map-side partials, whole-stage codegen throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mann_kendall(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Mann-Kendall trend test per series: S = sum over all i<j of
+    sign(v_j - v_i), with the tie-corrected variance numerator
+    ``var18 = 18*Var(S) = n(n-1)(2n+5) - sum_k t_k(t_k-1)(2t_k+5)``
+    (t_k = size of each tied-value group) kept as an exact BIGINT so no
+    sqrt ever happens engine-side.  ``tau`` (Kendall's tau-a) is the one
+    emitted double: ``(2*S)/(n*(n-1))`` — a single IEEE division of exact
+    integers, bit-identical cross-engine.
+
+    Monotone-trend direction = sign(S); callers needing a z-score compute
+    ``(S -/+ 1)/sqrt(var18/18)`` driver-side from the exact columns.
+
+    Output: (partition, n, s_stat, var18, tau).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    g = b.groupBy("source").agg(
+        F.collect_list(F.struct("_b", "_v")).alias("pts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s = (
+        g.select("source", "n", "pts", F.explode("pts").alias("pa"))
+        .select(
+            "source",
+            "n",
+            F.col("pa._b").alias("ba"),
+            F.col("pa._v").alias("va"),
+            F.explode("pts").alias("pb"),
+        )
+        .filter(F.col("pb._b") > F.col("ba"))
+        .groupBy("source", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("pb._v") > F.col("va"), F.lit(1))
+                .when(F.col("pb._v") < F.col("va"), F.lit(-1))
+                .otherwise(F.lit(0))
+            ).alias("s_stat")
+        )
+    )
+    ties = (
+        b.groupBy("source", "_v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - F.lit(1)) * (F.lit(2) * F.col("t") + F.lit(5))
+            ).alias("tie_term")
+        )
+    )
+    out = s.join(F.broadcast(ties), "source")
+    return out.select(
+        "source",
+        "n",
+        F.col("s_stat").cast("long").alias("s_stat"),
+        (
+            F.col("n") * (F.col("n") - F.lit(1)) * (F.lit(2) * F.col("n") + F.lit(5))
+            - F.col("tie_term")
+        ).cast("long").alias("var18"),
+        (
+            (F.lit(2) * F.col("s_stat")).cast("double")
+            / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+        ).alias("tau"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: tuple = ("ts", "event_id"),
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per series: split each
+    series at its midpoint in (ts, event_id) order (first ``n div 2`` rows
+    vs the rest) and take the sup of |ECDF_1 - ECDF_2| over the observed
+    support — the standard early-vs-late distribution-drift check
+    complementing the chi-square histogram drift operator.
+
+    Integer form: with per-value counts c1, c2 and cumulative counts
+    cum1, cum2 over ascending micro-unit value, the sup is
+    ``d_num = max |n2*cum1 - n1*cum2|`` (exact BIGINT; the discrete ECDFs
+    only change at sample points, so scanning grouped distinct values is
+    exact).  ``ks_stat = d_num/(n1*n2)`` is the one division.
+
+    Output: (partition, n1, n2, d_num, ks_stat).
+    """
+    w_ord = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    w_all = Window.partitionBy(partition)
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.round(F.col(value) * quantum).cast("long").alias("_v"),
+        F.row_number().over(w_ord).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    ).select(
+        "source",
+        "_v",
+        F.expr("_n div 2").alias("n1"),
+        (F.col("_n") - F.expr("_n div 2")).alias("n2"),
+        F.when(F.col("_rn") <= F.expr("_n div 2"), F.lit(1)).otherwise(F.lit(2)).alias("_half"),
+    )
+    per_v = b.groupBy("source", "n1", "n2", "_v").agg(
+        F.sum(F.when(F.col("_half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("_half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        "source",
+        "n1",
+        "n2",
+        (F.col("n2") * F.sum("c1").over(w_cum) - F.col("n1") * F.sum("c2").over(w_cum)).alias(
+            "_d"
+        ),
+    )
+    return cum.groupBy("source", "n1", "n2").agg(
+        F.max(F.abs(F.col("_d"))).cast("long").alias("d_num")
+    ).select(
+        "source",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "d_num",
+        (F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double")).alias(
+            "ks_stat"
+        ),
+    )
+
+
+def permutation_patterns(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Ordinal pattern distribution (Bandt-Pompe, m=3) per series: every
+    length-3 window is classified by the sign triple
+    ``(sign(v1-v0), sign(v2-v1), sign(v2-v0))`` — 27 classes encoding the
+    13 realizable ordinal patterns INCLUDING tie classes (ties are real in
+    quantized tiers; collapsing them loses the flat-motif signal).
+    ``pattern_id = 9*(s01+1) + 3*(s12+1) + (s02+1)``.
+
+    The permutation-entropy reading ``-sum p ln p`` needs ln (not
+    bit-exact cross-engine), so this operator emits the exact integer
+    sufficient statistics instead: per-pattern count and its ppm share
+    ``(1_000_000*cnt) div n_windows`` (floor on both engines); entropy is
+    a driver-side fold over <=27 rows per series.
+
+    Output: (partition, pattern_id, cnt, n_windows, share_ppm).
+    """
+    w = Window.partitionBy(partition).orderBy(order)
+    v0 = F.col(value).cast("long")
+    b = df.select(
+        F.col(partition).alias("source"),
+        v0.alias("_v0"),
+        F.lead(v0, 1).over(w).alias("_v1"),
+        F.lead(v0, 2).over(w).alias("_v2"),
+    ).where(F.col("_v2").isNotNull())
+    sgn = lambda a, b_: F.when(a > b_, 2).when(a < b_, 0).otherwise(1)  # sign+1
+    pat = b.select(
+        "source",
+        (
+            F.lit(9) * sgn(F.col("_v1"), F.col("_v0"))
+            + F.lit(3) * sgn(F.col("_v2"), F.col("_v1"))
+            + sgn(F.col("_v2"), F.col("_v0"))
+        ).alias("pattern_id"),
+    )
+    w_src = Window.partitionBy("source")
+    return (
+        pat.groupBy("source", "pattern_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            F.col("pattern_id").cast("long").alias("pattern_id"),
+            "cnt",
+            F.sum("cnt").over(w_src).alias("n_windows"),
+        )
+        .select(
+            "source",
+            "pattern_id",
+            "cnt",
+            "n_windows",
+            F.expr("(1000000 * cnt) div n_windows").alias("share_ppm"),
+        )
+    )
+
+
+def seasonal_naive_qof(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+    season: int = 24,
+) -> DataFrame:
+    """Seasonal-naive baseline QoF per series: forecast v[t] = v[t-season]
+    (the M-competition baseline every seasonal model must beat — the
+    seasonal analogue of the reference's lag-h persistence QoF,
+    reference qof.py diagnose) and score it with exact integer errors.
+
+    Centi-unit errors keep n*sum(e^2) far under 2^63 (|e| <= ~1.2e5 centi,
+    n <= ~10^3 on rolled tiers).  Emitted doubles are fixed left-assoc
+    chains of exact BIGINTs: ``mse = (sse/m)/1e4``, ``mae = (sae/m)/1e2``
+    — written identically in the SQL mirror.
+
+    Output: (partition, m, sse_centi2, sae_centi, mse, mae).
+    """
+    vc = F.expr(f"{value} div 10000")
+    b = (
+        df.select(
+            F.col(partition).alias("source"),
+            vc.alias("_vc"),
+            F.lag(vc, season).over(
+                Window.partitionBy(partition).orderBy(order)
+            ).alias("_hat"),
+        )
+        .where(F.col("_hat").isNotNull())
+        .select("source", (F.col("_vc") - F.col("_hat")).alias("_e"))
+    )
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("_e") * F.col("_e")).cast("long").alias("sse_centi2"),
+        F.sum(F.abs(F.col("_e"))).cast("long").alias("sae_centi"),
+    ).select(
+        "source",
+        "m",
+        "sse_centi2",
+        "sae_centi",
+        (
+            (F.col("sse_centi2").cast("double") / F.col("m").cast("double")) / F.lit(10000.0)
+        ).alias("mse"),
+        (
+            (F.col("sae_centi").cast("double") / F.col("m").cast("double")) / F.lit(100.0)
+        ).alias("mae"),
+    )

@@ -189,3 +189,44 @@ def series_distance_pairs(
         j.groupBy("source_a", "source_b")
         .agg(F.sum(d * d).alias("sq_dist"), F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: tuple = ("ts", "event_id"),
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Maximum drawdown per series: the largest peak-to-trough drop of the
+    running maximum — the classic worst-case-decline diagnostic (paired
+    with Bollinger/RSI it completes the technical-indicator family; the
+    reference's QoF never looks at path-dependent loss).
+
+    Exact integers end to end: micro-unit values, running peak via a
+    rows-frame max (unboundedPreceding..currentRow — the DESC-window
+    lesson does not apply, a running MAX forward frame is the cheap
+    direction), drawdown = peak − v, one hash aggregate for the max.
+    ``max_dd`` is the single division by 1e6.
+
+    Output: (partition, n_rows, max_dd_micro, max_dd).  The peak/trough
+    ROW is deliberately not emitted: the maximal drawdown can tie at
+    several rows and any argmax pick would be nondeterministic vs the
+    oracle (the min_by-tie lesson).
+    """
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vm = F.round(F.col(value) * quantum).cast("long")
+    b = df.select(
+        F.col(partition).alias("source"),
+        vm.alias("_vm"),
+        F.max(vm).over(w).alias("_peak"),
+    ).select("source", "_peak", (F.col("_peak") - F.col("_vm")).alias("_dd"))
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("_dd").alias("max_dd_micro"),
+        (F.max("_dd").cast("double") / F.lit(1000000.0)).alias("max_dd"),
+    )

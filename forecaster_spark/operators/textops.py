@@ -384,3 +384,46 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    """Corpus vocabulary profile per group: vocabulary size, total tokens,
+    hapax legomena (words seen exactly once) and dis legomena (exactly
+    twice) counts — the standard corpus-quality / Zipf-tail diagnostics a
+    training-data pipeline tracks per source or language shard (a corpus
+    whose hapax share collapses is template/boilerplate-heavy; one whose
+    hapax share explodes is OCR noise).
+
+    Tokenization matches the engine-wide whitespace convention
+    (``split(lower(trim(text)), '\\s+')`` ≡ DuckDB
+    ``string_split_regex`` — both keep a single empty token for empty
+    text, counted identically on both engines).  ``hapax_ppm`` is the
+    exact floor ``(1_000_000*n_hapax) div vocab``.
+
+    Plan: explode → two hash aggregates (word freq, then freq profile),
+    each with map-side partials.  The word-keyed shuffle is the classic
+    heavy-hitter skew point at 100 TB — stopword keys dominate; AQE skew
+    split handles the agg because partial aggregation already collapses
+    per-mapper duplicates (no all-rows-of-one-word-on-one-task stage
+    exists in a two-phase hash agg).
+
+    Output: (group, vocab, total_tokens, n_hapax, n_dis, hapax_ppm).
+    """
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    freq = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("f"))
+    return freq.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("f").alias("total_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).alias("n_dis"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "vocab",
+        "total_tokens",
+        "n_hapax",
+        "n_dis",
+        F.expr("(1000000 * n_hapax) div vocab").alias("hapax_ppm"),
+    )

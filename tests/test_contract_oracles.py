@@ -33,6 +33,12 @@ QUERIES = [
     "backcast_fill_events",
     "cosine_topk_lsh_embeddings",
     "cosine_topk_ivf_embeddings",
+    "mann_kendall_events_1h",
+    "ks_two_sample_events",
+    "permutation_patterns_events_1h",
+    "seasonal_naive_qof_events_1h",
+    "max_drawdown_events",
+    "vocab_stats_documents",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Spark-level tests for the nonparametric stats-test operators: each
+distributed result is compared against an O(n²)/brute pure-Python
+reference on small synthetic series — exactness is claimed as
+BIGINT-exact, so comparisons are == (and a single-ulp-free division for
+the emitted doubles)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from forecaster_spark.operators.stats_tests import (
+    ks_two_sample,
+    mann_kendall,
+    permutation_patterns,
+    seasonal_naive_qof,
+)
+from forecaster_spark.operators.technicals import max_drawdown
+from forecaster_spark.operators.textops import vocab_stats
+
+
+def _series_df(spark, vals_by_src):
+    rows = []
+    for src, vals in vals_by_src.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (src, (pd.Timestamp("2025-01-01") + pd.Timedelta(hours=i)).to_pydatetime(), int(v))
+            )
+    return spark.createDataFrame(rows, "source string, bucket_start timestamp, v_micro long")
+
+
+def _events_df(spark, vals_by_src):
+    rows = []
+    for src, vals in vals_by_src.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (
+                    src,
+                    (pd.Timestamp("2025-01-01") + pd.Timedelta(seconds=7 * i)).to_pydatetime(),
+                    float(v),
+                    i,
+                )
+            )
+    return spark.createDataFrame(rows, "source string, ts timestamp, y double, event_id long")
+
+
+_VALS = {
+    "up": [1, 2, 3, 4, 5, 6, 7, 8],
+    "tied": [5, 5, 3, 5, 1, 5, 3, 1],
+    "noisy": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],
+}
+
+
+def _brute_mk(vals):
+    n = len(vals)
+    s = sum(
+        (vals[j] > vals[i]) - (vals[j] < vals[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    return n, s, var18, (2.0 * s) / float(n * (n - 1))
+
+
+def test_mann_kendall_matches_brute(spark):
+    out = {
+        r["source"]: r
+        for r in mann_kendall(_series_df(spark, _VALS)).collect()
+    }
+    for src, vals in _VALS.items():
+        n, s, var18, tau = _brute_mk(vals)
+        r = out[src]
+        assert (r["n"], r["s_stat"], r["var18"]) == (n, s, var18)
+        assert r["tau"] == tau
+
+
+def _brute_ks(vals):
+    n = len(vals)
+    n1 = n // 2
+    n2 = n - n1
+    a, b = vals[:n1], vals[n1:]
+    d = 0
+    for x in sorted(set(vals)):
+        c1 = sum(1 for v in a if v <= x)
+        c2 = sum(1 for v in b if v <= x)
+        d = max(d, abs(n2 * c1 - n1 * c2))
+    return n1, n2, d, d / float(n1 * n2)
+
+
+def test_ks_two_sample_matches_brute(spark):
+    shifted = {"drift": [1, 1, 2, 2, 1, 2, 8, 9, 8, 9, 9, 8], **_VALS}
+    out = {r["source"]: r for r in ks_two_sample(_events_df(spark, shifted)).collect()}
+    for src, vals in shifted.items():
+        vm = [v * 1_000_000 for v in vals]
+        n1, n2, d, ks = _brute_ks(vm)
+        r = out[src]
+        assert (r["n1"], r["n2"], r["d_num"]) == (n1, n2, d)
+        assert r["ks_stat"] == ks
+    # the planted drift series must dominate the stationary ones
+    assert out["drift"]["ks_stat"] == max(r["ks_stat"] for r in out.values())
+
+
+def _brute_patterns(vals):
+    from collections import Counter
+
+    sgn = lambda a, b: 2 if a > b else (0 if a < b else 1)
+    pats = Counter(
+        9 * sgn(vals[i + 1], vals[i]) + 3 * sgn(vals[i + 2], vals[i + 1]) + sgn(vals[i + 2], vals[i])
+        for i in range(len(vals) - 2)
+    )
+    nw = sum(pats.values())
+    return {p: (c, nw, (1_000_000 * c) // nw) for p, c in pats.items()}
+
+
+def test_permutation_patterns_matches_brute(spark):
+    out = permutation_patterns(_series_df(spark, _VALS)).collect()
+    got = {(r["source"], r["pattern_id"]): (r["cnt"], r["n_windows"], r["share_ppm"]) for r in out}
+    want = {
+        (src, p): t for src, vals in _VALS.items() for p, t in _brute_patterns(vals).items()
+    }
+    assert got == want
+    # strictly increasing series → a single pattern: all three signs "up"
+    up_pats = [k for k in got if k[0] == "up"]
+    assert up_pats == [("up", 9 * 2 + 3 * 2 + 2)]
+
+
+def test_seasonal_naive_qof_exact(spark):
+    vals = {"s": [i * 20_000 for i in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]]}
+    out = seasonal_naive_qof(_series_df(spark, vals), season=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    vc = [v // 10_000 for v in vals["s"]]
+    errs = [vc[i] - vc[i - 3] for i in range(3, len(vc))]
+    m = len(errs)
+    sse = sum(e * e for e in errs)
+    sae = sum(abs(e) for e in errs)
+    assert (r["m"], r["sse_centi2"], r["sae_centi"]) == (m, sse, sae)
+    assert r["mse"] == (float(sse) / float(m)) / 10000.0
+    assert r["mae"] == (float(sae) / float(m)) / 100.0
+
+
+def test_max_drawdown_matches_brute(spark):
+    vals = {"v": [10, 12, 8, 9, 15, 3, 4, 2, 11], "flat": [5, 5, 5], "up": [1, 2, 3]}
+    out = {r["source"]: r for r in max_drawdown(_events_df(spark, vals)).collect()}
+    for src, vs in vals.items():
+        peak, dd = -(10**18), 0
+        for v in vs:
+            peak = max(peak, v * 1_000_000)
+            dd = max(dd, peak - v * 1_000_000)
+        r = out[src]
+        assert (r["n_rows"], r["max_dd_micro"]) == (len(vs), dd)
+        assert r["max_dd"] == dd / 1_000_000.0
+    assert out["flat"]["max_dd_micro"] == 0 and out["up"]["max_dd_micro"] == 0
+
+
+def test_vocab_stats_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en"),
+            (2, "The cat ran far", "en"),
+            (3, "  spaced   words here ", "en"),
+            (4, "uno dos dos tres tres tres", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in vocab_stats(docs).collect()}
+    # en tokens: the cat sat the cat ran far spaced words here
+    # freq: the=2 cat=2 sat=1 ran=1 far=1 spaced=1 words=1 here=1
+    en = out["en"]
+    assert (en["vocab"], en["total_tokens"], en["n_hapax"], en["n_dis"]) == (8, 10, 6, 2)
+    assert en["hapax_ppm"] == (1_000_000 * 6) // 8
+    es = out["es"]
+    assert (es["vocab"], es["total_tokens"], es["n_hapax"], es["n_dis"]) == (3, 6, 1, 1)
