@@ -1949,6 +1949,30 @@ def q_vocab_stats(spark, sf_dir):
     )
 
 
+def q_chunk_tokens(spark, sf_dir):
+    """Context-window chunking with overlap (size 64, stride 48): every
+    chunk's CONTENT certified via the reference polynomial checksum the
+    oracle refolds in HUGEINT — the LM training-data layout step beside
+    pack_sequences. Narrow map + explode, no shuffle."""
+    from forecaster_spark.operators.packing import chunk_tokens
+
+    return chunk_tokens(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tok", "chunk_idx", "chunk_start", "chunk_len", "chunk_checksum"
+    )
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty: fraction of a doc's distinct shingles whose
+    first corpus occurrence (min doc_id) is this doc — the crawl-saturation
+    / curation signal on the MinHash shingle hashes. Two hash-keyed
+    shuffles, skew-free by construction."""
+    from forecaster_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_shingles", "n_novel", "novelty_ppm"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2070,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_qof_events_1h": q_seasonal_naive_qof,
         "max_drawdown_events": q_max_drawdown,
         "vocab_stats_documents": q_vocab_stats,
+        "chunk_tokens_documents": q_chunk_tokens,
+        "ngram_novelty_documents": q_ngram_novelty,
     }
 
 
@@ -3291,6 +3317,8 @@ FROM (
         "hll_distinct_users_events_1h": xhash_sql.hll_registers_sql(),
         "cmsketch_words_documents": _cm_sketch_oracle(),
         "tokens_checksum_documents": xhash_sql.tokens_checksum_sql(),
+        "chunk_tokens_documents": xhash_sql.chunk_tokens_sql(),
+        "ngram_novelty_documents": xhash_sql.ngram_novelty_sql(),
         "matrix_profile_events_1h": """
 WITH mb AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,

@@ -374,3 +374,71 @@ term AS (
 chk AS (SELECT doc_id, sum(v) % {W} AS c FROM term GROUP BY 1)
 SELECT l.doc_id, CAST(l.n_tok AS BIGINT) AS n_tok, {to_int64("c")} AS tok_checksum
 FROM ln l JOIN chk USING (doc_id)"""
+
+
+def chunk_tokens_sql(
+    size: int = 64,
+    stride: int = 48,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``packing.chunk_tokens``: re-derive the deterministic
+    tokens (exactly :func:`tokens_checksum_sql`'s ``tk``), assign each
+    token position to the chunks whose window covers it (chunk starts
+    every ``stride``, width ``size``), and fold the reference polynomial
+    checksum per CHUNK in HUGEINT.  The 31-power list only needs ``size``
+    entries — a chunk is never longer than ``size`` (no max_word_len-style
+    silent-NULL risk)."""
+    pows = "[" + ", ".join(
+        f"CAST({pow(31, j, 1 << 64)} AS HUGEINT)" for j in range(size)
+    ) + "]"
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+tk AS (SELECT doc_id, wpos, h % 2147483648 AS tok FROM wh),
+ln AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+ch AS (
+  SELECT doc_id, n_tok, unnest(range(((n_tok - 1) // {stride}) + 1)) AS chunk_idx
+  FROM ln WHERE n_tok > 0
+),
+asn AS (
+  SELECT c.doc_id, c.n_tok, c.chunk_idx, c.chunk_idx * {stride} AS chunk_start,
+         t.wpos, t.tok
+  FROM ch c JOIN tk t ON t.doc_id = c.doc_id
+   AND t.wpos >= c.chunk_idx * {stride}
+   AND t.wpos <  c.chunk_idx * {stride} + {size}
+),
+cl AS (
+  SELECT doc_id, n_tok, chunk_idx, chunk_start, count(*) AS chunk_len
+  FROM asn GROUP BY 1, 2, 3, 4
+),
+term AS (
+  SELECT a.doc_id, a.chunk_idx,
+         a.tok * ({pows})[c.chunk_len - (a.wpos - a.chunk_start)] AS v
+  FROM asn a JOIN cl c USING (doc_id, chunk_idx)
+),
+chk AS (SELECT doc_id, chunk_idx, sum(v) % {W} AS c FROM term GROUP BY 1, 2)
+SELECT cl.doc_id, CAST(cl.n_tok AS BIGINT) AS n_tok,
+       CAST(cl.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(cl.chunk_start AS BIGINT) AS chunk_start,
+       CAST(cl.chunk_len AS BIGINT) AS chunk_len,
+       {to_int64("c")} AS chunk_checksum
+FROM cl JOIN chk USING (doc_id, chunk_idx)"""
+
+
+def ngram_novelty_sql(
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``dedup.ngram_novelty``: replay the distinct word-3-gram
+    splitmix64 shingles (:func:`shingle_ctes` — short-doc path included),
+    take min(doc_id) per shingle, and count per doc how many of its
+    shingles it owns first."""
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+{shingle_ctes()},
+fst AS (SELECT sh, min(doc_id) AS first_doc FROM shd GROUP BY sh)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((1000000 * sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS novelty_ppm
+FROM shd s JOIN fst f USING (sh)
+GROUP BY s.doc_id"""

@@ -596,3 +596,46 @@ def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> 
             ).alias("keep"),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word k-shingles whose FIRST corpus occurrence (min doc_id) is this
+    document — the dedup-adjacent curation signal (low novelty ⇒ the doc
+    is retelling earlier corpus content; the aggregate novelty-vs-doc_id
+    curve is the classic crawl-saturation diagnostic).
+
+    Shingles are the same splitmix64 word-k-gram hashes the MinHash/
+    contamination paths use (one Arrow kernel, short-doc and empty-doc
+    paths included), so the DuckDB oracle replays them symbol-for-symbol;
+    counts are exact integers and ``novelty_ppm`` is the floor
+    ``(1_000_000·n_novel) div n_shingles``.
+
+    Plan: explode distinct shingles → ONE shuffle on the shingle hash for
+    the min-doc_id aggregate (map-side partials collapse the heavy head)
+    → shuffle join back on the shingle → per-doc hash agg.  Both shuffles
+    key on the 64-bit hash — uniform by construction, skew-free at
+    10^12 docs.
+
+    Output: (doc_id, n_shingles, n_novel, novelty_ppm).
+    """
+    sh = word_shingles(docs, text_col=text_col, k=k).select(
+        "doc_id", F.explode("shingles").alias("_sh")
+    )
+    first = sh.groupBy("_sh").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first, "_sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
+        )
+    )

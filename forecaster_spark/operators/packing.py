@@ -102,3 +102,67 @@ walk(part, idx, doc_id, n_tok, bin, fill) AS (
 SELECT part AS {partition}, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
        bin AS bin_id, fill AS bin_fill
 FROM walk"""
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking with overlap — the other half of the
+    pretraining data layout beside :func:`pack_sequences`: split each
+    document's token array into fixed-``size`` windows starting every
+    ``stride`` tokens (``stride < size`` ⇒ ``size - stride`` tokens of
+    overlap, the standard LM chunking scheme).  Chunk starts are
+    ``0, stride, 2·stride, …  < n_tok``, so every token lands in at least
+    one chunk and the last chunk may be short.
+
+    Each chunk carries the reference polynomial checksum
+    (:func:`~forecaster_spark.operators.seriesify.token_checksum_fast`,
+    Σ tok_i·31^(len−1−i) mod 2^64) so the CONTENT of every chunk — not
+    just its shape — sits in the driver's hard gate: the DuckDB oracle
+    re-derives the tokens symbol-for-symbol and folds the same polynomial
+    in HUGEINT per chunk.
+
+    Plan: narrow map (tokenize kernel) → explode over the per-doc chunk
+    count → ``slice`` + one Arrow checksum kernel. No shuffle; output rows
+    ≈ input tokens / stride, each bounded by ``size`` — exactly the shape
+    a downstream packer or trainer wants at 100 TB.
+
+    Output: (doc_id, n_tok, chunk_idx, chunk_start, chunk_len,
+    chunk_checksum).
+    """
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+    from pyspark.sql import functions as F
+
+    from forecaster_spark.operators.seriesify import token_checksum_fast
+    from forecaster_spark.operators.textops import text_tokens
+
+    t = text_tokens(docs, text_col=text_col, id_col=id_col)
+    c = (
+        t.where(F.col("n_tok") > 0)
+        .select(
+            F.col(id_col),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "tokens",
+            F.explode(F.expr(f"sequence(0, (n_tok - 1) div {stride})")).alias("_ci"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            F.col("_ci").cast("long").alias("chunk_idx"),
+            (F.col("_ci") * stride).cast("long").alias("chunk_start"),
+            F.slice(F.col("tokens"), F.col("_ci") * stride + 1, size).alias("_chunk"),
+        )
+    )
+    return c.select(
+        id_col,
+        "n_tok",
+        "chunk_idx",
+        "chunk_start",
+        F.size("_chunk").cast("long").alias("chunk_len"),
+        token_checksum_fast(F.col("_chunk")).alias("chunk_checksum"),
+    )

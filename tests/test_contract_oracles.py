@@ -39,6 +39,8 @@ QUERIES = [
     "seasonal_naive_qof_events_1h",
     "max_drawdown_events",
     "vocab_stats_documents",
+    "chunk_tokens_documents",
+    "ngram_novelty_documents",
 ]
 
 

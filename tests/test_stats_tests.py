@@ -177,3 +177,57 @@ def test_vocab_stats_golden(spark):
     assert en["hapax_ppm"] == (1_000_000 * 6) // 8
     es = out["es"]
     assert (es["vocab"], es["total_tokens"], es["n_hapax"], es["n_dis"]) == (3, 6, 1, 1)
+
+
+def test_chunk_tokens_layout_and_checksums(spark):
+    from forecaster_spark.operators.packing import chunk_tokens
+    from forecaster_spark.operators.textops import text_tokens
+
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(docs, size=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # null text drops; empty text is one token -> one chunk
+    assert set(by_doc) == {1, 2, 3}
+    # 150 tokens, stride 48 -> starts 0,48,96,144 -> lens 64,64,54,6
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_start"], r["chunk_len"]) for r in c1] == [
+        (0, 64), (48, 64), (96, 54), (144, 6)
+    ]
+    assert all(r["n_tok"] == 150 for r in c1)
+    # every chunk checksum equals the polynomial fold of the token slice
+    toks = {r["doc_id"]: r["tokens"] for r in text_tokens(docs).collect()}
+    M = 1 << 64
+    for r in out:
+        sl = toks[r["doc_id"]][r["chunk_start"] : r["chunk_start"] + 64]
+        acc = 0
+        for t in sl:
+            acc = (acc * 31 + t) % M
+        want = acc - M if acc >= 1 << 63 else acc
+        assert r["chunk_checksum"] == want, (r["doc_id"], r["chunk_idx"])
+    # full coverage: consecutive chunks overlap by size - stride
+    assert c1[1]["chunk_start"] - c1[0]["chunk_start"] == 48
+
+
+def test_ngram_novelty_duplicate_doc_is_zero(spark):
+    from forecaster_spark.operators.dedup import ngram_novelty
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(10, base), (20, base), (30, "totally different words entirely here now"),
+         (40, "alpha beta gamma " + "novel tail content appended")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    # doc 20 is an exact dup of the earlier doc 10 -> zero novelty
+    assert out[20]["n_novel"] == 0 and out[20]["novelty_ppm"] == 0
+    # doc 10 owns all its shingles; doc 30 shares nothing
+    assert out[10]["n_novel"] == out[10]["n_shingles"]
+    assert out[30]["novelty_ppm"] == 1_000_000
+    # doc 40 shares its leading 3-gram with doc 10 but owns the tail
+    assert 0 < out[40]["n_novel"] < out[40]["n_shingles"]
