@@ -1973,6 +1973,30 @@ def q_ngram_novelty(spark, sf_dir):
     )
 
 
+def q_spearman_pairs(spark, sf_dir):
+    """Spearman rank correlation between every source pair on the shared
+    hourly grid: doubled-quanta tie-safe average ranks, exact BIGINT
+    Pearson-of-ranks pieces, rho via the correctly-rounded
+    (num/sqrt(d1))/sqrt(d2) chain (IEEE sqrt/div — bit-identical
+    cross-engine). Monotone-invariant companion of series_dist_pairs."""
+    from forecaster_spark.operators.stats_tests import spearman_pairs
+
+    return spearman_pairs(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source_a", "source_b", "n_shared", "num", "d1", "d2", "rho"
+    )
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz median-crossing runs test per source on the hourly
+    tier: exact above/below counts and run count, expected runs as one
+    fixed-form division — the randomness check beside longest_run."""
+    from forecaster_spark.operators.stats_tests import runs_test
+
+    return runs_test(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n_pos", "n_neg", "n_runs", "expected_runs"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2096,6 +2120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_documents": q_vocab_stats,
         "chunk_tokens_documents": q_chunk_tokens,
         "ngram_novelty_documents": q_ngram_novelty,
+        "spearman_pairs_events_1h": q_spearman_pairs,
+        "runs_test_events_1h": q_runs_test,
     }
 
 
@@ -3555,4 +3581,71 @@ WITH w AS (
 SELECT lang, vocab, total_tokens, n_hapax, n_dis,
        CAST((1000000 * n_hapax) // vocab AS BIGINT) AS hapax_ppm
 FROM g""",
+        "spearman_pairs_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.v_micro AS va, b.v_micro AS vb
+  FROM mb a JOIN mb b
+    ON a.bucket_start = b.bucket_start AND a.source < b.source
+), rk AS (
+  SELECT source_a, source_b,
+         2 * rank() OVER (PARTITION BY source_a, source_b ORDER BY va)
+           + count(*) OVER (PARTITION BY source_a, source_b, va) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY source_a, source_b ORDER BY vb)
+           + count(*) OVER (PARTITION BY source_a, source_b, vb) - 1 AS ry
+  FROM j
+), agg AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy,
+         CAST(sum(rx * ry) AS BIGINT) AS sxy
+  FROM rk GROUP BY 1, 2
+), pieces AS (
+  SELECT source_a, source_b, n_shared,
+         CAST(n_shared * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n_shared * sxx - sx * sx AS BIGINT) AS d1,
+         CAST(n_shared * syy - sy * sy AS BIGINT) AS d2
+  FROM agg
+)
+SELECT source_a, source_b, n_shared, num, d1, d2,
+       CASE WHEN d1 > 0 AND d2 > 0
+            THEN (CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE)))
+                 / sqrt(CAST(d2 AS DOUBLE)) END AS rho
+FROM pieces""",
+        "runs_test_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, bucket_start, v_micro * 2 AS v2 FROM mb
+), m AS (
+  SELECT source, quantile_cont(v2, 0.5) AS m2 FROM s GROUP BY 1
+), g AS (
+  SELECT s.source, s.bucket_start,
+         CASE WHEN CAST(s.v2 AS DOUBLE) > m.m2 THEN 1
+              WHEN CAST(s.v2 AS DOUBLE) < m.m2 THEN -1 ELSE 0 END AS sgn
+  FROM s JOIN m USING (source)
+), f AS (
+  SELECT * FROM g WHERE sgn != 0
+), b AS (
+  SELECT source, sgn,
+         CASE WHEN lag(sgn) OVER w IS NULL OR sgn != lag(sgn) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM f WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+), agg AS (
+  SELECT source,
+         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         CAST(sum(brk) AS BIGINT) AS n_runs
+  FROM b GROUP BY source
+)
+SELECT source, n_pos, n_neg, n_runs,
+       1.0 + CAST(2 * n_pos * n_neg AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)
+         AS expected_runs
+FROM agg""",
     }

@@ -278,3 +278,137 @@ def seasonal_naive_qof(
             (F.col("sae_centi").cast("double") / F.col("m").cast("double")) / F.lit(100.0)
         ).alias("mae"),
     )
+
+
+def spearman_pairs(
+    buckets: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Spearman rank correlation between every pair of series on their
+    SHARED bucket grid — the robust (monotone-invariant) companion of the
+    squared-distance series join: which sources co-move in RANK, immune
+    to level shifts and monotone rescalings that break Euclidean distance.
+
+    Tie-safe exact form: average ranks are computed in DOUBLED quanta
+    (``2·avg_rank = 2·min_rank + tie_count − 1`` — integers even under
+    ties), and the Pearson-of-ranks pieces ``num = n·Σxy − Σx·Σy``,
+    ``d1 = n·Σx² − (Σx)²``, ``d2`` likewise stay exact BIGINTs (≤ ~4n³ ≈
+    1.5e9 at month-long hourly tiers — far under 2^53 AND 2^63).  The one
+    float step is ``rho = (num/sqrt(d1))/sqrt(d2)``: IEEE-754 requires
+    sqrt and division correctly rounded, and both engines comply, so even
+    this chain is bit-identical cross-engine (NULL on zero rank variance).
+
+    Plan: self-equi-join on the bucket, two rank windows per pair key,
+    one hash aggregate.  Pair count is the output size — run over sources
+    / rolled tiers, prefilter with SAX buckets for 10^5+ series.
+
+    Output: (source_a, source_b, n_shared, num, d1, d2, rho).
+    """
+    left = buckets.select(
+        F.col(partition).alias("source_a"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_va"),
+    )
+    right = buckets.select(
+        F.col(partition).alias("source_b"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_vb"),
+    )
+    j = left.join(right, "_b").where(F.col("source_a") < F.col("source_b"))
+    wp = ["source_a", "source_b"]
+    rx = (
+        F.lit(2) * F.rank().over(Window.partitionBy(*wp).orderBy("_va"))
+        + F.count(F.lit(1)).over(Window.partitionBy(*wp, "_va"))
+        - F.lit(1)
+    ).cast("long")
+    ry = (
+        F.lit(2) * F.rank().over(Window.partitionBy(*wp).orderBy("_vb"))
+        + F.count(F.lit(1)).over(Window.partitionBy(*wp, "_vb"))
+        - F.lit(1)
+    ).cast("long")
+    r = j.select("source_a", "source_b", rx.alias("_rx"), ry.alias("_ry"))
+    agg = r.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    num = (F.col("n_shared") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("long")
+    d1 = (F.col("n_shared") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("long")
+    d2 = (F.col("n_shared") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("long")
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        num.alias("num"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            (num.cast("double") / F.sqrt(d1.cast("double"))) / F.sqrt(d2.cast("double")),
+        ).alias("rho"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per series: label each point above/below
+    the series MEDIAN (doubled-quanta exact median; points equal to it are
+    discarded, the standard treatment), count the sign runs, and emit the
+    null-expected run count ``E[R] = 1 + 2·n_pos·n_neg/n`` — too few runs
+    ⇒ trending/clustered, too many ⇒ oscillating.  Complements
+    ``longest_runs`` (strictly-increasing runs) with the median-crossing
+    randomness check.
+
+    All counts are exact integers; ``expected_runs`` is the one division
+    of exact BIGINTs (fixed form ``1.0 + num/den`` both engines).
+
+    Output: (partition, n_pos, n_neg, n_runs, expected_runs).  A
+    constant series discards every point and emits NO row (both engines).
+    """
+    w_src = Window.partitionBy(partition)
+    v2 = (F.col(value).cast("long") * 2).alias("_v2")
+    b = df.select(F.col(partition).alias("source"), F.col(order).alias("_o"), v2)
+    b = b.withColumn("_m2", F.percentile("_v2", 0.5).over(Window.partitionBy("source")))
+    s = b.select(
+        "source",
+        "_o",
+        F.when(F.col("_v2").cast("double") > F.col("_m2"), F.lit(1))
+        .when(F.col("_v2").cast("double") < F.col("_m2"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("_sgn"),
+    ).where(F.col("_sgn") != 0)
+    w_ord = Window.partitionBy("source").orderBy("_o")
+    brk = (
+        s.withColumn("_prev", F.lag("_sgn").over(w_ord))
+        .select(
+            "source",
+            "_sgn",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_sgn") != F.col("_prev")), 1
+            ).otherwise(0).alias("_brk"),
+        )
+    )
+    return brk.groupBy("source").agg(
+        F.sum(F.when(F.col("_sgn") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("_sgn") == -1, 1).otherwise(0)).alias("n_neg"),
+        F.sum("_brk").alias("n_runs"),
+    ).select(
+        "source",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        (
+            F.lit(1.0)
+            + (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+            / (F.col("n_pos") + F.col("n_neg")).cast("double")
+        ).alias("expected_runs"),
+    )

@@ -41,6 +41,8 @@ QUERIES = [
     "vocab_stats_documents",
     "chunk_tokens_documents",
     "ngram_novelty_documents",
+    "spearman_pairs_events_1h",
+    "runs_test_events_1h",
 ]
 
 

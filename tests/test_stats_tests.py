@@ -231,3 +231,66 @@ def test_ngram_novelty_duplicate_doc_is_zero(spark):
     assert out[30]["novelty_ppm"] == 1_000_000
     # doc 40 shares its leading 3-gram with doc 10 but owns the tail
     assert 0 < out[40]["n_novel"] < out[40]["n_shingles"]
+
+
+def test_spearman_pairs_matches_brute(spark):
+    from forecaster_spark.operators.stats_tests import spearman_pairs
+
+    # perfectly monotone pair -> rho exactly 1; anti-monotone -> -1;
+    # a tied/flat pair exercises the doubled-rank tie path
+    vals = {
+        "a": [1, 2, 3, 4, 5, 6],
+        "b": [10, 40, 90, 160, 250, 360],   # monotone in a -> rho(a,b) = 1
+        "c": [6, 5, 4, 3, 2, 1],            # reversed -> rho(a,c) = -1
+        "d": [7, 7, 7, 7, 7, 7],            # constant -> zero variance, rho NULL
+        "e": [2, 9, 4, 4, 8, 1],            # ties inside
+    }
+    out = {(r["source_a"], r["source_b"]): r for r in spearman_pairs(_series_df(spark, vals)).collect()}
+    assert out[("a", "b")]["rho"] == 1.0
+    assert out[("a", "c")]["rho"] == -1.0
+    assert out[("a", "d")]["rho"] is None and out[("a", "d")]["d2"] == 0
+
+    def brute(x, y):
+        def dranks(v):
+            sv = sorted(v)
+            return [2 * (sv.index(t) + 1) + sv.count(t) - 1 for t in v]
+        rx, ry = dranks(x), dranks(y)
+        n = len(x)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(r * r for r in rx)
+        syy = sum(r * r for r in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        return n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+
+    for pair in (("a", "e"), ("c", "e"), ("b", "e")):
+        num, d1, d2 = brute(vals[pair[0]], vals[pair[1]])
+        r = out[pair]
+        assert (r["num"], r["d1"], r["d2"]) == (num, d1, d2)
+        import math
+        assert r["rho"] == (num / math.sqrt(d1)) / math.sqrt(d2)
+
+
+def test_runs_test_matches_brute(spark):
+    from forecaster_spark.operators.stats_tests import runs_test
+
+    vals = {
+        "alt": [1, 9, 1, 9, 1, 9, 1, 9],        # perfect alternation -> max runs
+        "trend": [1, 2, 3, 4, 9, 10, 11, 12],   # two blocks -> 2 runs
+        "flat": [5, 5, 5, 5],                    # all == median -> NO row
+        "mix": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3],
+    }
+    out = {r["source"]: r for r in runs_test(_series_df(spark, vals)).collect()}
+    assert "flat" not in out
+    assert out["alt"]["n_runs"] == 8 and out["alt"]["n_pos"] == 4
+    assert out["trend"]["n_runs"] == 2
+    for src in ("alt", "trend", "mix"):
+        vs = vals[src]
+        med = sorted(vs)[len(vs) // 2 - 1 : len(vs) // 2 + 1]
+        med2 = sum(med) if len(vs) % 2 == 0 else 2 * sorted(vs)[len(vs) // 2]
+        sgns = [1 if 2 * v > med2 else -1 for v in vs if 2 * v != med2]
+        runs = 1 + sum(1 for i in range(1, len(sgns)) if sgns[i] != sgns[i - 1])
+        r = out[src]
+        assert (r["n_pos"], r["n_neg"], r["n_runs"]) == (
+            sgns.count(1), sgns.count(-1), runs
+        )
+        assert r["expected_runs"] == 1.0 + (2 * sgns.count(1) * sgns.count(-1)) / float(len(sgns))
