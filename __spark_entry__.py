@@ -1997,6 +1997,30 @@ def q_runs_test(spark, sf_dir):
     )
 
 
+def q_pearson_pairs(spark, sf_dir):
+    """Pearson correlation between every source pair on the shared hourly
+    grid (centi quanta keep all products < 2^53): the level-sensitive
+    complement of spearman_pairs; r via the proven correctly-rounded
+    sqrt/div chain."""
+    from forecaster_spark.operators.stats_tests import pearson_pairs
+
+    return pearson_pairs(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source_a", "source_b", "n_shared", "num", "d1", "d2", "r"
+    )
+
+
+def q_winsorized_mean(spark, sf_dir):
+    """Rank-based winsorized mean per source over raw events: clamp at the
+    k-th/(n-k+1)-th order statistics (exact integers regardless of tie
+    order), exact clamped sum, fixed-chain mean. Completes the robust
+    family beside trimmed_mean."""
+    from forecaster_spark.operators.stats_tests import winsorized_mean
+
+    return winsorized_mean(_ev(spark, sf_dir)).select(
+        "source", "n", "lo_micro", "hi_micro", "win_sum_micro", "win_mean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2122,6 +2146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_documents": q_ngram_novelty,
         "spearman_pairs_events_1h": q_spearman_pairs,
         "runs_test_events_1h": q_runs_test,
+        "pearson_pairs_events_1h": q_pearson_pairs,
+        "winsorized_mean_events": q_winsorized_mean,
     }
 
 
@@ -3648,4 +3674,59 @@ SELECT source, n_pos, n_neg, n_runs,
        1.0 + CAST(2 * n_pos * n_neg AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)
          AS expected_runs
 FROM agg""",
+        "pearson_pairs_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), cb AS (
+  SELECT source, bucket_start, v_micro // 10000 AS vc FROM mb
+), j AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.vc AS va, b.vc AS vb
+  FROM cb a JOIN cb b
+    ON a.bucket_start = b.bucket_start AND a.source < b.source
+), agg AS (
+  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(va) AS BIGINT) AS sx, CAST(sum(vb) AS BIGINT) AS sy,
+         CAST(sum(va * va) AS BIGINT) AS sxx, CAST(sum(vb * vb) AS BIGINT) AS syy,
+         CAST(sum(va * vb) AS BIGINT) AS sxy
+  FROM j GROUP BY 1, 2
+), pieces AS (
+  SELECT source_a, source_b, n_shared,
+         CAST(n_shared * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n_shared * sxx - sx * sx AS BIGINT) AS d1,
+         CAST(n_shared * syy - sy * sy AS BIGINT) AS d2
+  FROM agg
+)
+SELECT source_a, source_b, n_shared, num, d1, d2,
+       CASE WHEN d1 > 0 AND d2 > 0
+            THEN (CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE)))
+                 / sqrt(CAST(d2 AS DOUBLE)) END AS r
+FROM pieces""",
+        "winsorized_mean_events": """
+WITH s AS (
+  SELECT event_type AS source, CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), r AS (
+  SELECT source, vm,
+         row_number() OVER (PARTITION BY source ORDER BY vm) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM s
+), k AS (
+  SELECT *, (10 * n) // 100 + 1 AS kk FROM r
+), bnd AS (
+  SELECT source,
+         min(CASE WHEN rn = kk THEN vm END) AS lo,
+         min(CASE WHEN rn = n - kk + 1 THEN vm END) AS hi
+  FROM k GROUP BY source
+), c AS (
+  SELECT s.source, b.lo, b.hi, greatest(b.lo, least(b.hi, s.vm)) AS cv
+  FROM s JOIN bnd b USING (source)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(lo) AS BIGINT) AS lo_micro,
+       CAST(min(hi) AS BIGINT) AS hi_micro,
+       CAST(sum(cv) AS BIGINT) AS win_sum_micro,
+       (CAST(sum(cv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS win_mean
+FROM c GROUP BY source""",
     }

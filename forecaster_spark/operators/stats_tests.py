@@ -412,3 +412,116 @@ def runs_test(
             / (F.col("n_pos") + F.col("n_neg")).cast("double")
         ).alias("expected_runs"),
     )
+
+
+def pearson_pairs(
+    buckets: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Pearson linear correlation between every pair of series on their
+    SHARED bucket grid — the level-sensitive complement of
+    :func:`spearman_pairs` (CCF at lag 0, but across ALL pairs): which
+    sources co-move LINEARLY.
+
+    Centi-unit quanta keep every product exact: |v| <= ~6e4 centi,
+    n <= ~10^3 on month-long hourly tiers, so n·Σxy <= ~1.6e15 and
+    Σx·Σy <= ~1.6e15 — under 2^53 (exact as doubles) and far under 2^63
+    (ANSI-safe).  ``r = (num/sqrt(d1))/sqrt(d2)`` rides the same
+    correctly-rounded IEEE sqrt/div chain the Spearman operator proved
+    bit-identical cross-engine; NULL on zero variance.
+
+    Plan: self-equi-join on the bucket + one hash aggregate per pair.
+
+    Output: (source_a, source_b, n_shared, num, d1, d2, r).
+    """
+    vc = F.expr(f"{value} div 10000")
+    left = buckets.select(
+        F.col(partition).alias("source_a"), F.col(order).alias("_b"), vc.alias("_va")
+    )
+    right = buckets.select(
+        F.col(partition).alias("source_b"), F.col(order).alias("_b"), vc.alias("_vb")
+    )
+    j = left.join(right, "_b").where(F.col("source_a") < F.col("source_b"))
+    agg = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared"),
+        F.sum("_va").alias("_sx"),
+        F.sum("_vb").alias("_sy"),
+        F.sum(F.col("_va") * F.col("_va")).alias("_sxx"),
+        F.sum(F.col("_vb") * F.col("_vb")).alias("_syy"),
+        F.sum(F.col("_va") * F.col("_vb")).alias("_sxy"),
+    )
+    num = (F.col("n_shared") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("long")
+    d1 = (F.col("n_shared") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("long")
+    d2 = (F.col("n_shared") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("long")
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        num.alias("num"),
+        d1.alias("d1"),
+        d2.alias("d2"),
+        F.when(
+            (d1 > 0) & (d2 > 0),
+            (num.cast("double") / F.sqrt(d1.cast("double"))) / F.sqrt(d2.cast("double")),
+        ).alias("r"),
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    alpha_pct: int = 10,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Rank-based winsorized mean per series: values below the k-th order
+    statistic (k = floor(alpha·n) + 1) are REPLACED by it, values above
+    the (n-k+1)-th by that — the clamp-don't-drop robust location
+    estimator completing the robust family (median / MAD / trimmed mean /
+    Theil-Sen): unlike the trimmed mean it keeps n constant, so it
+    composes with downstream counts.
+
+    Rank-based bounds (order statistics, not interpolated quantiles) keep
+    everything integer: the k-th smallest micro-unit value is exact on
+    both engines regardless of tie order (the VALUE at a row_number is
+    deterministic even when ties make the row assignment arbitrary), the
+    clamped sum is an exact BIGINT, and the mean is one fixed left-assoc
+    division chain ``(sum/n)/1e6``.
+
+    Output: (partition, n, lo_micro, hi_micro, win_sum_micro, win_mean).
+    """
+    w_rn = Window.partitionBy(partition).orderBy(F.col("_vm"))
+    w_src = Window.partitionBy(partition)
+    vm = F.round(F.col(value) * quantum).cast("long")
+    b = (
+        df.select(F.col(partition).alias("source"), vm.alias("_vm"))
+        .withColumn("_rn", F.row_number().over(w_rn.partitionBy("source")))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .withColumn("_k", F.expr(f"({alpha_pct} * _n) div 100 + 1"))
+    )
+    bounds = b.groupBy("source", "_n", "_k").agg(
+        F.min(F.when(F.col("_rn") == F.col("_k"), F.col("_vm"))).alias("lo"),
+        F.min(F.when(F.col("_rn") == F.col("_n") - F.col("_k") + 1, F.col("_vm"))).alias(
+            "hi"
+        ),
+    )
+    c = b.join(F.broadcast(bounds.select("source", "lo", "hi")), "source")
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("_vm")))
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lo").alias("lo_micro"),
+        F.min("hi").alias("hi_micro"),
+        F.sum(clamped).alias("win_sum_micro"),
+    ).select(
+        "source",
+        "n",
+        "lo_micro",
+        "hi_micro",
+        "win_sum_micro",
+        (
+            (F.col("win_sum_micro").cast("double") / F.col("n").cast("double"))
+            / F.lit(1000000.0)
+        ).alias("win_mean"),
+    )

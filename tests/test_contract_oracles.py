@@ -43,6 +43,8 @@ QUERIES = [
     "ngram_novelty_documents",
     "spearman_pairs_events_1h",
     "runs_test_events_1h",
+    "pearson_pairs_events_1h",
+    "winsorized_mean_events",
 ]
 
 

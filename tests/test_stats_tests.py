@@ -294,3 +294,48 @@ def test_runs_test_matches_brute(spark):
             sgns.count(1), sgns.count(-1), runs
         )
         assert r["expected_runs"] == 1.0 + (2 * sgns.count(1) * sgns.count(-1)) / float(len(sgns))
+
+
+def test_pearson_pairs_matches_brute(spark):
+    from forecaster_spark.operators.stats_tests import pearson_pairs
+
+    # v_micro inputs; operator floors to centi internally (div 10000)
+    vals = {
+        "a": [i * 20_000 for i in (1, 2, 3, 4, 5, 6)],
+        "b": [i * 20_000 for i in (2, 4, 6, 8, 10, 12)],   # r(a,b) = 1
+        "c": [i * 20_000 for i in (6, 5, 4, 3, 2, 1)],      # r(a,c) = -1
+        "d": [70_000] * 6,                                   # constant -> NULL
+        "e": [i * 20_000 for i in (2, 9, 4, 4, 8, 1)],
+    }
+    out = {(r["source_a"], r["source_b"]): r for r in pearson_pairs(_series_df(spark, vals)).collect()}
+    assert out[("a", "b")]["r"] == 1.0
+    assert out[("a", "c")]["r"] == -1.0
+    assert out[("a", "d")]["r"] is None and out[("a", "d")]["d2"] == 0
+    import math
+    x = [v // 10_000 for v in vals["a"]]
+    y = [v // 10_000 for v in vals["e"]]
+    n = len(x)
+    num = n * sum(a * b for a, b in zip(x, y)) - sum(x) * sum(y)
+    d1 = n * sum(a * a for a in x) - sum(x) ** 2
+    d2 = n * sum(b * b for b in y) - sum(y) ** 2
+    r = out[("a", "e")]
+    assert (r["num"], r["d1"], r["d2"]) == (num, d1, d2)
+    assert r["r"] == (num / math.sqrt(d1)) / math.sqrt(d2)
+
+
+def test_winsorized_mean_clamps_outliers(spark):
+    from forecaster_spark.operators.stats_tests import winsorized_mean
+
+    # 20 points, one huge outlier at each end; alpha 10% -> k = 3
+    base = list(range(1, 19)) + [-1000, 1000]
+    out = winsorized_mean(_events_df(spark, {"s": base})).collect()[0]
+    vm = sorted(v * 1_000_000 for v in base)
+    n = len(vm)
+    k = (10 * n) // 100 + 1
+    lo, hi = vm[k - 1], vm[n - k]
+    want = [min(max(v, lo), hi) for v in (v * 1_000_000 for v in base)]
+    assert (out["n"], out["lo_micro"], out["hi_micro"]) == (n, lo, hi)
+    assert out["win_sum_micro"] == sum(want)
+    assert out["win_mean"] == (float(sum(want)) / float(n)) / 1_000_000.0
+    # the outliers are fully clamped: mean within the inlier hull
+    assert 1.0 <= out["win_mean"] <= 18.0
