@@ -34,7 +34,7 @@ from forecaster_spark.operators.gapfill import backcast_fill, linear_interp, loc
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
 from forecaster_spark.operators.seriesify import events_as_series
 from forecaster_spark.operators.packing import pack_sequences_sql
-from forecaster_spark.operators.sampling import hash_split_sql
+from forecaster_spark.operators.sampling import hash_split_sql, temperature_mixture_sql
 from forecaster_spark.operators.similarity import (
     cosine_topk_brute,
     cosine_topk_ivf_sql,
@@ -44,6 +44,7 @@ from forecaster_spark.operators.similarity import (
 )
 from forecaster_spark.operators.textops import (
     STOPWORDS,
+    quality_funnel_sql,
     with_fingerprint,
     with_lang_id,
     with_quality,
@@ -286,6 +287,37 @@ def q_hash_split(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return hash_split(docs.select("doc_id")).select("doc_id", "bucket", "split")
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted corpus mixing report (alpha=0.5): per-language
+    keep rate (n_min/n_lang)^0.5 in exact ppm, keep decision = splitmix64
+    ppm bucket of doc_id. One scan + broadcast rate table; the per-group
+    report (n_docs, rate_ppm, n_kept) is bit-exact vs the DuckDB replay."""
+    from forecaster_spark.operators.sampling import temperature_mixture
+
+    docs = read_table(spark, sf_dir, "documents")
+    mixed = temperature_mixture(docs.select("doc_id", "lang"))
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("rate_ppm").alias("rate_ppm"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_funnel(spark, sf_dir):
+    """C4/Gopher-style staged quality-filter funnel: cumulative survivor
+    counts through min-words → mean-word-length → max-word-length →
+    digit-ratio filters. All flags row-local integer tests in codegen;
+    one map-side-combinable aggregate; 5-row report."""
+    from forecaster_spark.operators.textops import quality_funnel
+
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_funnel(docs).orderBy("stage_idx")
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -2045,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs_documents": q_simhash_neardup,
         "pack_sequences_documents": q_pack_sequences,
         "hash_split_documents": q_hash_split,
+        "temperature_mixture_documents": q_temperature_mixture,
+        "quality_funnel_documents": q_quality_funnel,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3105,6 +3139,8 @@ FROM events GROUP BY 1""",
         "dedup_keep_list_documents": xhash_sql.dedup_keep_list_sql(max_hamming=3),
         "pack_sequences_documents": pack_sequences_sql(budget=512),
         "hash_split_documents": hash_split_sql(),
+        "temperature_mixture_documents": temperature_mixture_sql(),
+        "quality_funnel_documents": quality_funnel_sql(),
         "contamination_flags_documents": xhash_sql.contamination_sql(),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form

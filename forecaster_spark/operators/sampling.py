@@ -66,6 +66,92 @@ def hash_split(
     return df.withColumn("bucket", bucket_of(F.col(id_col))).withColumn(out, label)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-weighted source mixing (the pretraining corpus-mixing
+    primitive): resample so group g's effective share is ∝ n_g^alpha,
+    flattening head sources toward uniform. The keep rate per group is
+    r_g = (n_min / n_g)^(1-alpha), so the smallest group keeps everything
+    and a group 4× larger keeps sqrt(1/4) = 50% at alpha = 0.5.
+
+    Engine-added operator (the reference models one series at a time —
+    forecaster.py:33-34 — and has no corpus-sampling machinery).
+
+    Cross-engine exactness: alpha is fixed at 0.5 so the rate is a single
+    correctly-rounded sqrt of a correctly-rounded double division — both
+    IEEE-754-identical in Spark and DuckDB — scaled to integer ppm with
+    one multiply + floor (never ``pow``, never ``round``; CLAUDE.md).
+    The keep decision is the shared splitmix64 ppm bucket of the row id
+    (order/partitioning-invariant, replayed bit-for-bit by the oracle).
+
+    Scale shape: one corpus scan computes the per-group counts (map-side
+    partials, group cardinality ~ #sources), the tiny rate table is
+    broadcast back, and the keep test is row-local — no corpus shuffle.
+
+    Output: input columns + ``n_docs`` (group size), ``rate_ppm``
+    (0..1e6), ``bucket`` (0..999999), ``kept`` (boolean).
+    """
+    if alpha != 0.5:
+        raise ValueError("only alpha=0.5 (sqrt temperature) is certified")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        "n_docs",
+        F.floor(
+            F.lit(1_000_000.0)
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_docs").cast("double"))
+        ).alias("rate_ppm"),
+    )
+    mult = np.uint64(2 * seed + 1)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_of(ids: pd.Series) -> pd.Series:
+        u = ids.to_numpy(dtype=np.int64).view(np.uint64)
+        b = xhash.splitmix64(u * mult) % np.uint64(BUCKETS)
+        return pd.Series(b.view(np.int64))
+
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("bucket", bucket_of(F.col(id_col)))
+        .withColumn("kept", F.col("bucket") < F.col("rate_ppm"))
+    )
+
+
+def temperature_mixture_sql(
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    source_sql: str = "SELECT doc_id, lang FROM documents",
+) -> str:
+    """DuckDB oracle replaying :func:`temperature_mixture` and aggregating
+    to the per-group mixing report → (group, n_docs, rate_ppm, n_kept)."""
+    mult = (2 * seed + 1) % W
+    return f"""
+WITH src AS MATERIALIZED ({source_sql}),
+cnt AS (SELECT {group_col}, count(*) AS n_docs FROM src GROUP BY {group_col}),
+mn AS (SELECT min(n_docs) AS n_min FROM cnt),
+rates AS (SELECT {group_col}, n_docs,
+                 CAST(floor(1000000 * sqrt(CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_ppm
+          FROM cnt, mn),
+hx AS (SELECT {id_col}, {group_col},
+              {umul_c(f"(CAST({id_col} AS HUGEINT) % {W} + {W}) % {W}", mult)} AS x0
+       FROM src),
+hs AS (SELECT {id_col}, {group_col}, {splitmix_cols("x0", "h")} FROM hx),
+bk AS (SELECT {id_col}, {group_col}, CAST(h % {BUCKETS} AS BIGINT) AS bucket FROM hs),
+kept AS (SELECT b.{group_col}, count(*) AS n_kept
+         FROM bk b JOIN rates r USING ({group_col})
+         WHERE b.bucket < r.rate_ppm GROUP BY b.{group_col})
+SELECT r.{group_col}, r.n_docs, r.rate_ppm, COALESCE(k.n_kept, 0) AS n_kept
+FROM rates r LEFT JOIN kept k USING ({group_col})
+ORDER BY r.{group_col}"""
+
+
 def hash_split_sql(
     id_col: str = "doc_id",
     splits: list[tuple[str, float]] | None = None,

@@ -87,6 +87,94 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)
 
 
+def quality_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 30,
+    max_mean_wlen: int = 8,
+    max_word_len: int = 30,
+    max_digit_pct: int = 20,
+) -> DataFrame:
+    """Staged quality-filter retention report (the C4/Gopher-style cleaning
+    funnel): apply the filters cumulatively and report how many documents
+    survive each stage — the number a curation run publishes next to every
+    corpus release. Stages: word count ≥ ``min_words``; mean word length
+    ≤ ``max_mean_wlen`` (as the integer test wchars ≤ max·wc — no float
+    ratio); no token longer than ``max_word_len`` non-space chars; digit
+    share ≤ ``max_digit_pct``% (100·ndig ≤ pct·wchars).
+
+    Engine-added operator (the reference has no text machinery; its only
+    cleaning is numeric backfill — Util/build_matrix.py:20-65).
+
+    Scale shape: one scan, every flag row-local in codegen, one map-side-
+    combinable global aggregate, 5-row output (stack of one agg row).
+    All counts are exact integers — the DuckDB oracle matches bit-for-bit.
+
+    Output: (stage_idx, stage, n_pass), cumulative.
+    """
+    t = F.trim(F.col(text_col))
+    wc = F.size(F.split(t, r"\s+"))
+    wchars = F.length(F.regexp_replace(t, r"\s+", ""))
+    ndig = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    c1 = wc >= min_words
+    c2 = wchars <= max_mean_wlen * wc
+    c3 = ~F.col(text_col).rlike(r"\S{%d}" % (max_word_len + 1))
+    c4 = 100 * ndig <= max_digit_pct * wchars
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n0"),
+        n(c1).alias("n1"),
+        n(c1 & c2).alias("n2"),
+        n(c1 & c2 & c3).alias("n3"),
+        n(c1 & c2 & c3 & c4).alias("n4"),
+    )
+    names = ["input", "min_words", "mean_word_len", "max_word_len", "digit_ratio"]
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), '{nm}', CAST(n{i} AS BIGINT)" for i, nm in enumerate(names)
+    )
+    return agg.selectExpr(f"stack(5, {stack}) AS (stage_idx, stage, n_pass)")
+
+
+def quality_funnel_sql(
+    min_words: int = 30,
+    max_mean_wlen: int = 8,
+    max_word_len: int = 30,
+    max_digit_pct: int = 20,
+    source_sql: str = "SELECT text FROM documents",
+) -> str:
+    """DuckDB oracle for :func:`quality_funnel` (identical regex classes:
+    Java and RE2 agree on ``\\s``/``\\S``/``[0-9]`` over ASCII + BMP)."""
+    return f"""
+WITH src AS ({source_sql}),
+f AS (SELECT len(string_split_regex(trim(text), '\\s+')) AS wc,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS wchars,
+             length(trim(text))
+               - length(regexp_replace(trim(text), '[0-9]', '', 'g')) AS ndig,
+             NOT regexp_matches(text, '\\S{{{max_word_len + 1}}}') AS ok_wlen
+      FROM src),
+c AS (SELECT wc >= {min_words} AS c1,
+             wchars <= {max_mean_wlen} * wc AS c2,
+             ok_wlen AS c3,
+             100 * ndig <= {max_digit_pct} * wchars AS c4
+      FROM f),
+a AS (SELECT count(*) AS n0,
+             CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM c)
+SELECT stage_idx, stage, n_pass FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'input' AS stage, n0 AS n_pass FROM a
+  UNION ALL SELECT 1, 'min_words', n1 FROM a
+  UNION ALL SELECT 2, 'mean_word_len', n2 FROM a
+  UNION ALL SELECT 3, 'max_word_len', n3 FROM a
+  UNION ALL SELECT 4, 'digit_ratio', n4 FROM a)
+ORDER BY stage_idx"""
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 8, keep: int = 4, out: str = "fingerprint"
 ) -> DataFrame:

@@ -550,3 +550,60 @@ def test_text_tokens_roundtrip_and_checksum(spark):
         "from '/root/testdata/sf0.1/documents.parquet'"
     ).fetchone()[0]
     assert mx < 1024  # the oracle's pow-31 list bound
+
+
+def test_temperature_mixture_rates_and_determinism(spark):
+    """alpha=0.5 keep rates are the closed-form ppm sqrt ratios, the
+    smallest group keeps everything, and the keep decision is a pure
+    function of doc_id (order-invariant, matches the numpy splitmix)."""
+    from forecaster_spark.functions import xhash
+    from forecaster_spark.operators.sampling import BUCKETS, temperature_mixture
+
+    sizes = {"a": 4, "b": 16, "c": 64}
+    rows, i = [], 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang"])
+    out = temperature_mixture(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    rates = out.groupby("lang")["rate_ppm"].first().to_dict()
+    assert rates == {"a": 1_000_000, "b": 500_000, "c": 250_000}
+    u = pdf["doc_id"].to_numpy(np.int64).view(np.uint64)
+    bucket = (xhash.splitmix64(u * np.uint64(2 * 7 + 1)) % np.uint64(BUCKETS)).view(np.int64)
+    want_kept = bucket < pdf["lang"].map(rates).to_numpy()
+    assert np.array_equal(out.loc[pdf.doc_id, "kept"].to_numpy(), want_kept)
+    assert out[out.lang == "a"]["kept"].all()  # smallest group: rate 1e6
+    out2 = (
+        temperature_mixture(spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out2.loc[pdf.doc_id, "kept"].equals(out.loc[pdf.doc_id, "kept"])
+
+
+def test_quality_funnel_stage_counts(spark):
+    """Each stage knocks out exactly the doc crafted to fail it, counts are
+    cumulative, and the DuckDB oracle reproduces them bit-for-bit."""
+    from forecaster_spark.operators.textops import quality_funnel, quality_funnel_sql
+
+    texts = [
+        "word " * 35,                                    # passes everything
+        "short text only ten words here not nearly enough stop",  # fails min_words
+        ("longerword " * 40),                            # mean word len 10 > 8
+        ("word " * 34) + "x" * 40,                       # one 40-char token
+        "12345 " * 35,                                   # all-digit words
+    ]
+    pdf = pd.DataFrame({"text": texts})
+    out = quality_funnel(spark.createDataFrame(pdf)).toPandas().sort_values("stage_idx")
+    assert out.n_pass.tolist() == [5, 4, 3, 2, 1]
+    assert out.stage.tolist() == [
+        "input", "min_words", "mean_word_len", "max_word_len", "digit_ratio",
+    ]
+    import duckdb
+
+    duckdb.register("tdocs_funnel", pdf)
+    want = duckdb.sql(
+        quality_funnel_sql(source_sql="SELECT text FROM tdocs_funnel")
+    ).fetchall()
+    assert [r[2] for r in want] == out.n_pass.tolist()
