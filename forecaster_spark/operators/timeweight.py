@@ -916,10 +916,16 @@ def seasonal_decompose(
     (truncates toward zero) would disagree with a floor there; three
     final /2e6 divisions per row return original units.
 
-    Plan shape: one shuffle on ``partition`` for the median window, one
-    map-side-combinable aggregate to the ≤ 24·|sources| seasonal cells,
-    one broadcast join back. Output: (partition, *order, y, trend,
-    seasonal, resid)."""
+    Plan shape: one shuffle on ``partition`` for the median window, then
+    one shuffle on ``(partition, hour)`` where an UNORDERED window (whole-
+    cell frame) attaches each cell's sum/count in a single pass. The
+    earlier groupBy + broadcast-join-back formulation re-executed the
+    expensive percentile window on both sides of the join (the self-join
+    chain-re-execution trap, CLAUDE.md) — measured 2× the median cost;
+    this shape evaluates it once (verified: 1 percentile node in the
+    physical plan). Cell sums stay under 2^63 for |d2| ≤ 2e9 up to
+    ~4.6e9 rows per (source, hour) cell — far past the tier bound.
+    Output: (partition, *order, y, trend, seasonal, resid)."""
     wf = (
         Window.partitionBy(partition)
         .orderBy(*[F.col(c) for c in order])
@@ -936,13 +942,12 @@ def seasonal_decompose(
     b = b.withColumn("_d2", F.col("_y2") - F.col("_t2")).withColumn(
         "_hod", F.hour(F.col(ts)).cast("long")
     )
-    seas = (
-        b.groupBy(partition, "_hod")
-        .agg(F.sum("_d2").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    wc = Window.partitionBy(partition, "_hod")
+    out = (
+        b.withColumn("_s", F.sum("_d2").over(wc))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
         .withColumn("_s2", F.expr("(_s - ((_s % _n + _n) % _n)) div _n"))
-        .select(partition, "_hod", "_s2")
     )
-    out = b.join(F.broadcast(seas), [partition, "_hod"])
     return out.select(
         F.col(partition),
         *[F.col(c) for c in order],
