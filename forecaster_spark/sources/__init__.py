@@ -4,5 +4,6 @@ from forecaster_spark.sources.readers import (  # noqa: F401
     read_csv_series,
     read_table,
     register_testdata_views,
+    write_bucketed,
     write_tiered,
 )

@@ -53,6 +53,39 @@ def write_tiered(df: DataFrame, path: str, partition_cols: list[str] | None = No
     w.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed Parquet sink: pay the shuffle ONCE at write time so every
+    later equi-join / aggregation on ``key`` is co-located — the read-side
+    plan contains no Exchange at all (pytest-asserted on the physical
+    plan). This is the 100-TB co-location lever the partitioned sink
+    (:func:`write_tiered`) doesn't give: directory partitioning prunes
+    scans, bucketing removes JOIN/AGG shuffles. The intended deployment:
+    write the raw→tier tables bucketed by ``source`` and every per-source
+    stage (tier merges, as-of joins, window features) runs shuffle-free.
+
+    ``sortBy(key)`` additionally persists within-bucket order so sort-merge
+    joins can skip the sort when files-per-bucket is 1.
+
+    Hive-style bucketing (``bucketBy`` + ``saveAsTable`` with an explicit
+    external path) is the sandbox stand-in for an Iceberg bucket-partition
+    transform — the image carries no Iceberg jars (:func:`try_iceberg`)."""
+    (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def try_iceberg(spark: SparkSession) -> bool:
     """True if an Iceberg catalog is usable in this session (jars present).
     The sandbox image has no Iceberg jars, so tables fall back to

@@ -148,3 +148,36 @@ def test_incremental_merge_at_cascaded_tiers(spark):
     assert_df_equal(
         merged, full, sort_cols=["source", "bucket_start"], check_dtype=False, check_like=True
     )
+
+
+def test_bucketed_join_and_agg_no_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate equi-joins and aggregations on the bucket
+    key: the read-side physical plans contain NO Exchange (the shuffle was
+    paid once at write), and results are exact."""
+    from forecaster_spark.sources import write_bucketed
+
+    a = spark.range(0, 10_000).select(
+        (F.col("id") % 50).alias("source"), F.col("id").alias("x")
+    )
+    b = spark.range(0, 5_000).select(
+        (F.col("id") % 50).alias("source"), F.col("id").alias("w")
+    )
+    write_bucketed(a, "bkt_a", str(tmp_path / "a"), "source", num_buckets=8)
+    write_bucketed(b, "bkt_b", str(tmp_path / "b"), "source", num_buckets=8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "source")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # 50 sources x (200 a-rows x 100 b-rows) pairs
+        assert j.count() == 50 * 200 * 100
+        g = spark.table("bkt_a").groupBy("source").count()
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan, gplan
+        assert g.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
