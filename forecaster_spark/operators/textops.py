@@ -112,9 +112,13 @@ def quality_funnel(
 
     Output: (stage_idx, stage, n_pass), cumulative.
     """
+    # explicit whitespace class, NOT \s: Java's \s includes vertical tab
+    # (U+000B), RE2's does not — \s-split counts diverge between the engines
+    # on texts containing \x0B (found by the adversarial-text fuzz test).
+    ws = r"[ \t\n\x0B\f\r]+"
     t = F.trim(F.col(text_col))
-    wc = F.size(F.split(t, r"\s+"))
-    wchars = F.length(F.regexp_replace(t, r"\s+", ""))
+    wc = F.size(F.split(t, ws))
+    wchars = F.length(F.regexp_replace(t, ws, ""))
     ndig = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     c1 = wc >= min_words
     c2 = wchars <= max_mean_wlen * wc
@@ -145,12 +149,13 @@ def quality_funnel_sql(
     max_digit_pct: int = 20,
     source_sql: str = "SELECT text FROM documents",
 ) -> str:
-    """DuckDB oracle for :func:`quality_funnel` (identical regex classes:
-    Java and RE2 agree on ``\\s``/``\\S``/``[0-9]`` over ASCII + BMP)."""
+    """DuckDB oracle for :func:`quality_funnel`. Whitespace uses the
+    explicit class ``[ \\t\\n\\x0B\\f\\r]`` on BOTH engines (Java ``\\s``
+    includes U+000B, RE2 ``\\s`` does not); ``\\S``/``[0-9]`` agree."""
     return f"""
 WITH src AS ({source_sql}),
-f AS (SELECT len(string_split_regex(trim(text), '\\s+')) AS wc,
-             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS wchars,
+f AS (SELECT len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS wc,
+             length(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS wchars,
              length(trim(text))
                - length(regexp_replace(trim(text), '[0-9]', '', 'g')) AS ndig,
              NOT regexp_matches(text, '\\S{{{max_word_len + 1}}}') AS ok_wlen

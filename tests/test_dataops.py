@@ -607,3 +607,41 @@ def test_quality_funnel_stage_counts(spark):
         quality_funnel_sql(source_sql="SELECT text FROM tdocs_funnel")
     ).fetchall()
     assert [r[2] for r in want] == out.n_pass.tolist()
+
+
+def test_quality_funnel_cross_engine_adversarial_text(spark):
+    """Spark and DuckDB funnel counts agree on adversarial text: unicode
+    words, tabs/newlines/vertical tabs (Java and RE2 \\s must be the same
+    set), long digit runs, 31-char tokens at the boundary, empty and
+    whitespace-only strings."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(12345)
+    pool = ["word", "héllo", "münchen", "日本語テキスト", "1234567890", "x" * 30,
+            "y" * 31, "z" * 40, "a1b2c3", "...", "!!!", ""]
+    seps = [" ", "\t", "\n", "\x0b", "\f", "\r", "  ", " \t "]
+    texts = ["", " ", "\t\n", "\x0b\x0b"]
+    for _ in range(60):
+        n = rng.randint(1, 60)
+        texts.append(
+            "".join(rng.choice(pool) + rng.choice(seps) for _ in range(n)).strip()
+        )
+    pdf = pd.DataFrame({"text": texts})
+    from forecaster_spark.operators.textops import quality_funnel, quality_funnel_sql
+
+    got = (
+        quality_funnel(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("stage_idx")
+        .n_pass.tolist()
+    )
+    duckdb.register("tdocs_adv", pdf)
+    want = [
+        r[2]
+        for r in duckdb.sql(
+            quality_funnel_sql(source_sql="SELECT text FROM tdocs_adv")
+        ).fetchall()
+    ]
+    assert got == want

@@ -171,3 +171,45 @@ def test_hash_split_oracle_parity_fuzz(ids):
     u = np.array(ids, dtype=np.int64).view(np.uint64)
     want_b = (xhash.splitmix64(u * np.uint64(2 * 42 + 1)) % np.uint64(BUCKETS)).astype(np.int64)
     assert got == {i: int(b) for i, b in zip(ids, want_b)}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_temperature_mixture_oracle_parity_fuzz(rows):
+    """The DuckDB mixture oracle's (rate_ppm, n_kept) must equal the pure
+    python/numpy definition for arbitrary int64 ids and group skews: rate =
+    floor(1e6·sqrt(n_min/n_g)) with one correctly-rounded sqrt, keep =
+    splitmix bucket < rate."""
+    import math
+
+    import numpy as np
+
+    from forecaster_spark.operators.sampling import BUCKETS, temperature_mixture_sql
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{g}')" for i, g in rows)
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM (VALUES {vals}) t(doc_id, lang)")
+    sql = temperature_mixture_sql(source_sql="SELECT doc_id, lang FROM docs")
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
+
+    by_g: dict = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(i)
+    n_min = min(len(v) for v in by_g.values())
+    want = {}
+    for g, ids in by_g.items():
+        rate = math.floor(1_000_000 * math.sqrt(n_min / len(ids)))
+        u = np.array(ids, dtype=np.int64).view(np.uint64)
+        b = (xhash.splitmix64(u * np.uint64(2 * 7 + 1)) % np.uint64(BUCKETS)).astype(np.int64)
+        want[g] = (len(ids), rate, int((b < rate).sum()))
+    assert got == want
