@@ -66,12 +66,18 @@ def test_matrix_profile_planted_motif():
 
 
 def _bollinger_flags(vals, window, k):
-    """Float reference for the integer cross-multiplied breakout test."""
+    """Exact-rational reference for the integer cross-multiplied breakout
+    test. Must be Fraction, not float: at exact ties (dev² == k²·σ², e.g.
+    vals=[1,1,1,1,0]) float rounding of mu=4/5 flips the strict comparison,
+    while both the integer form and this reference agree the tie is not a
+    breakout (Hypothesis found the tie case)."""
+    from fractions import Fraction
+
     out = []
     for i in range(len(vals)):
         fr = vals[max(0, i - window + 1) : i + 1]
         n = len(fr)
-        mu = sum(fr) / n
+        mu = Fraction(sum(fr), n)
         var = sum((x - mu) ** 2 for x in fr) / n
         dev = vals[i] - mu
         out.append((dev > 0 and dev * dev > k * k * var,
