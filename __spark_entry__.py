@@ -2053,6 +2053,111 @@ def q_winsorized_mean(spark, sf_dir):
     )
 
 
+
+
+def q_moments(spark, sf_dir):
+    """Higher-moment shape profile (skew/kurtosis) per source: exact
+    unit-integer central-moment sums around the floored mean; g1/g2 are
+    fixed-shape chains of correctly-rounded sqrt/div on exact-int doubles,
+    floor-quantized to ppm — bit-identical in SQL."""
+    from forecaster_spark.operators.stats_tests import moments
+
+    return moments(_ev(spark, sf_dir)).select(
+        "source", "n", "mu_unit", "m2", "m3", "m4", "skew_q6", "kurt_q6"
+    )
+
+
+def q_rescaled_range(spark, sf_dir):
+    """Rescaled-range (R/S, the Hurst ingredient) per source: n-scaled
+    cumulative deviations keep every intermediate an exact BIGINT; the
+    statistic is one division of a correctly-rounded sqrt, ppm-floored."""
+    from forecaster_spark.operators.stats_tests import rescaled_range
+
+    return rescaled_range(_ev(spark, sf_dir)).select(
+        "source", "n", "r_scaled", "s2_scaled", "rs_q6"
+    )
+
+
+def q_peak_detect(spark, sf_dir):
+    """Windowed peak detection with a prominence floor (find_peaks core):
+    three bounded rolling min/max frames over one shuffle, exact milli
+    integers, plateau-first tie-break."""
+    from forecaster_spark.operators.technicals import peak_detect
+
+    return peak_detect(_ev(spark, sf_dir), window_n=12, prominence_milli=20_000).select(
+        "source", "event_id", "prominence_milli_out", "is_peak"
+    )
+
+
+def q_theta_forecast(spark, sf_dir):
+    """Theta-method forecast (SES level + half the exact-Cramer OLS trend
+    slope, Hyndman & Billah form) over the hourly integer signal — the M3
+    baseline between EWMA and Holt; level replayed by the recursive-CTE
+    walk, slope by integer normal equations."""
+    from forecaster_spark.operators.timeweight import theta_forecast
+
+    return theta_forecast(_hourly_int_series(spark, sf_dir), alpha=0.25, hh=3).select(
+        "source", "h", "level", "fc"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """EXACT per-stratum quota sampling (floor(n_g/5) docs per source, the
+    smallest splitmix64 buckets win): rank window + broadcast quota table;
+    the binomial noise of rate-based splits is gone by construction."""
+    from forecaster_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, frac_num=1, frac_den=5, seed=11).select(
+        "doc_id", "source", "bucket", "rk", "quota", "kept"
+    )
+
+
+def q_gini_doclen(spark, sf_dir):
+    """Gini concentration of document lengths per source (Lorenz rank
+    form) — all-BIGINT numerator/denominator, ppm by integer division."""
+    from forecaster_spark.operators.textops import gini_concentration
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gini_concentration(docs).select("source", "n", "sum_x", "gini_ppm")
+
+
+def q_zorder_zonemap(spark, sf_dir):
+    """Z-order (Morton) clustering key over (minute-index, user bucket) +
+    the per-block zone-map stats an Iceberg manifest would carry: each
+    4096-key block is an axis-aligned rectangle in (time, user) space, so
+    min/max prune BOTH dimensions — the 2-D file-skipping layout a
+    lexicographic sort cannot give. Pure integer bit arithmetic."""
+    from forecaster_spark.operators.layout import zonemap_blocks, zorder_key
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("(unix_micros(cast(ts as timestamp)) div 60000000) % 4096").alias("am"),
+        (F.col("user_id") % 4096).cast("long").alias("bu"),
+    )
+    z = zorder_key(d, "am", "bu", bits=12)
+    return zonemap_blocks(z, ["am", "bu"], block=4096).select(
+        "zblock", "n", "min_am", "max_am", "min_bu", "max_bu"
+    )
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Deterministic small-file compaction planning: per-source day batches
+    roll into ~500-row output bins by running-total division — the planner
+    touches only the partition-stats table (metadata-scale work for a
+    10^12-row compaction), exact BIGINT end to end."""
+    from forecaster_spark.operators.layout import compaction_plan
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return compaction_plan(daily, target_rows=500).select(
+        "source", "day", "n_rows", "file_bin"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2182,6 +2287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test_events_1h": q_runs_test,
         "pearson_pairs_events_1h": q_pearson_pairs,
         "winsorized_mean_events": q_winsorized_mean,
+        "moments_events": q_moments,
+        "rescaled_range_events": q_rescaled_range,
+        "peak_detect_events": q_peak_detect,
+        "theta_forecast_events_1h": q_theta_forecast,
+        "stratified_sample_documents": q_stratified_sample,
+        "gini_doclen_documents": q_gini_doclen,
+        "zorder_zonemap_events": q_zorder_zonemap,
+        "compaction_plan_events": q_compaction_plan,
     }
 
 
@@ -2212,6 +2325,34 @@ def oracle_sql() -> dict[str, str]:
     # original table: each event exactly once
     d["stream_dedup_events"] = "SELECT event_id, ts, value FROM events"
     return d
+
+
+
+
+def _stratified_sample_oracle() -> str:
+    from forecaster_spark.operators.sampling import stratified_sample_sql
+
+    return stratified_sample_sql(frac_num=1, frac_den=5, seed=11)
+
+
+def _zorder_zonemap_oracle() -> str:
+    from forecaster_spark.operators.layout import zorder_sql_expr
+
+    zk = zorder_sql_expr("am", "bu", bits=12)
+    return f"""
+WITH d AS (
+  SELECT (epoch_us(ts) // 60000000) % 4096 AS am,
+         CAST(user_id % 4096 AS BIGINT) AS bu
+  FROM events
+), z AS (
+  SELECT am, bu, {zk} AS zkey FROM d
+)
+SELECT zkey // 4096 AS zblock, count(*) AS n,
+       min(am) AS min_am, max(am) AS max_am,
+       min(bu) AS min_bu, max(bu) AS max_bu
+FROM z GROUP BY 1"""
+
+
 
 
 def _oracle_sql_entries() -> dict[str, str]:
@@ -3765,4 +3906,143 @@ SELECT source, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(cv) AS BIGINT) AS win_sum_micro,
        (CAST(sum(cv) AS DOUBLE) / CAST(count(*) AS DOUBLE)) / 1000000.0 AS win_mean
 FROM c GROUP BY source""",
+        "moments_events": """
+WITH s AS (
+  SELECT event_type AS source, CAST(round(value) AS BIGINT) AS vq FROM events
+), m AS (
+  SELECT source, CAST(sum(vq) // count(*) AS BIGINT) AS mu_unit FROM s GROUP BY 1
+), z AS (
+  SELECT s.source, m.mu_unit, s.vq - m.mu_unit AS z FROM s JOIN m USING (source)
+), a AS (
+  SELECT source, mu_unit, count(*) AS n,
+         CAST(sum(z*z) AS BIGINT) AS m2,
+         CAST(sum(z*z*z) AS BIGINT) AS m3,
+         CAST(sum(z*z*z*z) AS BIGINT) AS m4
+  FROM z GROUP BY 1, 2
+), q AS (
+  SELECT *, sqrt(CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)) AS sd FROM a
+)
+SELECT source, n, mu_unit, m2, m3, m4,
+       CASE WHEN m2 > 0 THEN CAST(floor(
+         ((CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE)) / ((sd * sd) * sd)) * 1000000.0
+       ) AS BIGINT) END AS skew_q6,
+       CASE WHEN m2 > 0 THEN CAST(floor(
+         ((CAST(n AS DOUBLE) * CAST(m4 AS DOUBLE))
+          / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))) * 1000000.0
+       ) AS BIGINT) END AS kurt_q6
+FROM q""",
+        "rescaled_range_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id, CAST(round(value) AS BIGINT) AS vq
+  FROM events
+), t AS (
+  SELECT source, CAST(sum(vq) AS BIGINT) AS tot, count(*) AS n FROM s GROUP BY 1
+), c AS (
+  SELECT source, vq,
+         CAST(sum(vq) OVER w AS BIGINT) AS cum,
+         CAST(row_number() OVER w2 AS BIGINT) AS i
+  FROM s
+  WINDOW w AS (PARTITION BY source ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY source ORDER BY ts, event_id)
+), d AS (
+  SELECT c.source, t.n, t.tot, c.vq * c.vq AS v2,
+         t.n * c.cum - c.i * t.tot AS dev
+  FROM c JOIN t USING (source)
+), a AS (
+  SELECT source, max(n) AS n,
+         CAST(max(dev) - min(dev) AS BIGINT) AS r_scaled,
+         CAST(max(n) * CAST(sum(v2) AS BIGINT) - max(tot) * max(tot) AS BIGINT)
+           AS s2_scaled
+  FROM d GROUP BY source
+)
+SELECT source, n, r_scaled, s2_scaled,
+       CASE WHEN s2_scaled > 0 THEN CAST(floor(
+         (CAST(r_scaled AS DOUBLE) / sqrt(CAST(s2_scaled AS DOUBLE))) * 1000000.0
+       ) AS BIGINT) END AS rs_q6
+FROM a""",
+        "peak_detect_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000) AS BIGINT) AS vq
+  FROM events
+), w AS (
+  SELECT source, event_id, vq,
+         coalesce(max(vq) OVER wl, {NEG}) AS lmax,
+         coalesce(max(vq) OVER wr, {NEG}) AS rmax,
+         coalesce(min(vq) OVER wl, vq) AS lmin,
+         coalesce(min(vq) OVER wr, vq) AS rmin
+  FROM s
+  WINDOW wl AS (PARTITION BY source ORDER BY ts, event_id
+                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING),
+         wr AS (PARTITION BY source ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND 12 FOLLOWING)
+)
+SELECT source, event_id,
+       vq - least(lmin, rmin) AS prominence_milli_out,
+       (vq > lmax AND vq >= rmax AND vq - least(lmin, rmin) >= 20000) AS is_peak
+FROM w""".replace("{NEG}", str(-(1 << 62))),
+        "theta_forecast_events_1h": """
+WITH RECURSIVE th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), walk(source, idx, ts, y, e) AS (
+  SELECT source, idx, ts, y, y FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p.source, p.idx, p.ts, p.y, p.y * 0.25 + w.e * 0.75
+  FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
+), lvl AS (
+  SELECT source, max_by(e, idx) AS level FROM walk GROUP BY source
+), ag AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(idx) AS BIGINT) AS st,
+         CAST(sum(idx * idx) AS BIGINT) AS st2,
+         CAST(sum(idx * CAST(y AS BIGINT)) AS BIGINT) AS sty
+  FROM o GROUP BY source
+), sl AS (
+  SELECT source, n * sty - st * sy AS bn, n * st2 - st * st AS bd FROM ag
+)
+SELECT l.source, CAST(hh.h AS BIGINT) AS h, l.level,
+       CASE WHEN s.bd <> 0 THEN
+         l.level + (CAST(hh.h AS DOUBLE)
+                    * (CAST(s.bn AS DOUBLE) / CAST(s.bd AS DOUBLE))) * 0.5
+       END AS fc
+FROM lvl l JOIN sl s USING (source),
+     (SELECT unnest(generate_series(1, 3)) AS h) hh""",
+        "stratified_sample_documents": _stratified_sample_oracle(),
+        "gini_doclen_documents": """
+WITH r AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+              AS BIGINT) AS i
+  FROM documents
+), a AS (
+  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM r GROUP BY 1
+)
+SELECT source, n, sum_x,
+       ((2 * six - (n + 1) * sum_x) * 1000000) // (n * sum_x) AS gini_ppm
+FROM a""",
+        "zorder_zonemap_events": _zorder_zonemap_oracle(),
+        "compaction_plan_events": """
+WITH d AS (
+  SELECT event_type AS source, date_trunc('day', ts) AS day,
+         count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT source, day, n_rows,
+         coalesce(CAST(sum(n_rows) OVER (
+           PARTITION BY source ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS before
+  FROM d
+)
+SELECT source, day, n_rows, before // 500 AS file_bin FROM c""",
     }

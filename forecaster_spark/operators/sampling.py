@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -175,3 +175,81 @@ bk AS (SELECT {id_col}, CAST(h % {BUCKETS} AS BIGINT) AS bucket FROM hs)
 SELECT {id_col}, bucket,
        CASE {cases} ELSE '{ths[-1][0]}' END AS split
 FROM bk"""
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    frac_num: int = 1,
+    frac_den: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """EXACT per-stratum quota sampling: keep precisely
+    ``floor(n_g * frac_num / frac_den)`` rows of every group g — the
+    smallest ``splitmix64`` buckets win, ties broken by id. The rate-based
+    samplers above (:func:`hash_split`, :func:`temperature_mixture`) are
+    row-local but binomially noisy per stratum; evaluation and calibration
+    sets need the quota to be exact, which costs a rank.
+
+    Cross-engine exactness: the bucket is the shared splitmix64 ppm hash
+    (pure function of the id — replayed bit-for-bit by the oracle) and the
+    quota is BIGINT ``(n * num) div den``; everything else is comparisons.
+
+    Scale shape: one shuffle on the group key for the rank window plus a
+    broadcast of the |groups|-row quota table. A single giant stratum
+    serializes into one sort task — at 10^12-doc scale switch such strata
+    to the rate-based sampler (documented trade: exact quota <-> one sort
+    per stratum); typical strata (sources/languages) are fine.
+
+    Output: (id, group, bucket, rk, quota, kept)."""
+    mult = np.uint64(2 * seed + 1)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_of(ids: pd.Series) -> pd.Series:
+        u = ids.to_numpy(dtype=np.int64).view(np.uint64)
+        b = xhash.splitmix64(u * mult) % np.uint64(BUCKETS)
+        return pd.Series(b.view(np.int64))
+
+    quota_tbl = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("quota", F.expr(f"(_n * {int(frac_num)}) div {int(frac_den)}"))
+        .select(group_col, "quota")
+    )
+    w = Window.partitionBy(group_col).orderBy("bucket", id_col)
+    return (
+        df.withColumn("bucket", bucket_of(F.col(id_col)))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quota_tbl), group_col)
+        .withColumn("kept", F.col("rk") <= F.col("quota"))
+    )
+
+
+def stratified_sample_sql(
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    frac_num: int = 1,
+    frac_den: int = 5,
+    seed: int = 11,
+    source_sql: str = "SELECT doc_id, source FROM documents",
+) -> str:
+    """DuckDB oracle replaying :func:`stratified_sample` bit-for-bit →
+    (id, group, bucket, rk, quota, kept)."""
+    mult = (2 * seed + 1) % W
+    return f"""
+WITH src AS ({source_sql}),
+hx AS (SELECT {id_col}, {group_col},
+              {umul_c(f"(CAST({id_col} AS HUGEINT) % {W} + {W}) % {W}", mult)} AS x0
+       FROM src),
+hs AS (SELECT {id_col}, {group_col}, {splitmix_cols("x0", "h")} FROM hx),
+bk AS (SELECT {id_col}, {group_col}, CAST(h % {BUCKETS} AS BIGINT) AS bucket FROM hs),
+rk AS (SELECT {id_col}, {group_col}, bucket,
+              CAST(row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY bucket, {id_col}) AS BIGINT) AS rk
+       FROM bk),
+q AS (SELECT {group_col},
+             CAST((count(*) * {int(frac_num)}) // {int(frac_den)} AS BIGINT) AS quota
+      FROM src GROUP BY {group_col})
+SELECT r.{id_col}, r.{group_col}, r.bucket, r.rk, q.quota, r.rk <= q.quota AS kept
+FROM rk r JOIN q USING ({group_col})"""

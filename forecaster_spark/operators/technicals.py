@@ -230,3 +230,50 @@ def max_drawdown(
         F.max("_dd").alias("max_dd_micro"),
         (F.max("_dd").cast("double") / F.lit(1000000.0)).alias("max_dd"),
     )
+
+
+def peak_detect(
+    df: DataFrame,
+    window_n: int = 12,
+    prominence_milli: int = 20_000,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts", "event_id"),
+) -> DataFrame:
+    """Windowed local-extrema (peak) detection with a prominence floor —
+    the event-extraction primitive (scipy.signal.find_peaks' window+
+    prominence core) the reference's forecast-only pipeline lacks: a point
+    is a peak iff it strictly exceeds every value in the ``window_n``
+    points before it, is >= every value after (plateaus flag their FIRST
+    point only, deterministically), and rises at least ``prominence_milli``
+    above the lower of the two windowed base minima.
+
+    Exact milli-unit integers end to end; edge points compare against an
+    empty side via coalesce(·, LONG_MIN/vq), so series boundaries can
+    still produce peaks (standard find_peaks edge behavior). Three rolling
+    min/max over ONE window partitioning — single shuffle, pure codegen.
+
+    Output: input + (prominence_milli_out, is_peak)."""
+    vq = F.round(F.col(value) * 1000).cast("long")
+    cols = [F.col(c) for c in order]
+    wl = Window.partitionBy(partition).orderBy(*cols).rowsBetween(-window_n, -1)
+    wr = Window.partitionBy(partition).orderBy(*cols).rowsBetween(1, window_n)
+    neg_inf = F.lit(-(1 << 62)).cast("long")
+    b = (
+        df.withColumn("_vq", vq)
+        .withColumn("_lmax", F.coalesce(F.max(vq).over(wl), neg_inf))
+        .withColumn("_rmax", F.coalesce(F.max(vq).over(wr), neg_inf))
+        .withColumn("_lmin", F.coalesce(F.min(vq).over(wl), vq))
+        .withColumn("_rmin", F.coalesce(F.min(vq).over(wr), vq))
+    )
+    prom = F.col("_vq") - F.least(F.col("_lmin"), F.col("_rmin"))
+    return (
+        b.withColumn("prominence_milli_out", prom)
+        .withColumn(
+            "is_peak",
+            (F.col("_vq") > F.col("_lmax"))
+            & (F.col("_vq") >= F.col("_rmax"))
+            & (prom >= F.lit(int(prominence_milli))),
+        )
+        .drop("_vq", "_lmax", "_rmax", "_lmin", "_rmin")
+    )

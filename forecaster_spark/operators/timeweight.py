@@ -1339,3 +1339,65 @@ def kalman_level(
         return pdf
 
     return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def theta_forecast(
+    df: DataFrame,
+    alpha: float = 0.25,
+    hh: int = 3,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000, in the
+    Hyndman & Billah 2003 "SES with drift" form that won M3): h-step
+    forecast = SES level + h * (OLS trend slope) / 2 — the simple-but-
+    strong baseline between :func:`ewma` (no trend) and :func:`holt_linear`
+    (adaptive trend). Reference analogue: the trend specs of ARX.rescale
+    (reference modeling/forecasting/arx.py) fit the same global line.
+
+    Exactness: the input must be the integer-valued rolled signal. The
+    slope is exact integer Cramer on the 0-based time index (bn = n*Σty −
+    Σt·Σy, bd = n*Σt² − (Σt)²; bound n ≤ ~2e5 rows/series at |y| ≤ 1e3 —
+    tier-bounded inputs only), the level is the :func:`ewma` fixed-order
+    chain (α = 0.25, binary-exact), and the forecast is the fixed shape
+    ``level + (h * (bn/bd)) * 0.5`` — correctly-rounded ops on exact-int
+    doubles, bit-identical in SQL. Single-point series (bd = 0) emit NULL.
+
+    Plan: the ewma kernel's single shuffle + one hash agg + a broadcast
+    join of two |sources|-row tables, then a row-local explode of the
+    horizon — no extra shuffle. Output: (source, h, level, fc)."""
+    cols = [F.col(c) for c in order]
+    w = Window.partitionBy(partition).orderBy(*cols)
+    b = (
+        df.withColumn("_t", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("_yq", F.col(value).cast("long"))
+    )
+    sums = b.groupBy(partition).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_yq").alias("_sy"),
+        F.sum("_t").alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_st2"),
+        F.sum(F.col("_t") * F.col("_yq")).alias("_sty"),
+    ).select(
+        partition,
+        (F.col("_n") * F.col("_sty") - F.col("_st") * F.col("_sy")).alias("_bn"),
+        (F.col("_n") * F.col("_st2") - F.col("_st") * F.col("_st")).alias("_bd"),
+    )
+    lvl = (
+        ewma(df, alpha=alpha, value=value, partition=partition, order=order)
+        .groupBy(partition)
+        .agg(F.expr(f"max_by(ewma, {order[0]})").alias("level"))
+    )
+    slope = F.col("_bn").cast("double") / F.col("_bd").cast("double")
+    fc = F.col("level") + (F.col("h").cast("double") * slope) * F.lit(0.5)
+    return (
+        lvl.join(F.broadcast(sums), partition)
+        .withColumn("h", F.explode(F.sequence(F.lit(1), F.lit(int(hh)))))
+        .select(
+            partition,
+            F.col("h").cast("long").alias("h"),
+            "level",
+            F.when(F.col("_bd") != 0, fc).alias("fc"),
+        )
+    )

@@ -1,0 +1,252 @@
+"""Oracle-golden tests for the round-3 additions: data-layout operators
+(z-order keys, zone maps, compaction planning), exact stratified sampling,
+shape moments, rescaled range, peak detection, Gini concentration, and the
+theta forecast. Pure-Python/Fraction references; the cross-engine value
+certificates live in the contract gate (check_entry)."""
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_df_equal
+
+
+# -- z-order ------------------------------------------------------------------
+
+
+def _morton_ref(a: int, b: int, bits: int) -> int:
+    k = 0
+    for i in range(bits):
+        k |= ((a >> i) & 1) << (2 * i)
+        k |= ((b >> i) & 1) << (2 * i + 1)
+    return k
+
+
+def test_zorder_key_matches_reference_and_decodes(spark):
+    from forecaster_spark.operators.layout import zorder_key
+
+    rng = np.random.default_rng(3)
+    rows = [(int(a), int(b)) for a, b in rng.integers(0, 4096, size=(300, 2))]
+    df = spark.createDataFrame(rows, "a: long, b: long")
+    out = zorder_key(df, "a", "b", bits=12).toPandas()
+    for r in out.itertuples():
+        assert r.zkey == _morton_ref(r.a, r.b, 12)
+        # decode round-trip: even bits -> a, odd bits -> b
+        da = sum(((r.zkey >> (2 * i)) & 1) << i for i in range(12))
+        db = sum(((r.zkey >> (2 * i + 1)) & 1) << i for i in range(12))
+        assert (da, db) == (r.a, r.b)
+
+
+def test_zorder_blocks_are_axis_aligned_rectangles(spark):
+    """The pruning claim itself: within a 4096-key block, each dim spans at
+    most 64 values (a 64x64 rectangle) — so per-block min/max stats bound
+    BOTH dimensions, which is why zone maps over a z-order layout prune
+    two-sided predicates."""
+    from forecaster_spark.operators.layout import zonemap_blocks, zorder_key
+
+    rng = np.random.default_rng(4)
+    rows = [(int(a), int(b)) for a, b in rng.integers(0, 4096, size=(5000, 2))]
+    df = spark.createDataFrame(rows, "a: long, b: long")
+    z = zorder_key(df, "a", "b", bits=12)
+    zm = zonemap_blocks(z, ["a", "b"], block=4096).toPandas()
+    assert (zm.max_a - zm.min_a).max() <= 63
+    assert (zm.max_b - zm.min_b).max() <= 63
+    assert zm.n.sum() == 5000
+
+
+def test_zorder_sql_expr_matches_column(spark):
+    import duckdb
+
+    from forecaster_spark.operators.layout import zorder_sql_expr
+
+    expr = zorder_sql_expr("a", "b", bits=12)
+    got = duckdb.sql(
+        f"SELECT {expr} AS k FROM (SELECT 2741 AS a, 1023 AS b)"
+    ).fetchone()[0]
+    assert got == _morton_ref(2741, 1023, 12)
+
+
+# -- compaction plan ----------------------------------------------------------
+
+
+def test_compaction_plan_rolls_batches_and_handles_oversize(spark):
+    from forecaster_spark.operators.layout import compaction_plan
+
+    rows = [
+        ("s1", 1, 40),
+        ("s1", 2, 40),
+        ("s1", 3, 40),  # before=80 -> bin 0 (boundary not yet crossed)
+        ("s1", 4, 500),  # oversize batch: own bin region
+        ("s1", 5, 10),  # before=620 -> bin 6
+        ("s2", 1, 100),  # independent partition restarts at bin 0
+        ("s2", 2, 100),
+    ]
+    df = spark.createDataFrame(rows, "source: string, day: long, n_rows: long")
+    out = (
+        compaction_plan(df, order_col="day", target_rows=100)
+        .toPandas()
+        .sort_values(["source", "day"])
+    )
+    assert list(out.file_bin) == [0, 0, 0, 1, 6, 0, 1]
+
+
+# -- stratified sampling ------------------------------------------------------
+
+
+def test_stratified_sample_quota_is_exact_per_group(spark):
+    from forecaster_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(301)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = stratified_sample(df, frac_num=1, frac_den=4, seed=11).toPandas()
+    kept = out[out.kept].groupby("source").size().to_dict()
+    sizes = out.groupby("source").size().to_dict()
+    assert kept == {g: (n * 1) // 4 for g, n in sizes.items()}
+    # decision is a pure function of the id: rerun yields identical keep set
+    out2 = stratified_sample(df, frac_num=1, frac_den=4, seed=11).toPandas()
+    assert set(out[out.kept].doc_id) == set(out2[out2.kept].doc_id)
+
+
+# -- moments ------------------------------------------------------------------
+
+
+def _moments_ref(vals):
+    vq = [round(v) for v in vals]
+    n = len(vq)
+    mu = sum(vq) // n
+    z = [v - mu for v in vq]
+    m2, m3, m4 = (sum(x**k for x in z) for k in (2, 3, 4))
+    return n, mu, m2, m3, m4
+
+
+def test_moments_integer_sums_match_reference(spark):
+    from forecaster_spark.operators.stats_tests import moments
+
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0, 550, 400)
+    rows = [("s", float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "source: string, y: double")
+    got = moments(df).toPandas().iloc[0]
+    n, mu, m2, m3, m4 = _moments_ref(vals)
+    assert (got.n, got.mu_unit, got.m2, got.m3, got.m4) == (n, mu, m2, m3, m4)
+    # quantized skew/kurt agree with the float chain written the same way
+    sd = np.sqrt(m2 / n)
+    assert got.skew_q6 == np.floor(((m3 / n) / ((sd * sd) * sd)) * 1e6)
+    assert got.kurt_q6 == np.floor(((n * m4) / (m2 * m2)) * 1e6)
+
+
+def test_moments_constant_series_null_quantized(spark):
+    from forecaster_spark.operators.stats_tests import moments
+
+    df = spark.createDataFrame([("s", 5.0)] * 10, "source: string, y: double")
+    got = moments(df).toPandas().iloc[0]
+    assert got.m2 == 0 and pd.isna(got.skew_q6) and pd.isna(got.kurt_q6)
+
+
+# -- rescaled range -----------------------------------------------------------
+
+
+def test_rescaled_range_matches_fraction_reference(spark):
+    from forecaster_spark.operators.stats_tests import rescaled_range
+
+    rng = np.random.default_rng(6)
+    vals = [int(v) for v in rng.integers(0, 500, 300)]
+    rows = [("s", i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source: string, ts: long, event_id: long, y: double")
+    got = rescaled_range(df, order=("ts", "event_id")).toPandas().iloc[0]
+    n, tot = len(vals), sum(vals)
+    cum, devs = 0, []
+    for i, v in enumerate(vals, start=1):
+        cum += v
+        devs.append(n * cum - i * tot)
+    r_scaled = max(devs) - min(devs)
+    s2 = n * sum(v * v for v in vals) - tot * tot
+    assert (got.n, got.r_scaled, got.s2_scaled) == (n, r_scaled, s2)
+    # R/S == classic definition: range(cumdev of x - mean) / population std
+    mean = Fraction(tot, n)
+    cd, acc = [Fraction(0)], Fraction(0)
+    for v in vals:
+        acc += v - mean
+        cd.append(acc)
+    classic = float((max(cd[1:]) - min(cd[1:])) / Fraction(1)) / np.sqrt(
+        float(sum((v - mean) ** 2 for v in vals) / n)
+    )
+    assert abs(got.r_scaled / np.sqrt(got.s2_scaled) - classic) < 1e-9
+
+
+# -- peak detection -----------------------------------------------------------
+
+
+def test_peak_detect_plateau_edges_and_prominence(spark):
+    from forecaster_spark.operators.technicals import peak_detect
+
+    vals = [0.0, 1.0, 5.0, 5.0, 1.0, 0.0, 10.0, 0.0, 0.1, 0.2]
+    rows = [("s", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source: string, ts: long, event_id: long, y: double")
+    out = (
+        peak_detect(df, window_n=3, prominence_milli=2000)
+        .toPandas()
+        .sort_values("event_id")
+    )
+    flags = list(out.is_peak)
+    # plateau at idx 2-3 flags only its first point; idx 6 is a clean peak;
+    # the trailing rise (idx 9) fails the right-side >= check only at the
+    # series edge where the right window is empty -> rmax = -inf, but its
+    # prominence (0.2-0.0=200 milli) fails the 2000 floor.
+    assert flags == [False, False, True, False, False, False, True, False, False, False]
+
+
+# -- gini ---------------------------------------------------------------------
+
+
+def test_gini_reference_and_tie_order_invariance(spark):
+    from forecaster_spark.operators.textops import gini_concentration
+
+    rng = np.random.default_rng(8)
+    xs = [int(x) for x in rng.integers(1, 500, 97)] + [250] * 13  # ties
+    rows = [(i, "s", x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, n_chars: long")
+    got = gini_concentration(df).toPandas().iloc[0]
+    n, sx = len(xs), sum(xs)
+    srt = sorted(xs)
+    six = sum((i + 1) * x for i, x in enumerate(srt))
+    expect = ((2 * six - (n + 1) * sx) * 1_000_000) // (n * sx)
+    assert got.gini_ppm == expect
+    # scrambling ids (the tie-break) must not change the statistic
+    rows2 = [(1000 - i, "s", x) for i, x in enumerate(xs)]
+    df2 = spark.createDataFrame(rows2, "doc_id: long, source: string, n_chars: long")
+    assert gini_concentration(df2).toPandas().iloc[0].gini_ppm == expect
+
+
+# -- theta forecast -----------------------------------------------------------
+
+
+def test_theta_forecast_matches_python_replay(spark):
+    from forecaster_spark.operators.timeweight import theta_forecast
+
+    rng = np.random.default_rng(9)
+    ys = [float(int(v)) for v in rng.integers(0, 300, 60)]
+    rows = [("s", i, v) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "source: string, ts: long, y: double")
+    out = theta_forecast(df, alpha=0.25, hh=3).toPandas().sort_values("h")
+    level = ys[0]
+    for v in ys[1:]:
+        level = v * 0.25 + level * 0.75
+    n = len(ys)
+    st, st2 = sum(range(n)), sum(t * t for t in range(n))
+    sy = sum(int(v) for v in ys)
+    sty = sum(t * int(v) for t, v in enumerate(ys))
+    bn, bd = n * sty - st * sy, n * st2 - st * st
+    for r in out.itertuples():
+        assert r.level == level
+        assert r.fc == level + (float(r.h) * (bn / bd)) * 0.5
+
+
+def test_theta_forecast_single_point_null(spark):
+    from forecaster_spark.operators.timeweight import theta_forecast
+
+    df = spark.createDataFrame([("s", 0, 7.0)], "source: string, ts: long, y: double")
+    out = theta_forecast(df, hh=2).toPandas()
+    assert len(out) == 2 and out.fc.isna().all() and (out.level == 7.0).all()
