@@ -2158,6 +2158,21 @@ def q_compaction_plan(spark, sf_dir):
     )
 
 
+
+
+def q_haar_multires(spark, sf_dir):
+    """Unnormalized Haar multi-resolution transform (3 levels) over the
+    hourly integer signal: smooth coefficients are the rollup tier sums,
+    details are exactly what each tier discards — computed as a rollup-
+    style pairwise cascade (data shrinks 2x per level, no input re-scan),
+    all-BIGINT."""
+    from forecaster_spark.operators.downsample import haar_multires
+
+    return haar_multires(_hourly_int_series(spark, sf_dir), levels=3).select(
+        "source", "level", "k", "n", "s_sum", "d_diff"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2295,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_doclen_documents": q_gini_doclen,
         "zorder_zonemap_events": q_zorder_zonemap,
         "compaction_plan_events": q_compaction_plan,
+        "haar_multires_events_1h": q_haar_multires,
     }
 
 
@@ -4045,4 +4061,37 @@ WITH d AS (
   FROM d
 )
 SELECT source, day, n_rows, before // 500 AS file_bin FROM c""",
+        "haar_multires_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, CAST(yd AS BIGINT) AS yq,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), c1 AS (
+  SELECT source, idx // 2 AS k, count(*) AS n,
+         CAST(sum(yq) AS BIGINT) AS s_sum,
+         CAST(sum(yq * (CASE WHEN idx % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT)
+           AS d_diff
+  FROM o GROUP BY 1, 2
+), c2 AS (
+  SELECT source, k // 2 AS kk, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s_sum) AS BIGINT) AS s_sum,
+         CAST(sum(s_sum * (CASE WHEN k % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT)
+           AS d_diff
+  FROM c1 GROUP BY 1, 2
+), c3 AS (
+  SELECT source, kk // 2 AS kkk, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(s_sum) AS BIGINT) AS s_sum,
+         CAST(sum(s_sum * (CASE WHEN kk % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT)
+           AS d_diff
+  FROM c2 GROUP BY 1, 2
+)
+SELECT source, CAST(1 AS BIGINT) AS level, k, n, s_sum, d_diff FROM c1 WHERE n = 2
+UNION ALL
+SELECT source, CAST(2 AS BIGINT), kk, n, s_sum, d_diff FROM c2 WHERE n = 4
+UNION ALL
+SELECT source, CAST(3 AS BIGINT), kkk, n, s_sum, d_diff FROM c3 WHERE n = 8""",
     }

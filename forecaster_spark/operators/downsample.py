@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
@@ -227,3 +227,68 @@ def sax_symbols(
         segs.join(F.broadcast(q), partition)
         .select(partition, "seg", "n_points", "seg_sum", sym.alias("symbol"))
     )
+
+
+def haar_multires(
+    df: DataFrame,
+    levels: int = 3,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+) -> DataFrame:
+    """Unnormalized Haar multi-resolution transform per series — the
+    lossless complement of the tiered mean rollup: level-l smooth
+    coefficients ARE 2^l-point block sums (what a rollup keeps), and the
+    detail coefficients d_l,k = (first-half sum) − (second-half sum) are
+    exactly the information each rollup tier throws away. Keep tiers +
+    details and any resolution reconstructs bit-exactly (pinned in pytest);
+    details also give the standard multi-scale energy/variance profile
+    (Percival & Walden, "Wavelet Methods for Time Series Analysis").
+    The 1/sqrt(2)^l normalization is deliberately omitted so every
+    coefficient stays an exact BIGINT of the integer-valued input.
+
+    Trailing blocks with fewer than 2^l points are dropped at that level
+    (standard truncation; the completeness flag is the ``n`` filter).
+
+    Plan shape: ONE ordered window to index rows, then a rollup-style
+    cascade — level l aggregates level l−1's smooth sums pairwise, so data
+    shrinks 2× per step (identical shape to the 1m→1h→1d cascade; no
+    re-scan of the input per level). Overflow bound: 2^levels·max|y|
+    < 2^63. Output: (partition, level, k, n, s_sum, d_diff)."""
+    w = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
+    b = (
+        df.withColumn("_idx", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("_yq", F.col(value).cast("long"))
+    )
+    sign1 = F.when(F.col("_idx") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    cur = b.groupBy(partition, F.expr("_idx div 2").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_yq").alias("s_sum"),
+        F.sum(F.col("_yq") * sign1).alias("d_diff"),
+    )
+    outs = [
+        cur.where(F.col("n") == 2).select(
+            partition, F.lit(1).cast("long").alias("level"), "k", "n", "s_sum", "d_diff"
+        )
+    ]
+    for lev in range(2, levels + 1):
+        signk = F.when(F.col("k") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+        cur = cur.groupBy(partition, F.expr("k div 2").alias("k")).agg(
+            F.sum("n").alias("n"),
+            F.sum("s_sum").alias("s_sum"),
+            F.sum(F.col("s_sum") * signk).alias("d_diff"),
+        )
+        outs.append(
+            cur.where(F.col("n") == (1 << lev)).select(
+                partition,
+                F.lit(lev).cast("long").alias("level"),
+                "k",
+                "n",
+                "s_sum",
+                "d_diff",
+            )
+        )
+    out = outs[0]
+    for g in outs[1:]:
+        out = out.unionByName(g)
+    return out

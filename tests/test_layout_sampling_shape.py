@@ -250,3 +250,37 @@ def test_theta_forecast_single_point_null(spark):
     df = spark.createDataFrame([("s", 0, 7.0)], "source: string, ts: long, y: double")
     out = theta_forecast(df, hh=2).toPandas()
     assert len(out) == 2 and out.fc.isna().all() and (out.level == 7.0).all()
+
+
+# -- haar multiresolution -----------------------------------------------------
+
+
+def test_haar_cascade_matches_direct_transform_and_reconstructs(spark):
+    from forecaster_spark.operators.downsample import haar_multires
+
+    rng = np.random.default_rng(10)
+    ys = [int(v) for v in rng.integers(0, 400, 29)]  # 29 -> truncation at all levels
+    rows = [("s", i, float(v)) for i, v in enumerate(ys)]
+    df = spark.createDataFrame(rows, "source: string, ts: long, y: double")
+    out = haar_multires(df, levels=3).toPandas()
+
+    for lev in (1, 2, 3):
+        size = 1 << lev
+        half = size >> 1
+        got = out[out.level == lev].sort_values("k")
+        n_complete = len(ys) // size
+        assert list(got.k) == list(range(n_complete))
+        for k in range(n_complete):
+            blk = ys[k * size : (k + 1) * size]
+            assert got.iloc[k].s_sum == sum(blk)
+            assert got.iloc[k].d_diff == sum(blk[:half]) - sum(blk[half:])
+
+    # losslessness: within a complete level-l block, the (smooth, detail)
+    # pair reconstructs both child smooths exactly
+    l2 = out[out.level == 2].set_index("k")
+    l1 = out[out.level == 1].set_index("k")
+    for k in l2.index:
+        s, d = l2.loc[k].s_sum, l2.loc[k].d_diff
+        assert (s + d) % 2 == 0 and (s - d) % 2 == 0
+        assert (s + d) // 2 == l1.loc[2 * k].s_sum
+        assert (s - d) // 2 == l1.loc[2 * k + 1].s_sum
