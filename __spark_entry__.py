@@ -2173,6 +2173,30 @@ def q_haar_multires(spark, sf_dir):
     )
 
 
+
+
+def q_binseg_changepoint(spark, sf_dir):
+    """Offline single-changepoint by binary segmentation: floor-quantized
+    SSE costs from exact milli prefix sums, argmin tie-broken to the
+    smallest index — the offline complement of the online CUSUM query."""
+    from forecaster_spark.operators.stats_tests import binseg_changepoint
+
+    return binseg_changepoint(_ev(spark, sf_dir)).select(
+        "source", "n", "split_i", "min_cost_q"
+    )
+
+
+def q_stl_strength(spark, sf_dir):
+    """Trend/seasonal strength indices (Wang-Smith-Hyndman) over the
+    bit-certified seasonal decomposition: unit-floored components, n-scaled
+    integer variances, ppm-floored ratios clamped at 0."""
+    from forecaster_spark.operators.timeweight import seasonal_decompose, stl_strength
+
+    return stl_strength(seasonal_decompose(_ev(spark, sf_dir))).select(
+        "source", "n", "ft_q6", "fs_q6"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2311,6 +2335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_zonemap_events": q_zorder_zonemap,
         "compaction_plan_events": q_compaction_plan,
         "haar_multires_events_1h": q_haar_multires,
+        "binseg_changepoint_events": q_binseg_changepoint,
+        "stl_strength_events": q_stl_strength,
     }
 
 
@@ -2369,6 +2395,71 @@ SELECT zkey // 4096 AS zblock, count(*) AS n,
 FROM z GROUP BY 1"""
 
 
+
+
+_DECOMP_ORACLE = """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id, value AS y,
+         CAST(round(value * 1000000) AS BIGINT) * 2 AS y2
+  FROM events
+), t AS (
+  SELECT source, ts, event_id, y, y2,
+         CAST(quantile_cont(y2, 0.5) OVER (
+           PARTITION BY source ORDER BY ts, event_id
+           ROWS BETWEEN 48 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS t2
+  FROM s
+), d AS (
+  SELECT source, ts, event_id, y, y2, t2, y2 - t2 AS d2,
+         CAST(hour(ts) AS BIGINT) AS hod
+  FROM t
+), se AS (
+  SELECT source, hod,
+         CAST(sum(d2) AS BIGINT) AS sd, count(*) AS n
+  FROM d GROUP BY 1, 2
+), sm AS (
+  SELECT source, hod,
+         CAST((sd - ((sd % n + n) % n)) // n AS BIGINT) AS s2
+  FROM se
+)
+SELECT d.source, d.ts, d.event_id, d.y,
+       t2 / 2000000.0 AS trend,
+       s2 / 2000000.0 AS seasonal,
+       (d2 - s2) / 2000000.0 AS resid
+FROM d JOIN sm ON d.source = sm.source AND d.hod = sm.hod"""
+
+
+def _stl_strength_oracle() -> str:
+    decomp = _DECOMP_ORACLE
+    return f"""
+WITH base AS MATERIALIZED ({decomp}),
+q AS (
+  SELECT source,
+         CAST(floor(resid) AS BIGINT) AS r,
+         CAST(floor(y - seasonal) AS BIGINT) AS a,
+         CAST(floor(y - trend) AS BIGINT) AS b
+  FROM base
+), ag AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS sr, CAST(sum(r * r) AS BIGINT) AS qr,
+         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(a * a) AS BIGINT) AS qa,
+         CAST(sum(b) AS BIGINT) AS sb, CAST(sum(b * b) AS BIGINT) AS qb
+  FROM q GROUP BY source
+), v AS (
+  SELECT source, n,
+         n * qr - sr * sr AS vr,
+         n * qa - sa * sa AS va,
+         n * qb - sb * sb AS vb
+  FROM ag
+)
+SELECT source, n,
+       CASE WHEN va > 0 THEN greatest(CAST(0 AS BIGINT), CAST(floor(
+         (1.0 - (CAST(vr AS DOUBLE) / CAST(va AS DOUBLE))) * 1000000.0
+       ) AS BIGINT)) END AS ft_q6,
+       CASE WHEN vb > 0 THEN greatest(CAST(0 AS BIGINT), CAST(floor(
+         (1.0 - (CAST(vr AS DOUBLE) / CAST(vb AS DOUBLE))) * 1000000.0
+       ) AS BIGINT)) END AS fs_q6
+FROM v"""
 
 
 def _oracle_sql_entries() -> dict[str, str]:
@@ -2885,36 +2976,7 @@ SELECT d.doc_id,
        coalesce(collision_mass, 0) AS collision_mass,
        CAST(n_words * n_words AS DOUBLE) / CAST(collision_mass AS DOUBLE) AS inv_simpson
 FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""",
-        "seasonal_decompose_events": """
-WITH s AS (
-  SELECT event_type AS source, ts, event_id, value AS y,
-         CAST(round(value * 1000000) AS BIGINT) * 2 AS y2
-  FROM events
-), t AS (
-  SELECT source, ts, event_id, y, y2,
-         CAST(quantile_cont(y2, 0.5) OVER (
-           PARTITION BY source ORDER BY ts, event_id
-           ROWS BETWEEN 48 PRECEDING AND CURRENT ROW
-         ) AS BIGINT) AS t2
-  FROM s
-), d AS (
-  SELECT source, ts, event_id, y, y2, t2, y2 - t2 AS d2,
-         CAST(hour(ts) AS BIGINT) AS hod
-  FROM t
-), se AS (
-  SELECT source, hod,
-         CAST(sum(d2) AS BIGINT) AS sd, count(*) AS n
-  FROM d GROUP BY 1, 2
-), sm AS (
-  SELECT source, hod,
-         CAST((sd - ((sd % n + n) % n)) // n AS BIGINT) AS s2
-  FROM se
-)
-SELECT d.source, d.ts, d.event_id, d.y,
-       t2 / 2000000.0 AS trend,
-       s2 / 2000000.0 AS seasonal,
-       (d2 - s2) / 2000000.0 AS resid
-FROM d JOIN sm ON d.source = sm.source AND d.hod = sm.hod""",
+        "seasonal_decompose_events": _DECOMP_ORACLE,
         "trimmed_mean_events": """
 WITH s AS (
   SELECT event_type AS source, event_id,
@@ -4094,4 +4156,41 @@ UNION ALL
 SELECT source, CAST(2 AS BIGINT), kk, n, s_sum, d_diff FROM c2 WHERE n = 4
 UNION ALL
 SELECT source, CAST(3 AS BIGINT), kkk, n, s_sum, d_diff FROM c3 WHERE n = 8""",
+        "binseg_changepoint_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 1000) AS BIGINT) AS vq
+  FROM events
+), c AS (
+  SELECT source,
+         CAST(row_number() OVER w2 AS BIGINT) AS i,
+         CAST(sum(vq) OVER w AS BIGINT) AS bi,
+         CAST(sum(vq * vq) OVER w AS BIGINT) AS ai,
+         CAST(count(*) OVER wp AS BIGINT) AS n,
+         CAST(sum(vq) OVER wp AS BIGINT) AS bn,
+         CAST(sum(vq * vq) OVER wp AS BIGINT) AS an
+  FROM s
+  WINDOW w AS (PARTITION BY source ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY source ORDER BY ts, event_id),
+         wp AS (PARTITION BY source)
+), k AS (
+  SELECT source, i, n,
+         CAST(floor(
+           (CAST(ai AS DOUBLE)
+            - (CAST(bi AS DOUBLE) * CAST(bi AS DOUBLE)) / CAST(i AS DOUBLE))
+           + (CAST(an - ai AS DOUBLE)
+              - (CAST(bn - bi AS DOUBLE) * CAST(bn - bi AS DOUBLE))
+                / CAST(n - i AS DOUBLE))
+         ) AS BIGINT) AS cost_q
+  FROM c WHERE i < n
+), m AS (
+  SELECT source, i, n, cost_q,
+         min(cost_q) OVER (PARTITION BY source) AS wmin
+  FROM k
+)
+SELECT source, max(n) AS n, CAST(min(i) AS BIGINT) AS split_i,
+       min(wmin) AS min_cost_q
+FROM m WHERE cost_q = wmin GROUP BY source""",
+        "stl_strength_events": _stl_strength_oracle(),
     }

@@ -643,3 +643,68 @@ def rescaled_range(
         "s2_scaled",
         F.when(F.col("s2_scaled") > 0, F.floor(rs * F.lit(1000000.0))).alias("rs_q6"),
     )
+
+
+def binseg_changepoint(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts", "event_id"),
+) -> DataFrame:
+    """Offline single-changepoint detection by binary segmentation (the
+    first split of BinSeg / PELT, Scott & Knott 1974; Killick et al. 2012):
+    the split index minimizing total within-segment squared error,
+    SSE(i) = (A_i − B_i²/i) + (A_r − B_r²/r) over prefix sums A = Σv²,
+    B = Σv — the offline complement of the online :func:`cusum` detector.
+
+    Exactness: milli-quantized prefix sums are exact BIGINTs; the cost is
+    a fixed-shape chain of correctly-rounded casts/mults/divs (BIGINT→
+    DOUBLE is correctly rounded in both engines), floored to an integer
+    cost. The argmin is tie-broken to the SMALLEST index by a two-step
+    min: min cost per series, then min i at that cost — no struct min
+    (keeps HashAggregate), no sequential scan. Bound: Σv² ≤ n·(1000·max|v|)²
+    < 2^63 → n ≤ ~2.9e7 rows/series at |v| ≤ 560.
+
+    Plan: one ordered cumulative window + whole-partition windows (totals
+    and the min cost) on the SAME single shuffle — no join-back, so the
+    window chain is evaluated once — then one tiny aggregate.
+    Output: (source, n, split_i, min_cost_q) — split_i = size of the left
+    segment; NULL when n < 2 (no interior split)."""
+    vq = F.round(F.col(value) * 1000).cast("long")
+    cols = [F.col(c) for c in order]
+    wc = (
+        Window.partitionBy(partition)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wa = Window.partitionBy(partition)
+    b = (
+        df.withColumn("_i", F.row_number().over(Window.partitionBy(partition).orderBy(*cols)).cast("long"))
+        .withColumn("_bi", F.sum(vq).over(wc))
+        .withColumn("_ai", F.sum(vq * vq).over(wc))
+        .withColumn("_n", F.count(F.lit(1)).over(wa))
+        .withColumn("_bn", F.sum(vq).over(wa))
+        .withColumn("_an", F.sum(vq * vq).over(wa))
+        .where(F.col("_i") < F.col("_n"))
+    )
+    i_d = F.col("_i").cast("double")
+    r = F.col("_n") - F.col("_i")
+    br = F.col("_bn") - F.col("_bi")
+    ar = F.col("_an") - F.col("_ai")
+    cost = (
+        F.col("_ai").cast("double")
+        - (F.col("_bi").cast("double") * F.col("_bi").cast("double")) / i_d
+    ) + (ar.cast("double") - (br.cast("double") * br.cast("double")) / r.cast("double"))
+    c = b.withColumn("_cost_q", F.floor(cost)).withColumn(
+        "_wmin", F.min(F.floor(cost)).over(wa)
+    )
+    return (
+        c.where(F.col("_cost_q") == F.col("_wmin"))
+        .groupBy(partition)
+        .agg(
+            F.max("_n").alias("n"),
+            F.min("_i").alias("split_i"),
+            F.min("_wmin").alias("min_cost_q"),
+        )
+        .select(partition, "n", "split_i", "min_cost_q")
+    )

@@ -1401,3 +1401,52 @@ def theta_forecast(
             F.when(F.col("_bd") != 0, fc).alias("fc"),
         )
     )
+
+
+def stl_strength(decomposed: DataFrame, partition: str = "source") -> DataFrame:
+    """Trend / seasonal strength indices over a :func:`seasonal_decompose`
+    output (Wang, Smith & Hyndman 2006; FPP3 §4.3):
+
+        F_T = max(0, 1 − Var(R) / Var(T + R))
+        F_S = max(0, 1 − Var(R) / Var(S + R))
+
+    — the standard [0,1] "how much signal does the trend/seasonal component
+    carry" features for series classification and monitoring.
+
+    Exactness: the decomposition's components are bit-certified doubles, so
+    ``y − seasonal`` / ``y − trend`` / ``resid`` are engine-identical;
+    they quantize to UNIT integers by floor (exact on negatives, unlike
+    round/div), variances use the n-scaled integer form n·Σx² − (Σx)², and
+    each strength is one double division inside a fixed chain, ppm-floored
+    then clamped at 0. Degenerate variances emit NULL.
+
+    Plan: one hash aggregate over the decomposition (which itself is two
+    shuffles); strengths are |sources| rows.
+    Output: (source, n, ft_q6, fs_q6)."""
+    r = F.floor(F.col("resid")).cast("long")
+    a = F.floor(F.col("y") - F.col("seasonal")).cast("long")  # T + R
+    b = F.floor(F.col("y") - F.col("trend")).cast("long")  # S + R
+    agg = decomposed.groupBy(partition).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(r).alias("_sr"),
+        F.sum(r * r).alias("_qr"),
+        F.sum(a).alias("_sa"),
+        F.sum(a * a).alias("_qa"),
+        F.sum(b).alias("_sb"),
+        F.sum(b * b).alias("_qb"),
+    )
+    n = F.col("n")
+    vr = n * F.col("_qr") - F.col("_sr") * F.col("_sr")
+    va = n * F.col("_qa") - F.col("_sa") * F.col("_sa")
+    vb = n * F.col("_qb") - F.col("_sb") * F.col("_sb")
+    zero = F.lit(0).cast("long")
+
+    def strength(vx):
+        q = F.floor(
+            (F.lit(1.0) - (vr.cast("double") / vx.cast("double"))) * F.lit(1000000.0)
+        )
+        return F.when(vx > 0, F.greatest(zero, q))
+
+    return agg.select(
+        partition, "n", strength(va).alias("ft_q6"), strength(vb).alias("fs_q6")
+    )

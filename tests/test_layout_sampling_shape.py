@@ -284,3 +284,65 @@ def test_haar_cascade_matches_direct_transform_and_reconstructs(spark):
         assert (s + d) % 2 == 0 and (s - d) % 2 == 0
         assert (s + d) // 2 == l1.loc[2 * k].s_sum
         assert (s - d) // 2 == l1.loc[2 * k + 1].s_sum
+
+
+# -- binseg changepoint -------------------------------------------------------
+
+
+def test_binseg_finds_planted_level_shift(spark):
+    from forecaster_spark.operators.stats_tests import binseg_changepoint
+
+    rng = np.random.default_rng(11)
+    left = rng.uniform(10, 12, 80)
+    right = rng.uniform(40, 42, 120)
+    vals = list(left) + list(right)
+    rows = [("s", i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source: string, ts: long, event_id: long, y: double")
+    got = binseg_changepoint(df).toPandas().iloc[0]
+    assert got.split_i == 80 and got.n == 200
+
+    # brute-force SSE reference on the quantized signal agrees
+    vq = [round(v * 1000) for v in vals]
+    import math
+
+    def cost(i):
+        l, r = vq[:i], vq[i:]
+        def sse(seg):
+            return sum(x * x for x in seg) - (sum(seg) ** 2) / len(seg)
+        return math.floor(sse(l) + sse(r))
+
+    best = min(range(1, len(vq)), key=lambda i: (cost(i), i))
+    assert got.split_i == best
+
+
+def test_binseg_two_points_and_ties(spark):
+    from forecaster_spark.operators.stats_tests import binseg_changepoint
+
+    df = spark.createDataFrame(
+        [("s", 0, 0, 1.0), ("s", 1, 1, 1.0), ("s", 2, 2, 1.0)],
+        "source: string, ts: long, event_id: long, y: double",
+    )
+    got = binseg_changepoint(df).toPandas().iloc[0]
+    # constant series: all splits cost 0 -> smallest index wins
+    assert got.split_i == 1 and got.min_cost_q == 0
+
+
+# -- stl strength -------------------------------------------------------------
+
+
+def test_stl_strength_trendy_vs_noisy(spark):
+    from forecaster_spark.operators.timeweight import seasonal_decompose, stl_strength
+
+    # trendy series: strong ramp + tiny noise -> high F_T; pure noise -> low
+    rng = np.random.default_rng(12)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(400):
+        ts = (base + pd.Timedelta(minutes=30 * i)).to_pydatetime()
+        rows.append(("ramp", ts, i, 3.0 * i + float(rng.uniform(0, 1))))
+        rows.append(("noise", ts, i, float(rng.uniform(0, 100))))
+    df = spark.createDataFrame(rows, "source: string, ts: timestamp, event_id: long, y: double")
+    got = stl_strength(seasonal_decompose(df)).toPandas().set_index("source")
+    assert got.loc["ramp"].ft_q6 > 990_000  # ~1.0
+    assert got.loc["noise"].ft_q6 < got.loc["ramp"].ft_q6
+    assert (got.n == 400).all()
