@@ -1,8 +1,10 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk_brute``: exact top-k neighbors per query — broadcast the
-  (small) query set against the corpus, dot products via native
-  ``zip_with``+``aggregate`` (codegen), top-k via window. The baseline.
+  (small) query set against the corpus, cosine via the ``_cosine_arrow``
+  kernel (bit-identical to the higher-order-function fold but vectorized;
+  the lambdas are interpreted per element and measured 4.7x slower at
+  corpus-wide pair counts), top-k via window. The baseline.
 - ``lsh_signatures`` / ``cosine_topk_lsh``: random-hyperplane LSH — the
   scale path. Signatures are computed in one Arrow kernel (numpy matmul of
   the batch against the broadcast plane matrix), candidates come from an
@@ -32,6 +34,32 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_arrow(qv: pd.Series, cv: pd.Series) -> pd.Series:
+    """Arrow cosine scorer, bit-identical to the ``_dot``/``_norm`` SQL
+    fold: a dim-length loop of vectorized column ops replays the exact
+    left-to-right accumulation ``((0 + x0*y0) + x1*y1) + ...`` per row, so
+    results match the higher-order-function formulation (and its DuckDB
+    ``list_reduce`` oracle) to the bit — verified in pytest. Why not the
+    lambdas in the hot path: Catalyst interprets higher-order-function
+    lambdas per element (never codegen, CLAUDE.md); this kernel measured
+    4.7x faster on a 4M-pair 64-dim scoring stage (66 s -> 14 s, same
+    window). np.dot/matmul would be faster still but reassociates the sum
+    (pairwise/BLAS) and breaks cross-engine bit parity."""
+    Q = np.stack(qv.to_numpy())
+    C = np.stack(cv.to_numpy())
+    n, d = Q.shape
+    acc = np.zeros(n)
+    aq = np.zeros(n)
+    ac = np.zeros(n)
+    for j in range(d):
+        acc = acc + Q[:, j] * C[:, j]
+        aq = aq + Q[:, j] * Q[:, j]
+        ac = ac + C[:, j] * C[:, j]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(acc / (np.sqrt(aq) * np.sqrt(ac)))
+
+
 def cosine_topk_brute(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,7 +77,7 @@ def cosine_topk_brute(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
     )
     scored = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _cosine_arrow(F.col("qv"), F.col("cv"))
     scored = scored.withColumn("cosine", cos)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -108,7 +136,7 @@ def cosine_topk_lsh(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"), "bucket"
     )
     cand = csig.join(F.broadcast(qsig), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _cosine_arrow(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("cosine", cos)
@@ -314,7 +342,7 @@ def cosine_topk_ivf(
         F.explode(probes(F.col(vec_col))).alias("cluster"),
     )
     cand = cells.join(F.broadcast(q), "cluster").where(F.col("neighbor_id") != F.col("query_id"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _cosine_arrow(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cand.withColumn("cosine", cos)
@@ -452,7 +480,7 @@ def embedding_neardup_pairs(
     a = sig.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
     b = sig.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
     pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _cosine_arrow(F.col("va"), F.col("vb"))
     return pairs.withColumn("cosine", cos).where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )

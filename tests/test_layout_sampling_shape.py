@@ -346,3 +346,27 @@ def test_stl_strength_trendy_vs_noisy(spark):
     assert got.loc["ramp"].ft_q6 > 990_000  # ~1.0
     assert got.loc["noise"].ft_q6 < got.loc["ramp"].ft_q6
     assert (got.n == 400).all()
+
+
+# -- arrow cosine kernel parity -----------------------------------------------
+
+
+def test_cosine_arrow_bit_matches_lambda_fold(spark):
+    """The Arrow scorer must replay the higher-order-function fold (and
+    hence the DuckDB list_reduce oracle) bit-for-bit, including the
+    left-to-right accumulation order."""
+    from pyspark.sql import functions as F
+
+    from forecaster_spark.operators.similarity import _cosine_arrow, _dot, _norm
+
+    rng = np.random.default_rng(13)
+    rows = [
+        ([float(x) for x in rng.standard_normal(17)], [float(x) for x in rng.standard_normal(17)])
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "qv: array<double>, cv: array<double>")
+    lam = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    out = df.select(
+        lam.alias("a"), _cosine_arrow(F.col("qv"), F.col("cv")).alias("b")
+    ).toPandas()
+    assert (out.a.to_numpy() == out.b.to_numpy()).all()
