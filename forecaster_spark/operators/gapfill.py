@@ -210,15 +210,18 @@ def fill_bucket_gaps_blocked(
         partition,
         "_blk",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.greatest(F.col("_blk") * blk_span, F.col("_lo")),
-                    F.least(F.col("_blk") * blk_span + blk_span - step, F.col("_hi")),
-                    step,
-                ),
-                lambda s: F.timestamp_seconds(s),
+            F.sequence(
+                F.greatest(F.col("_blk") * blk_span, F.col("_lo")),
+                F.least(F.col("_blk") * blk_span + blk_span - step, F.col("_hi")),
+                step,
             )
-        ).alias(bucket),
+        ).alias("_sec"),
+    ).select(
+        partition,
+        "_blk",
+        # timestamp conversion AFTER the explode: a plain codegen projection
+        # per grid row instead of an interpreted per-element transform lambda
+        F.timestamp_seconds(F.col("_sec")).alias(bucket),
     )
 
     joined = grid.join(tier, on=[partition, bucket], how="left").withColumn(
