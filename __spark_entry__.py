@@ -2197,6 +2197,19 @@ def q_stl_strength(spark, sf_dir):
     )
 
 
+
+
+def q_cross_rank(spark, sf_dir):
+    """Cross-sectional rank/percentile of each source vs the others at every
+    hourly bucket — the across-series feature axis (relative momentum); the
+    one operator that shuffles on TIME instead of source."""
+    from forecaster_spark.operators.features import cross_rank
+
+    return cross_rank(_hourly_int_series(spark, sf_dir)).select(
+        "source", F.col("ts").cast("timestamp_ntz").alias("ts"), "yq", "rk", "n_src", "pct_ppm"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2337,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar_multires_events_1h": q_haar_multires,
         "binseg_changepoint_events": q_binseg_changepoint,
         "stl_strength_events": q_stl_strength,
+        "cross_rank_events_1h": q_cross_rank,
     }
 
 
@@ -4193,4 +4207,20 @@ SELECT source, max(n) AS n, CAST(min(i) AS BIGINT) AS split_i,
        min(wmin) AS min_cost_q
 FROM m WHERE cost_q = wmin GROUP BY source""",
         "stl_strength_events": _stl_strength_oracle(),
+        "cross_rank_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS BIGINT) AS yq FROM th
+), r AS (
+  SELECT source, ts, yq,
+         CAST(row_number() OVER (PARTITION BY ts ORDER BY yq, source) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY ts) AS BIGINT) AS n_src
+  FROM o
+)
+SELECT source, ts, yq, rk, n_src,
+       ((rk - 1) * 1000000) // greatest(n_src - 1, 1) AS pct_ppm
+FROM r""",
     }

@@ -233,3 +233,38 @@ def transform_standard(
         out = out.withColumn(f"{c}{suffix}", (F.col(c) - mean) / safe)
     drop = [f"{c}__mean" for c in cols] + [f"{c}__std" for c in cols]
     return out.drop(*drop)
+
+
+def cross_rank(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Cross-SECTIONAL rank features: at each time bucket, rank every
+    series' value against the other series (deterministic (value, source)
+    tie-break) plus the ppm percentile — the relative-performance features
+    (cross-sectional momentum / cohort position) that per-series windows
+    cannot express. The reference models one series at a time
+    (forecaster.py:33-34); this is the across-series axis.
+
+    All-integer (input must be the integer-valued rolled signal); the
+    percentile is BIGINT ``((rk − 1) · 1e6) div max(n − 1, 1)``.
+
+    Plan note: shuffles on the TIME bucket — the transpose of every other
+    operator's source-keyed partitioning. Buckets are naturally balanced
+    (|sources| rows each), so no skew; at 10^12 scale this is the layout
+    a bucket-keyed write (write_bucketed) serves with zero extra Exchange.
+    Output: input + (yq, rk, n_src, pct_ppm)."""
+    yq = F.col(value).cast("long")
+    w = Window.partitionBy(ts).orderBy(yq, F.col(partition))
+    wb = Window.partitionBy(ts)
+    return (
+        df.withColumn("yq", yq)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n_src", F.count(F.lit(1)).over(wb).cast("long"))
+        .withColumn(
+            "pct_ppm",
+            F.expr("((rk - 1) * 1000000) div greatest(n_src - 1, 1)"),
+        )
+    )

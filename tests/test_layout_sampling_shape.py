@@ -370,3 +370,23 @@ def test_cosine_arrow_bit_matches_lambda_fold(spark):
         lam.alias("a"), _cosine_arrow(F.col("qv"), F.col("cv")).alias("b")
     ).toPandas()
     assert (out.a.to_numpy() == out.b.to_numpy()).all()
+
+
+# -- cross-sectional rank -----------------------------------------------------
+
+
+def test_cross_rank_orders_sources_within_bucket(spark):
+    from forecaster_spark.operators.features import cross_rank
+
+    rows = [
+        ("a", 0, 30.0), ("b", 0, 10.0), ("c", 0, 20.0),
+        ("a", 1, 5.0), ("b", 1, 5.0),  # tie -> source tie-break
+        ("a", 2, 7.0),  # singleton bucket
+    ]
+    df = spark.createDataFrame(rows, "source: string, ts: long, y: double")
+    out = cross_rank(df).toPandas().set_index(["ts", "source"])
+    assert out.loc[(0, "b")].rk == 1 and out.loc[(0, "c")].rk == 2 and out.loc[(0, "a")].rk == 3
+    assert out.loc[(0, "b")].pct_ppm == 0 and out.loc[(0, "a")].pct_ppm == 1_000_000
+    assert out.loc[(0, "c")].pct_ppm == 500_000
+    assert out.loc[(1, "a")].rk == 1 and out.loc[(1, "b")].rk == 2  # tie by source
+    assert out.loc[(2, "a")].rk == 1 and out.loc[(2, "a")].pct_ppm == 0  # n=1 guard
