@@ -611,20 +611,24 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     counts are exact integers and ``novelty_ppm`` is the floor
     ``(1_000_000·n_novel) div n_shingles``.
 
-    Plan: explode distinct shingles → ONE shuffle on the shingle hash for
-    the min-doc_id aggregate (map-side partials collapse the heavy head)
-    → shuffle join back on the shingle → per-doc hash agg.  Both shuffles
-    key on the 64-bit hash — uniform by construction, skew-free at
-    10^12 docs.
+    Plan: explode distinct shingles → ONE shuffle on the shingle hash,
+    where an unordered whole-group window attaches min(doc_id) per shingle
+    in a single pass → per-doc hash agg.  The earlier groupBy +
+    shuffle-join-back formulation re-executed the shingle Arrow kernel on
+    both sides of the join (the self-join chain-re-execution trap,
+    CLAUDE.md) — measured 1.9x slower at sf0.1 (1.67 s vs 0.88 s warm,
+    identical results).  Both shuffle keys are the 64-bit hash — uniform
+    by construction, skew-free at 10^12 docs.
 
     Output: (doc_id, n_shingles, n_novel, novelty_ppm).
     """
+    from pyspark.sql import Window
+
     sh = word_shingles(docs, text_col=text_col, k=k).select(
         "doc_id", F.explode("shingles").alias("_sh")
     )
-    first = sh.groupBy("_sh").agg(F.min("doc_id").alias("_first"))
     return (
-        sh.join(first, "_sh")
+        sh.withColumn("_first", F.min("doc_id").over(Window.partitionBy("_sh")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
