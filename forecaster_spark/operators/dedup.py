@@ -198,6 +198,93 @@ def lsh_bands(
     return bh.select(id_col, F.posexplode("_bh").alias("band_id", "band_hash"))
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Fused words → (id, band_id, band_hash) table: bit-identical to
+    ``lsh_bands(minhash_signature(word_shingles(df)))`` but in ONE Arrow
+    kernel per batch instead of three. The composed chain ships the shingle
+    array (Σ shingles longs) and the signature array out of and back into
+    Arrow between kernels — at sf0.1 that transfer plus the extra UDF
+    evaluations was ~60% of the chain's wall. Fusing also drops the
+    per-batch shingle dedup lexsort entirely: min over duplicates is the
+    min, so banding never needed distinct shingles (verification, which
+    does, still calls :func:`word_shingles`)."""
+    salts = xhash.minhash_salts(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_arr(words_s: pd.Series) -> pd.Series:
+        rows = words_s.to_numpy()
+        n = len(rows)
+        out_rows = np.empty(n, dtype=object)
+        if n == 0:
+            return pd.Series(out_rows)
+        flat_words: list[str] = []
+        lens = np.zeros(n, np.int64)
+        nonnull = np.zeros(n, bool)
+        for i, ws in enumerate(rows):
+            if ws is not None:
+                flat_words.extend(ws)
+                lens[i] = len(ws)
+                nonnull[i] = True
+        if not nonnull.any():
+            return pd.Series(out_rows)
+        # --- shingle-hash stream: same construction as word_shingles ---
+        flat = xhash.word_hash_flat(flat_words)
+        powers = xhash.pow_table(k)
+        g = np.zeros(max(len(flat) - (k - 1), 0), dtype=np.uint64)
+        for j in range(k):
+            g += flat[j : len(flat) - (k - 1) + j] * powers[j]
+        g = _splitmix(g)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)[: len(g)]
+        off = np.arange(len(g), dtype=np.int64) - starts[row_of]
+        valid = off <= (lens[row_of] - k)
+        rowv, gv = row_of[valid], g[valid]
+        short = np.flatnonzero((lens > 0) & (lens < k))
+        if len(short):
+            pos = np.arange(len(flat), dtype=np.int64) - starts[np.repeat(np.arange(n, dtype=np.int64), lens)]
+            contrib = flat * powers[np.minimum(pos, k - 1)]
+            csum = np.concatenate(([np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)))
+            acc = (csum[ends[short]] - csum[starts[short]]).astype(np.uint64)
+            rowv = np.concatenate([rowv, short])
+            gv = np.concatenate([gv, _splitmix(acc)])
+        zero_rows = np.flatnonzero(nonnull & (lens == 0))  # m==0 → shingle 0
+        if len(zero_rows):
+            rowv = np.concatenate([rowv, zero_rows])
+            gv = np.concatenate([gv, np.zeros(len(zero_rows), np.uint64)])
+        order = np.argsort(rowv, kind="stable")
+        rowv, gv = rowv[order], gv[order]
+        # --- per-row signature mins, chunked like minhash_signature ---
+        uniq_rows, grp_starts = np.unique(rowv, return_index=True)
+        grp_ends = np.concatenate([grp_starts[1:], [len(rowv)]])
+        sig = np.empty((len(uniq_rows), num_perm), np.uint64)
+        chunk = max(1, (1 << 23) // max(num_perm, 1))
+        lo = 0
+        while lo < len(uniq_rows):
+            hi = lo + 1
+            while hi < len(uniq_rows) and grp_ends[hi - 1] - grp_starts[lo] < chunk:
+                hi += 1
+            seg = gv[grp_starts[lo] : grp_ends[hi - 1]]
+            vals = _splitmix(seg[:, None] ^ salts[None, :])
+            sig[lo:hi] = np.minimum.reduceat(vals, grp_starts[lo:hi] - grp_starts[lo], axis=0)
+            lo = hi
+        bh = xhash.fold_bands(sig, bands).view(np.int64)
+        for j, i in enumerate(uniq_rows):
+            out_rows[i] = bh[j]
+        return pd.Series(out_rows)
+
+    bt = df.select(id_col, band_arr(_lower_words(text_col)).alias("_bh"))
+    return bt.select(id_col, F.posexplode("_bh").alias("band_id", "band_hash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -210,15 +297,13 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH; when
     ``verify_jaccard`` is set, candidates are re-checked with exact shingle
     Jaccard and filtered."""
-    sh = word_shingles(df, text_col, k)
-    sig = minhash_signature(sh, num_perm=num_perm)
-    bandt = lsh_bands(sig, id_col=id_col, bands=bands)
+    bandt = minhash_band_table(df, text_col, id_col, k=k, num_perm=num_perm, bands=bands)
     # bucket-grouped pair generation instead of a band-table self-join: ONE
-    # shuffle on (band_id, band_hash) and ONE evaluation of the shingle/
-    # signature kernel chain (a self-join re-executes the whole upstream for
-    # each side — measured ~2× the kernel cost). Bucket sizes are bounded by
-    # the LSH property, so the within-bucket explosion equals the join's
-    # candidate count.
+    # shuffle on (band_id, band_hash) and ONE evaluation of the fused band
+    # kernel (a self-join re-executes the whole upstream for each side —
+    # measured ~2× the kernel cost). Bucket sizes are bounded by the LSH
+    # property, so the within-bucket explosion equals the join's candidate
+    # count.
     buckets = (
         bandt.groupBy("band_id", "band_hash")
         .agg(F.collect_list(id_col).alias("_ids"))
@@ -232,10 +317,14 @@ def minhash_lsh_pairs(
     )
     if verify_jaccard is not None:
         # the verify path consumes `pairs` twice (candidate ids + the final
-        # broadcast join), re-executing the kernel chain per consumer —
-        # measured CHEAPER than materializing it (localCheckpoint's eager
-        # job + storage cost ~0.5 s at sf0.1; both chain runs are parallel
-        # broadcast-side jobs).
+        # broadcast join); each consumer would re-run the band kernel +
+        # bucket shuffle. The pair table is tiny by LSH construction, so an
+        # eager localCheckpoint pins it after ONE evaluation — measured A/B
+        # at sf0.1: 4.14 s (re-execute) vs 3.13 s (checkpoint) warm, 9.4 vs
+        # 4.5 s cold. (An earlier structure measured the opposite; the
+        # conclusion flipped once verification stopped re-shingling the full
+        # corpus, leaving chain re-execution as the dominant term.)
+        pairs = pairs.localCheckpoint(eager=True)
         # candidate pairs are tiny by LSH construction — shingle ONLY the
         # candidate docs (broadcast semi-join into the corpus), then
         # broadcast-join the pair table; the full corpus is never

@@ -58,6 +58,43 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     assert (pairs.jaccard >= 0.5).all()
 
 
+def test_fused_band_table_matches_composed_chain(spark, docs):
+    """minhash_band_table is the fused fast path for the shingle→signature→
+    bands chain; it must be bit-identical to the composition, including the
+    NULL / empty / shorter-than-k edge docs."""
+    from forecaster_spark.operators.dedup import (
+        lsh_bands,
+        minhash_band_table,
+        minhash_signature,
+        word_shingles,
+    )
+
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("e00", None),  # NULL text → no band rows
+                ("e01", ""),  # zero words after split
+                ("e02", "one"),  # m < k: one whole-doc shingle
+                ("e03", "two words"),  # m < k
+                ("e04", "exactly three words"),  # m == k
+                ("e05", "  leading and trailing  spaces  here  "),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    for frame in (docs, edge):
+        for num_perm, bands in ((32, 8), (16, 4)):
+            fused = minhash_band_table(frame, num_perm=num_perm, bands=bands).toPandas()
+            composed = lsh_bands(
+                minhash_signature(word_shingles(frame), num_perm=num_perm),
+                bands=bands,
+            ).toPandas()
+            key = ["doc_id", "band_id"]
+            a = fused.sort_values(key).reset_index(drop=True)
+            b = composed.sort_values(key).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+
+
 def test_ngram_jaccard_exact_values(spark, docs):
     pairs = spark.createDataFrame(pd.DataFrame({"id_a": ["d00"], "id_b": ["d01"]}))
     out = ngram_jaccard(docs, pairs).toPandas()
