@@ -82,7 +82,31 @@ def test_fused_band_table_matches_composed_chain(spark, docs):
             columns=["doc_id", "text"],
         )
     )
-    for frame in (docs, edge):
+    import random
+
+    rng = random.Random(20260818)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCXYZ0123456789"
+        "äöüßéèñçабвгдеёж中文字符émoji✓✗€$%&@#.,;:!?()[]-_/"
+    )
+    seps = [" ", "  ", "\t", "\n", " \t ", "\x0b"]  # incl. the Java-\s VT edge
+
+    def rand_word():
+        # word lengths cross the MAX_WORD_CP=256 truncation boundary
+        n = rng.choice([1, 2, 3, 5, 8, 20, 120, 255, 256, 300])
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    def rand_doc(i):
+        m = rng.choice([0, 1, 2, 3, 4, 10, 40])
+        words = [rand_word() for _ in range(m)]
+        if m > 4 and rng.random() < 0.5:  # duplicate-heavy docs
+            words = words[:3] * (m // 3 + 1)
+        return (f"r{i:03d}", rng.choice(seps).join(words))
+
+    fuzz = spark.createDataFrame(
+        pd.DataFrame([rand_doc(i) for i in range(200)], columns=["doc_id", "text"])
+    )
+    for frame in (docs, edge, fuzz):
         for num_perm, bands in ((32, 8), (16, 4)):
             fused = minhash_band_table(frame, num_perm=num_perm, bands=bands).toPandas()
             composed = lsh_bands(
