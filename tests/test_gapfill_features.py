@@ -655,6 +655,47 @@ def test_acf_matches_numpy_loop(spark):
     assert got.set_index(["source", "lag"]).loc[("ramp", 1), "rho"] > 0.98
 
 
+def test_acf_pacf_negative_mean_trunc_division(spark):
+    """The Arrow kernels replay Spark ``div`` (truncation toward zero) for
+    the centering mean — testdata means are all positive, so the negative
+    branch (where trunc and numpy's floor ``//`` disagree by 1) is only
+    pinned here. A floor-division regression shifts every deviation and
+    every gamma."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.timeweight import acf, pacf
+
+    # sum of round(y*100) is negative and NOT divisible by n
+    y = np.array(
+        [-1.37, -0.11, 2.53, -3.89, -0.07, 1.01, -2.23] * 29 + [-0.13], dtype=float
+    )
+    n = len(y)
+    pdf = pd.DataFrame(
+        {
+            "source": ["neg"] * n,
+            "ts": pd.date_range("2030-01-01", periods=n, freq="1min"),
+            "y": y,
+            "event_id": range(n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+
+    def trunc_div(a: int, b: int) -> int:
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    for op, quantum in ((acf, 100), (pacf, 10)):
+        vc = np.round(y * quantum).astype(np.int64)
+        s = int(vc.sum())
+        assert s < 0 and s % n != 0  # the case under test
+        m = trunc_div(s, n)
+        assert m != s // n  # floor would differ — the test has teeth
+        dev = vc - m
+        got = op(sdf).toPandas().set_index("lag")
+        for k in (1, 2, 3):
+            assert got.loc[k, "gamma"] == int((dev[k:] * dev[:-k]).sum())
+
+
 def test_pacf_matches_float_yule_walker(spark):
     """PACF(k) from the exact-integer Cramer kernel equals the float
     Yule-Walker Toeplitz solve's last coefficient to ~1e-12 relative
