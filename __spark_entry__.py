@@ -320,6 +320,65 @@ def q_quality_funnel(spark, sf_dir):
     return quality_funnel(docs).orderBy("stage_idx")
 
 
+def _pii_seeded_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII spans appended (the
+    corpus itself is PII-free word soup): doc_id%3==1 gets an e-mail + an
+    IPv4, doc_id%3==2 a phone + a second e-mail shape, doc_id%3==0 stays
+    clean (zero-count rows exercised). Mirrored verbatim by
+    :func:`_pii_seed_sql`."""
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    seeded_1 = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), sid, F.lit("@mail.example.com at 10."),
+        (d % 256).cast("string"), F.lit("."), (d % 97).cast("string"), F.lit(".7"),
+    )
+    seeded_2 = F.concat(
+        F.col("text"),
+        F.lit(" call +1-555-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" or a.b-c_d"), sid, F.lit("@sub.example.org"),
+    )
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 3 == 1, seeded_1)
+        .when(d % 3 == 2, seeded_2)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _pii_redact_oracle():
+    from forecaster_spark.operators.textops import pii_redact_sql
+
+    return pii_redact_sql(source_sql=_pii_seed_sql())
+
+
+def _pii_seed_sql():
+    return """SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com at 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 97 AS VARCHAR) || '.7'
+            WHEN doc_id % 3 = 2 THEN text || ' call +1-555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' or a.b-c_d' || CAST(doc_id AS VARCHAR) || '@sub.example.org'
+            ELSE text END AS text
+FROM documents"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (C4/RefinedWeb/Dolma-style): redact e-mail / IPv4 / phone
+    spans to typed placeholders and report per-doc match counts. The corpus
+    is PII-free, so the query seeds deterministic spans from doc_id
+    identically on both engines, then certifies the full redacted string.
+    Row-local JVM regex in codegen — one scan, no shuffle at any scale."""
+    from forecaster_spark.operators.textops import pii_redact
+
+    docs = _pii_seeded_docs(spark, sf_dir)
+    return pii_redact(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "redacted"
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (pretraining example packing): greedy
     sequential fill of 512-token bins per language, document order fixed by
@@ -2236,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split,
         "temperature_mixture_documents": q_temperature_mixture,
         "quality_funnel_documents": q_quality_funnel,
+        "pii_redact_documents": q_pii_redact,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3374,6 +3434,7 @@ FROM events GROUP BY 1""",
         "hash_split_documents": hash_split_sql(),
         "temperature_mixture_documents": temperature_mixture_sql(),
         "quality_funnel_documents": quality_funnel_sql(),
+        "pii_redact_documents": _pii_redact_oracle(),
         "contamination_flags_documents": xhash_sql.contamination_sql(),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form

@@ -558,3 +558,67 @@ def gini_concentration(
             "gini_ppm"
         ),
     )
+
+
+# --- PII detection / redaction ------------------------------------------
+
+# Explicit character classes only — these parse and match identically under
+# Java regex (Spark) and RE2 (DuckDB); no \d / \s / \b shorthands, whose
+# definitions diverge between the engines (see quality_funnel's \s note).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_IPV4 = r"[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_PHONE = r"[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (the scrubbing stage every training-data
+    pipeline runs before tokenization): replace e-mail addresses, IPv4
+    addresses and phone numbers with typed placeholder tokens and report
+    per-document match counts.
+
+    Engine-added operator (the reference has no text machinery). Public
+    precedent: C4/RefinedWeb/Dolma-style PII scrubbers (regex classes for
+    email/IP/phone → placeholder tokens).
+
+    Order matters and is part of the contract: e-mails first (their
+    domains contain dots and digits an IP/phone pattern could clip),
+    then IPv4, then phone. The same order is baked into
+    :func:`pii_redact_sql`.
+
+    Scale shape: purely row-local JVM regex in whole-stage codegen — no
+    shuffle, no UDF; a 100-TB scrub is exactly one scan + one write, and
+    filters/projections around it still push down to the parquet scan.
+
+    Output: input columns + (n_email, n_ip, n_phone, redacted).
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return (
+        df.withColumn("n_email", F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("long"))
+        .withColumn("n_ip", F.size(F.regexp_extract_all(F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), F.lit(PII_IPV4), F.lit(0))).cast("long"))
+        .withColumn("n_phone", F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long"))
+        .withColumn("redacted", red)
+    )
+
+
+def pii_redact_sql(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB oracle for :func:`pii_redact` — same patterns, same
+    replacement order; ``'g'`` flags mirror Spark's global-by-default
+    ``regexp_replace``. IP counting runs on the email-redacted text on both
+    engines so an address embedded in an e-mail domain is never
+    double-counted."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+    ipv4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    phone = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    return f"""
+WITH src AS ({source_sql}),
+e AS (SELECT *, regexp_replace(text, '{email}', '<EMAIL>', 'g') AS no_email FROM src)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(no_email, '{ipv4}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+       regexp_replace(regexp_replace(no_email, '{ipv4}', '<IP>', 'g'),
+                      '{phone}', '<PHONE>', 'g') AS redacted
+FROM e"""

@@ -706,3 +706,63 @@ def test_quality_funnel_cross_engine_adversarial_text(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_pii_redact_counts_and_order(spark):
+    from forecaster_spark.operators.textops import pii_redact
+
+    rows = [
+        # plain text, nothing to scrub
+        (0, "no pii here at all"),
+        # one of each kind
+        (1, "mail a.b-c_d1@sub.example.org ip 10.1.2.3 tel +1-555-0042 end"),
+        # e-mail whose domain looks dotted-numeric-ish: e-mail wins (redacted
+        # first), so the IP counter must NOT see its domain
+        (2, "x9@h4.v2.example.com and a real 192.168.0.1"),
+        # two e-mails, adjacent punctuation kept intact
+        (3, "(a@b.co, c.d@e-f.org)"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+
+    assert (got[0]["n_email"], got[0]["n_ip"], got[0]["n_phone"]) == (0, 0, 0)
+    assert got[0]["redacted"] == "no pii here at all"
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["redacted"] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert (got[2]["n_email"], got[2]["n_ip"]) == (1, 1)
+    assert got[2]["redacted"] == "<EMAIL> and a real <IP>"
+    assert got[3]["n_email"] == 2
+    assert got[3]["redacted"] == "(<EMAIL>, <EMAIL>)"
+
+
+def test_pii_redact_matches_duckdb_oracle_on_adversarial_text(spark):
+    """Cross-engine fuzz of the Java-regex vs RE2 seam on punctuation-dense
+    strings (the class of input where greedy-backtrack vs automaton
+    semantics could in principle diverge)."""
+    import duckdb
+
+    from forecaster_spark.operators.textops import pii_redact, pii_redact_sql
+
+    rng = np.random.default_rng(7)
+    alphabet = list("abZ09._%+-@ ()[]:;,/\\<>\t\n") + ["@example.com", "10.0.0.", "+1-555-1234", "a@b.cc"]
+    rows = [
+        (i, "".join(rng.choice(alphabet, size=rng.integers(0, 40))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        pii_redact(df)
+        .select("doc_id", "n_email", "n_ip", "n_phone", "redacted")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("pii_in", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = (
+        con.execute(pii_redact_sql(source_sql="SELECT doc_id, text FROM pii_in"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns])
