@@ -2269,6 +2269,57 @@ def q_cross_rank(spark, sf_dir):
     )
 
 
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal persistence intervals (Papadopoulos/Vovk) on the
+    hourly integer tier: the conformal radius is an exact-integer order
+    statistic of calibration residuals (rank ceil((n+1)·7/8)), so the
+    whole band — lo/hi/covered for the last 6 points per series — is
+    bit-exact cross-engine. The coverage guarantee the reference's QoF
+    point metrics (reference qof.py) don't provide."""
+    from forecaster_spark.operators.conformal import conformal_interval
+
+    return conformal_interval(
+        _hourly_int_series(spark, sf_dir), hh=6, alpha_num=1, alpha_den=8
+    ).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "y",
+        "fc",
+        "q",
+        "lo",
+        "hi",
+        "covered",
+    )
+
+
+def q_dominant_period(spark, sf_dir):
+    """ACF-argmax seasonality detection over lags 2..48 of the hourly
+    tier (the period the reference's seasonal configs hard-code, found
+    automatically): exact BIGINT autocovariances in one per-series Arrow
+    kernel, smallest-lag tie-break, rho as a single IEEE division."""
+    from forecaster_spark.operators.timeweight import dominant_period
+
+    return dominant_period(_hourly_int_series(spark, sf_dir), min_lag=2, max_lag=48).select(
+        "source", "period", "gamma", "rho", "g0", "n"
+    )
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-significant-digit screen per source over raw event
+    values: leading digit of the micro-unit BIGINT's decimal string,
+    shares in ppm by integer floor division, deviations vs the published
+    integer Benford table, TVD over the full 9-digit spine — ingest-time
+    forensic data quality, pure codegen aggregate."""
+    from forecaster_spark.operators.stats_tests import benford_digits
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"), "value"
+    )
+    return benford_digits(ev, value="value").select(
+        "source", "digit", "cnt", "n", "obs_ppm", "exp_ppm", "dev_ppm", "tvd_ppm"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2296,6 +2347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_documents": q_temperature_mixture,
         "quality_funnel_documents": q_quality_funnel,
         "pii_redact_documents": q_pii_redact,
+        "conformal_interval_events_1h": q_conformal_interval,
+        "dominant_period_events_1h": q_dominant_period,
+        "benford_digits_events": q_benford_digits,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3435,6 +3489,93 @@ FROM events GROUP BY 1""",
         "temperature_mixture_documents": temperature_mixture_sql(),
         "quality_funnel_documents": quality_funnel_sql(),
         "pii_redact_documents": _pii_redact_oracle(),
+        "conformal_interval_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS BIGINT) AS yv,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx,
+         count(*) OVER (PARTITION BY source) AS n,
+         CAST(lag(yd, 1) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS fc
+  FROM th
+), cal AS (
+  SELECT source, idx, abs(yv - fc) AS r, n - 6 - 1 AS ncal
+  FROM o WHERE idx >= 1 AND idx <= n - 6 - 1
+), rad AS (
+  SELECT source, r AS q
+  FROM (SELECT source, r, ncal,
+               row_number() OVER (PARTITION BY source ORDER BY r, idx) AS rk
+        FROM cal) rr
+  WHERE rk = least(((ncal + 1) * 7 + 7) // 8, ncal)
+)
+SELECT o.source, o.ts, o.yv AS y, o.fc, rad.q,
+       o.fc - rad.q AS lo, o.fc + rad.q AS hi,
+       (o.yv >= o.fc - rad.q AND o.yv <= o.fc + rad.q) AS covered
+FROM o JOIN rad ON rad.source = o.source
+WHERE o.idx >= o.n - 6""",
+        "dominant_period_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, CAST(yd AS BIGINT) AS yv,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), ag AS (
+  SELECT source, CAST(sum(yv) AS BIGINT) AS s, count(*) AS n FROM o GROUP BY 1
+), c AS (
+  SELECT o.source, o.idx,
+         o.yv - (CASE WHEN s >= 0 THEN abs(s) // n ELSE -(abs(s) // n) END) AS dev,
+         ag.n
+  FROM o JOIN ag ON ag.source = o.source
+), gz AS (
+  SELECT source, CAST(sum(dev * dev) AS BIGINT) AS g0, max(n) AS n FROM c GROUP BY 1
+), ks AS (SELECT unnest(generate_series(2, 48)) AS kk
+), gk AS (
+  SELECT a.source, CAST(ks.kk AS BIGINT) AS period,
+         CAST(sum(a.dev * b.dev) AS BIGINT) AS gamma
+  FROM ks CROSS JOIN c a JOIN c b
+    ON b.source = a.source AND b.idx = a.idx - ks.kk
+  GROUP BY 1, 2
+)
+SELECT source, period, gamma,
+       CAST(gamma AS DOUBLE) / CAST(g0 AS DOUBLE) AS rho, g0, n
+FROM (SELECT gk.source, gk.period, gk.gamma, gz.g0, gz.n,
+             row_number() OVER (PARTITION BY gk.source
+                                ORDER BY gk.gamma DESC, gk.period ASC) AS rk
+      FROM gk JOIN gz ON gz.source = gk.source) t
+WHERE rk = 1""",
+        "benford_digits_events": """
+WITH m AS (
+  SELECT event_type AS source,
+         abs(CAST(round(value * 1000000) AS BIGINT)) AS am
+  FROM events
+), mp AS (SELECT source, am FROM m WHERE am > 0
+), d AS (
+  SELECT source, CAST(substr(CAST(am AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM mp
+), counts AS (SELECT source, digit, count(*) AS cnt FROM d GROUP BY 1, 2
+), sp AS (
+  SELECT s.source, CAST(dg.digit AS BIGINT) AS digit, CAST(dg.exp_ppm AS BIGINT) AS exp_ppm
+  FROM (SELECT DISTINCT source FROM d) s
+  CROSS JOIN (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+                     (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+                     (9, 45757)) AS dg(digit, exp_ppm)
+), f AS (
+  SELECT sp.source, sp.digit, coalesce(counts.cnt, 0) AS cnt, sp.exp_ppm
+  FROM sp LEFT JOIN counts ON counts.source = sp.source AND counts.digit = sp.digit
+), g AS (
+  SELECT source, digit, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n, exp_ppm
+  FROM f
+), h AS (
+  SELECT source, digit, cnt, n, (cnt * 1000000) // n AS obs_ppm, exp_ppm FROM g
+)
+SELECT source, digit, cnt, n, obs_ppm, exp_ppm, obs_ppm - exp_ppm AS dev_ppm,
+       CAST(sum(abs(obs_ppm - exp_ppm)) OVER (PARTITION BY source) AS BIGINT) AS tvd_ppm
+FROM h""",
         "contamination_flags_documents": xhash_sql.contamination_sql(),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form

@@ -1,0 +1,113 @@
+"""Split-conformal prediction intervals over rolled series.
+
+Public method: split (inductive) conformal regression — Papadopoulos et
+al. (ECML 2002), Vovk et al. "Algorithmic Learning in a Random World"
+(2005), popularized for time series as the residual-quantile band: hold
+out a calibration set, take the ceil((n_cal+1)(1-alpha))-th smallest
+absolute residual as the radius q, and report [fc - q, fc + q], which
+carries a finite-sample >= 1-alpha marginal coverage guarantee under
+exchangeability.  The reference Forecaster reports point forecasts and
+QoF aggregates only (reference qof.py, forecaster.py:forecast); interval
+calibration is an engine addition a production forecasting pipeline
+needs before anyone pages on a breach.
+
+Forecaster choice: one-step persistence (fc_t = y_{t-1}) — the same
+baseline the reference's QoF suite scores against (reference qof.py
+persistence rows).  Persistence residuals |y_t - y_{t-1}| are exact
+BIGINTs on the integer-valued rolled signal, so the conformal radius is
+an ORDER STATISTIC of exact integers: sort + row_number pick, the same
+cross-engine-exact selection recipe as the Theil-Sen median (CLAUDE.md
+"sort + middle-row pick").  No float quantile interpolation — both
+engines agree bit-for-bit, and the pick is the textbook conformal rank,
+not an approximation.
+
+Rank arithmetic stays integral: k = ceil((n_cal+1) * (1-a)) with
+a = alpha_num/alpha_den is ((n_cal+1)*(alpha_den-alpha_num)
++ alpha_den-1) div alpha_den — non-negative operands, so Spark ``div``
+(truncating) and DuckDB ``//`` (flooring) agree.
+
+Plan shape (100-TB lens): everything partitions by the series key — one
+window pass for (idx, n, lag) over (ts) on the rolled tier (bounded
+rows/series by construction), a second ordered window over the
+calibration residuals for the rank pick riding the SAME hash partitioning
+(Exchange reuse, no extra shuffle), and a broadcast join of the per-series
+radius (one row per series) back onto the tail rows.  No collect, no
+cross join; series count scales the parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def conformal_interval(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: str = "ts",
+    hh: int = 6,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+) -> DataFrame:
+    """Split-conformal persistence intervals for the last ``hh`` points of
+    each series.
+
+    ``df``: one row per (series, bucket) with an integer-valued ``value``
+    column (the exact-rollup tiers produce these).  The last ``hh`` rows
+    per series are the test window; every earlier row with a predecessor
+    is calibration.  Returns one row per test point:
+
+    (partition, order, y, fc, q, lo, hi, covered) — all BIGINT except the
+    original order column; ``covered`` is the conformal guarantee's
+    per-point outcome (marginal coverage >= 1 - alpha_num/alpha_den in
+    expectation over exchangeable series).
+
+    Series too short to calibrate (fewer than hh + 2 rows) drop out via
+    the inner radius join — deterministically on both engines.
+    """
+    w = Window.partitionBy(partition).orderBy(order)
+    base = df.select(
+        F.col(partition),
+        F.col(order),
+        F.col(value).cast("long").alias("yv"),
+    ).withColumn("idx", F.row_number().over(w) - F.lit(1))
+    base = base.withColumn("n", F.count("*").over(Window.partitionBy(partition)))
+    base = base.withColumn("fc", F.lag("yv", 1).over(w))
+
+    # calibration: residual rows strictly before the test tail
+    cal = base.filter((F.col("idx") >= 1) & (F.col("idx") <= F.col("n") - hh - 1)).select(
+        partition,
+        "idx",
+        F.abs(F.col("yv") - F.col("fc")).alias("r"),
+        (F.col("n") - hh - 1).alias("ncal"),
+    )
+    rw = Window.partitionBy(partition).orderBy("r", "idx")
+    keep = alpha_den - alpha_num
+    radius = (
+        cal.withColumn("rk", F.row_number().over(rw))
+        .withColumn(
+            "k",
+            F.least(
+                F.expr(f"((ncal + 1) * {keep} + {alpha_den - 1}) div {alpha_den}"),
+                F.col("ncal"),
+            ),
+        )
+        .filter(F.col("rk") == F.col("k"))
+        .select(partition, F.col("r").alias("q"))
+    )
+
+    test = base.filter(F.col("idx") >= F.col("n") - hh)
+    out = test.join(F.broadcast(radius), on=partition, how="inner")
+    return out.select(
+        partition,
+        order,
+        F.col("yv").alias("y"),
+        "fc",
+        "q",
+        (F.col("fc") - F.col("q")).alias("lo"),
+        (F.col("fc") + F.col("q")).alias("hi"),
+        ((F.col("yv") >= F.col("fc") - F.col("q")) & (F.col("yv") <= F.col("fc") + F.col("q"))).alias(
+            "covered"
+        ),
+    )

@@ -708,3 +708,70 @@ def binseg_changepoint(
         )
         .select(partition, "n", "split_i", "min_cost_q")
     )
+
+
+# Benford expected first-digit frequencies, floor(log10(1 + 1/d) * 1e6):
+# fixed PUBLISHED integer literals (Benford 1938; Hill 1995) written
+# identically into the SQL mirror, so no engine ever evaluates a log.
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+
+def benford_digits(
+    df: DataFrame,
+    value: str = "value",
+    partition: str = "source",
+) -> DataFrame:
+    """First-significant-digit profile per group vs Benford's law — the
+    classic forensic data-quality screen (Benford 1938; Hill, Statistical
+    Science 1995): synthetic, clipped, or fat-fingered numeric feeds skew
+    the leading-digit distribution long before summary stats move.  The
+    reference Forecaster assumes clean inputs (its example notebooks load
+    curated CSVs); at 100-TB ingest this is the cheap tripwire in front
+    of the rollup tiers.
+
+    Exactness discipline: values quantize to micro-unit BIGINTs (zero
+    drops out — zero has no leading digit); the leading digit is the
+    first character of the BIGINT's decimal string, which both engines
+    render identically (no float formatting anywhere).  Shares are ppm by
+    integer floor division of non-negative counts (Spark ``div`` ==
+    DuckDB ``//`` there), deviations are differences against the
+    published integer Benford table, and ``tvd_ppm`` (total variation
+    x 2e6) is an integer window sum over the 9-digit spine — digits with
+    zero observations still contribute their expected mass.
+
+    Plan shape (100-TB lens): one hash aggregate on (group, digit) with
+    map-side partials — at most 9 rows per group survive the shuffle —
+    then a broadcast 9-row spine join and a 9-row window per group.
+    Whole-stage codegen end to end; no kernel, no collect.
+
+    Output: (partition, digit, cnt, n, obs_ppm, exp_ppm, dev_ppm, tvd_ppm).
+    """
+    m = df.select(
+        F.col(partition),
+        F.expr(f"abs(CAST(round({value} * 1000000) AS BIGINT))").alias("am"),
+    ).filter(F.col("am") > 0)
+    d = m.select(
+        partition, F.substring(F.col("am").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    counts = d.groupBy(partition, "digit").agg(F.count("*").alias("cnt"))
+    spine = (
+        d.select(partition)
+        .distinct()
+        .select(
+            partition,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.lit(9).cast("long"))).alias("digit"),
+            F.element_at(
+                F.array(*[F.lit(p).cast("long") for p in BENFORD_PPM]),
+                F.col("digit").cast("int"),
+            ).alias("exp_ppm"),
+        )
+    )
+    full = (
+        spine.join(counts, on=[partition, "digit"], how="left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(partition)))
+        .withColumn("obs_ppm", F.expr("(cnt * 1000000) div n"))
+        .withColumn("dev_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+        .withColumn("tvd_ppm", F.sum(F.abs("dev_ppm")).over(Window.partitionBy(partition)))
+    )
+    return full.select(partition, "digit", "cnt", "n", "obs_ppm", "exp_ppm", "dev_ppm", "tvd_ppm")

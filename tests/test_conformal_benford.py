@@ -1,0 +1,169 @@
+"""Golden tests for the round-3 additions: split-conformal intervals,
+ACF-argmax dominant period, and the Benford leading-digit screen.
+
+Each test computes the expectation independently (plain Python/numpy, no
+shared code with the operators beyond the documented estimator), so a
+regression in kernel or plan shape cannot hide behind a shared oracle.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from forecaster_spark.operators.conformal import conformal_interval
+from forecaster_spark.operators.stats_tests import BENFORD_PPM, benford_digits
+from forecaster_spark.operators.timeweight import dominant_period
+
+
+def _series_df(spark, y_by_source: dict):
+    rows = []
+    for src, ys in y_by_source.items():
+        for i, y in enumerate(ys):
+            rows.append((src, pd.Timestamp("2030-01-01") + pd.Timedelta(hours=i), float(y)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["source", "ts", "y"]))
+
+
+class TestConformalInterval:
+    def test_golden_hand_computed(self, spark):
+        # 20 points, hh=4 -> cal residuals from idx 1..15 (ncal=15)
+        y = [10, 12, 11, 15, 15, 14, 20, 18, 18, 19, 25, 24, 23, 30, 28, 29, 35, 33, 40, 38]
+        df = _series_df(spark, {"a": y})
+        got = (
+            conformal_interval(df, hh=4, alpha_num=1, alpha_den=8)
+            .toPandas()
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        n, hh = len(y), 4
+        ncal = n - hh - 1
+        res = sorted(abs(y[t] - y[t - 1]) for t in range(1, n - hh))
+        k = min(math.ceil((ncal + 1) * 7 / 8), ncal)
+        q = res[k - 1]
+        assert len(got) == hh
+        for j, row in got.iterrows():
+            idx = n - hh + j
+            assert row["y"] == y[idx]
+            assert row["fc"] == y[idx - 1]
+            assert row["q"] == q
+            assert row["lo"] == y[idx - 1] - q
+            assert row["hi"] == y[idx - 1] + q
+            assert bool(row["covered"]) == (abs(y[idx] - y[idx - 1]) <= q)
+
+    def test_rank_formula_alpha_quarter(self, spark):
+        # alpha=1/4 -> k = ceil((ncal+1)*3/4); distinct residuals pin the pick
+        y = [0, 1, 3, 6, 10, 15, 21, 28, 36, 45, 55, 66]  # residuals 1,2,3,...
+        df = _series_df(spark, {"s": y})
+        got = conformal_interval(df, hh=3, alpha_num=1, alpha_den=4).toPandas()
+        ncal = len(y) - 3 - 1  # 8 calibration residuals: 1..8
+        k = math.ceil((ncal + 1) * 3 / 4)  # 7
+        assert set(got["q"]) == {float(k)}
+
+    def test_short_series_dropped(self, spark):
+        df = _series_df(spark, {"tiny": [1, 2, 3], "ok": list(range(30))})
+        got = conformal_interval(df, hh=6).toPandas()
+        assert set(got["source"]) == {"ok"}
+        # perfectly linear series: residual always 1, q=1, always covered
+        assert got["covered"].all() and set(got["q"]) == {1.0}
+
+    def test_residual_ties_deterministic(self, spark):
+        # all residuals equal -> any rank picks the same q; earliest idx wins
+        y = [5, 7, 5, 7, 5, 7, 5, 7, 5, 7, 5, 7]
+        df = _series_df(spark, {"z": y})
+        got = conformal_interval(df, hh=2).toPandas()
+        assert set(got["q"]) == {2.0}
+
+
+class TestDominantPeriod:
+    def test_detects_planted_period(self, spark):
+        # period-7 sawtooth + linear-free noise-free signal, 70 points
+        y7 = [(i % 7) * 10 for i in range(70)]
+        # period-24-ish square wave
+        y24 = [100 if (i // 12) % 2 == 0 else 0 for i in range(96)]
+        df = _series_df(spark, {"saw7": y7, "sq24": y24})
+        got = dominant_period(df, min_lag=2, max_lag=30).toPandas().set_index("source")
+        assert got.loc["saw7", "period"] == 7
+        assert got.loc["sq24", "period"] == 24
+        assert got.loc["saw7", "rho"] >= 0.9
+
+    def test_matches_numpy_argmax(self, spark):
+        rng = np.random.default_rng(3)
+        y = np.floor(rng.normal(50, 10, 200)).astype(int)
+        df = _series_df(spark, {"r": y.tolist()})
+        got = dominant_period(df, min_lag=2, max_lag=48).toPandas().iloc[0]
+        s = int(y.sum())
+        m = abs(s) // len(y) * (1 if s >= 0 else -1)
+        dev = y - m
+        g0 = int(np.dot(dev, dev))
+        gs = {k: int(np.dot(dev[k:], dev[:-k])) for k in range(2, 49)}
+        best = min((-g, k) for k, g in gs.items())
+        assert (got["period"], got["gamma"], got["g0"]) == (best[1], -best[0], g0)
+        assert got["rho"] == np.float64(-best[0]) / np.float64(g0)
+
+    def test_negative_mean_trunc_centering(self, spark):
+        # negative, non-divisible sum: trunc-div (Spark) differs from floor
+        y = [-3, -1, -4, -1, -5, -9, -2, -6, -5, -3, -4]
+        df = _series_df(spark, {"neg": y})
+        s, n = sum(y), len(y)
+        assert s < 0 and s % n != 0
+        m = abs(s) // n * -1
+        assert m != s // n  # the branch under test
+        dev = np.array(y) - m
+        got = dominant_period(df, min_lag=2, max_lag=5).toPandas().iloc[0]
+        gs = {k: int(np.dot(dev[k:], dev[:-k])) for k in range(2, 6)}
+        best = min((-g, k) for k, g in gs.items())
+        assert (got["period"], got["gamma"]) == (best[1], -best[0])
+
+    def test_tiebreak_smallest_lag(self, spark):
+        # constant series: all gammas equal (all devs 0) -> smallest lag wins
+        df = _series_df(spark, {"c": [5.0] * 40})
+        got = dominant_period(df, min_lag=2, max_lag=10).toPandas().iloc[0]
+        assert got["period"] == 2 and got["gamma"] == 0
+
+
+class TestBenfordDigits:
+    def test_golden_counts_and_tvd(self, spark):
+        # values engineered per leading digit of round(v*1e6)
+        vals = [1.0] * 30 + [2.5] * 20 + [9.0] * 10 + [0.0] * 5 + [-3.0] * 7
+        pdf = pd.DataFrame({"source": ["x"] * len(vals), "value": vals})
+        got = (
+            benford_digits(spark.createDataFrame(pdf))
+            .toPandas()
+            .set_index("digit")
+            .sort_index()
+        )
+        assert len(got) == 9  # full spine, zero rows dropped
+        n = 30 + 20 + 10 + 7  # zeros excluded, negatives kept by |.|
+        assert set(got["n"]) == {n}
+        assert got.loc[1, "cnt"] == 30 and got.loc[2, "cnt"] == 20
+        assert got.loc[3, "cnt"] == 7 and got.loc[9, "cnt"] == 10
+        assert got.loc[4, "cnt"] == 0  # spine keeps absent digits
+        exp_tvd = sum(
+            abs((int(got.loc[d, "cnt"]) * 1_000_000) // n - BENFORD_PPM[d - 1])
+            for d in range(1, 10)
+        )
+        assert set(got["tvd_ppm"]) == {exp_tvd}
+
+    def test_benford_like_sample_scores_low(self, spark):
+        # a log-uniform sample IS Benford-distributed; uniform is not
+        rng = np.random.default_rng(11)
+        logu = np.power(10.0, rng.uniform(0, 4, 40_000))
+        unif = rng.uniform(1, 10_000, 40_000)
+        pdf = pd.DataFrame(
+            {
+                "source": ["logu"] * 40_000 + ["unif"] * 40_000,
+                "value": np.concatenate([logu, unif]),
+            }
+        )
+        got = benford_digits(spark.createDataFrame(pdf)).toPandas()
+        tvd = got.groupby("source")["tvd_ppm"].first()
+        assert tvd["logu"] < 30_000  # close to Benford
+        assert tvd["unif"] > 200_000  # flagrantly not
+
+    def test_fractional_values_use_micro_digits(self, spark):
+        # 0.005 -> micro 5000 -> leading digit 5
+        pdf = pd.DataFrame({"source": ["f", "f"], "value": [0.005, 0.07]})
+        got = benford_digits(spark.createDataFrame(pdf)).toPandas()
+        nz = got[got["cnt"] > 0].set_index("digit")
+        assert set(nz.index) == {5, 7}
