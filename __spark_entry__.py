@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -2320,6 +2320,37 @@ def q_benford_digits(spark, sf_dir):
     )
 
 
+def q_pinball_qof(spark, sf_dir):
+    """Pinball (quantile) loss of the persistence forecast at tau =
+    1/4, 1/2, 3/4 per source on the hourly tier — the M5-Uncertainty
+    scoring rule as exact integer arithmetic (den*L = greatest(num*e,
+    (num-den)*e)); one hash aggregate with map-side partials."""
+    from forecaster_spark.models.metrics import pinball_qof
+
+    w = Window.partitionBy("source").orderBy("ts")
+    s = (
+        _hourly_int_series(spark, sf_dir)
+        .withColumn("f", F.lag("y").over(w))
+        .filter(F.col("f").isNotNull())
+    )
+    return pinball_qof(s, ["source"], y_true="y", y_hat="f").select(
+        "source", "tau_num", "tau_den", "n", "den_loss_sum", "mean_milli"
+    )
+
+
+def q_duplicated_spans(spark, sf_dir):
+    """Top-20 most-duplicated word-3-gram spans across the corpus (Lee
+    et al. 2021 exact-substring dedup, span-level ledger): one shuffle on
+    the splitmix64 span hash, TakeOrderedAndProject top-N, deterministic
+    (n_docs desc, span_hash asc) total order."""
+    from forecaster_spark.operators.dedup import duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, top_n=20).select(
+        "rnk", "span_hash", "n_docs", "first_doc", "last_doc"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2350,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_interval_events_1h": q_conformal_interval,
         "dominant_period_events_1h": q_dominant_period,
         "benford_digits_events": q_benford_digits,
+        "pinball_qof_events_1h": q_pinball_qof,
+        "duplicated_spans_documents": q_duplicated_spans,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3548,6 +3581,28 @@ FROM (SELECT gk.source, gk.period, gk.gamma, gz.g0, gz.n,
                                 ORDER BY gk.gamma DESC, gk.period ASC) AS rk
       FROM gk JOIN gz ON gz.source = gk.source) t
 WHERE rk = 1""",
+        "pinball_qof_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, CAST(yd AS BIGINT) AS y,
+         CAST(lag(yd, 1) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS f
+  FROM th
+), e AS (SELECT source, y, f FROM o WHERE f IS NOT NULL
+), t AS (SELECT CAST(tau_num AS BIGINT) AS tau_num, CAST(tau_den AS BIGINT) AS tau_den
+         FROM (VALUES (1, 4), (2, 4), (3, 4)) v(tau_num, tau_den)
+), l AS (
+  SELECT source, tau_num, tau_den,
+         greatest(tau_num * (y - f), (tau_num - tau_den) * (y - f)) AS dl
+  FROM e CROSS JOIN t
+)
+SELECT source, tau_num, tau_den, count(*) AS n,
+       CAST(sum(dl) AS BIGINT) AS den_loss_sum,
+       (1000 * CAST(sum(dl) AS BIGINT)) // (count(*) * tau_den) AS mean_milli
+FROM l GROUP BY 1, 2, 3""",
+        "duplicated_spans_documents": xhash_sql.duplicated_spans_sql(top_n=20),
         "benford_digits_events": """
 WITH m AS (
   SELECT event_type AS source,

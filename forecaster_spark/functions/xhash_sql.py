@@ -442,3 +442,26 @@ SELECT s.doc_id,
             // count(*) AS BIGINT) AS novelty_ppm
 FROM shd s JOIN fst f USING (sh)
 GROUP BY s.doc_id"""
+
+
+def duplicated_spans_sql(
+    top_n: int = 20,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``dedup.duplicated_spans``: replay the distinct word
+    3-gram shingles per doc, count docs per span hash, keep spans in >= 2
+    docs, and take the deterministic (n_docs desc, unsigned-hash asc)
+    top-N; the hash is emitted as its int64 two's-complement value to
+    match the kernel's signed long."""
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+{shingle_ctes()},
+agg AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM shd GROUP BY 1 HAVING count(*) >= 2
+),
+top AS (SELECT * FROM agg ORDER BY n_docs DESC, sh ASC LIMIT {top_n})
+SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, sh ASC) AS BIGINT) AS rnk,
+       {to_int64("sh")} AS span_hash, n_docs, first_doc, last_doc
+FROM top"""

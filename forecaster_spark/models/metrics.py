@@ -65,3 +65,66 @@ def qof_native(
         smape_expr.alias("smape"),
         m.alias("m"),
     )
+
+
+def pinball_qof(
+    df: DataFrame,
+    group_cols: list[str],
+    y_true: str = "y_true",
+    y_hat: str = "y_hat",
+    taus: tuple = ((1, 4), (2, 4), (3, 4)),
+) -> DataFrame:
+    """Pinball (quantile) loss per group and quantile — the quantile-
+    forecast companion of :func:`qof_native` and the scoring rule of the
+    M5 Uncertainty competition (Makridakis et al., IJF 2022): L_tau(y,f)
+    = tau(y-f) if y >= f else (1-tau)(f-y).  The reference's QoF suite
+    (reference qof.py) scores point forecasts only; once the engine emits
+    quantile bands (conformal_interval), this is how you grade them.
+
+    Exactness discipline: inputs are the integer-valued rolled signal and
+    an integer forecast; with tau = num/den the SCALED loss den*L =
+    greatest(num*(y-f), (num-den)*(y-f)) is a single integer expression
+    both engines evaluate identically — the rational quantile never
+    becomes a float.  ``den_loss_sum`` is the exact BIGINT sum;
+    ``mean_milli = (1000*sum) div (n*den)`` is one integer floor
+    division.  Bound: |y-f| <= ~2^20 on the tiers x den <= 100 x n <=
+    ~2^20 rows/group stays far under 2^63, ANSI-safe.
+
+    Plan shape: one hash aggregate on (group, tau) with map-side partials
+    — the tau fan-out is a broadcast literal explode (x|taus| rows before
+    the partial agg, standard and shuffle-free).
+
+    Output: (group cols..., tau_num, tau_den, n, den_loss_sum, mean_milli).
+    """
+    tau_rows = F.array(
+        *[
+            F.struct(F.lit(int(n)).cast("long").alias("tau_num"), F.lit(int(d)).cast("long").alias("tau_den"))
+            for n, d in taus
+        ]
+    )
+    e = df.select(
+        *group_cols,
+        F.col(y_true).cast("long").alias("_y"),
+        F.col(y_hat).cast("long").alias("_f"),
+        F.explode(tau_rows).alias("_t"),
+    ).select(
+        *group_cols,
+        F.col("_t.tau_num").alias("tau_num"),
+        F.col("_t.tau_den").alias("tau_den"),
+        F.greatest(
+            F.col("_t.tau_num") * (F.col("_y") - F.col("_f")),
+            (F.col("_t.tau_num") - F.col("_t.tau_den")) * (F.col("_y") - F.col("_f")),
+        ).alias("_dl"),
+    )
+    return (
+        e.groupBy(*group_cols, "tau_num", "tau_den")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_dl").alias("den_loss_sum"))
+        .select(
+            *group_cols,
+            "tau_num",
+            "tau_den",
+            "n",
+            "den_loss_sum",
+            F.expr("(1000 * den_loss_sum) div (n * tau_den)").alias("mean_milli"),
+        )
+    )

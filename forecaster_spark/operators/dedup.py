@@ -732,3 +732,56 @@ def ngram_novelty(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
             F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide inventory of the most-duplicated word k-gram spans —
+    the span-level view of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": their
+    suffix-array pass finds verbatim spans repeated across documents;
+    over a columnar corpus the hashed k-gram window table IS that signal,
+    and the top of it is the boilerplate/license/template content a
+    curation pass strips first).  Complements :func:`ngram_novelty`
+    (per-DOC score) with the per-SPAN ledger: which spans, how many
+    documents, where first/last seen.
+
+    Span identity is the same splitmix64 word-k-gram hash the MinHash /
+    contamination / novelty paths use (distinct per document, so n_docs
+    is "documents containing the span"), and the DuckDB oracle replays it
+    symbol-for-symbol; counts are exact integers and the ranking
+    (n_docs desc, UNSIGNED hash asc — sign-bit flip on the signed long,
+    matching the mirror's HUGEINT order) is a total order, so the top-N
+    cut is deterministic cross-engine.
+
+    Plan shape (100-TB lens): explode shingles → ONE shuffle on the
+    64-bit span hash (uniform, skew-free) with map-side partial
+    aggregates, filter to n_docs >= 2, then a global top-N — Spark plans
+    ``orderBy().limit(n)`` as TakeOrderedAndProject (per-partition heaps,
+    no global sort), and the final row_number window runs on top_n rows.
+
+    Output: (rnk, span_hash, n_docs, first_doc, last_doc).
+    """
+    from pyspark.sql import Window
+
+    sh = word_shingles(docs, text_col=text_col, k=k).select(
+        id_col, F.explode("shingles").alias("span_hash")
+    )
+    agg = (
+        sh.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),  # (doc, span) is distinct upstream
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    uns = F.col("span_hash").bitwiseXOR(F.lit(-(1 << 63)))  # unsigned order
+    top = agg.orderBy(F.col("n_docs").desc(), uns.asc()).limit(top_n)
+    w = Window.orderBy(F.col("n_docs").desc(), uns.asc())
+    return top.select(F.row_number().over(w).alias("rnk"), "*")

@@ -167,3 +167,82 @@ class TestBenfordDigits:
         got = benford_digits(spark.createDataFrame(pdf)).toPandas()
         nz = got[got["cnt"] > 0].set_index("digit")
         assert set(nz.index) == {5, 7}
+
+
+class TestPinballQof:
+    def test_golden_hand_computed(self, spark):
+        from forecaster_spark.models.metrics import pinball_qof
+
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * 6,
+                "y_true": [10, 12, 8, 15, 9, 11],
+                "y_hat": [11, 10, 8, 12, 14, 11],
+            }
+        )
+        got = (
+            pinball_qof(spark.createDataFrame(pdf), ["g"], taus=((1, 4), (3, 4)))
+            .toPandas()
+            .set_index("tau_num")
+        )
+
+        def pin(num, den):
+            tot = 0
+            for y, f in zip(pdf["y_true"], pdf["y_hat"]):
+                e = y - f
+                tot += max(num * e, (num - den) * e)
+            return tot
+
+        for num in (1, 3):
+            assert got.loc[num, "den_loss_sum"] == pin(num, 4)
+            assert got.loc[num, "mean_milli"] == (1000 * pin(num, 4)) // (6 * 4)
+
+    def test_median_tau_is_half_mae(self, spark):
+        # tau=2/4: L = |e|/2, den=4 -> den*L = 2|e| -> sum == 2*sum|e|
+        from forecaster_spark.models.metrics import pinball_qof
+
+        rng = np.random.default_rng(5)
+        y = rng.integers(0, 100, 50)
+        f = rng.integers(0, 100, 50)
+        pdf = pd.DataFrame({"g": ["m"] * 50, "y_true": y, "y_hat": f})
+        got = pinball_qof(spark.createDataFrame(pdf), ["g"], taus=((2, 4),)).toPandas()
+        assert got["den_loss_sum"].iat[0] == 2 * int(np.abs(y - f).sum())
+
+
+class TestDuplicatedSpans:
+    def test_planted_duplicates(self, spark):
+        from forecaster_spark.operators.dedup import duplicated_spans
+
+        boiler = "all rights reserved by the example corporation"
+        docs = [
+            (i, f"u{i}a u{i}b u{i}c u{i}d " + (boiler if i % 2 == 0 else ""))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = duplicated_spans(df, top_n=5).toPandas()
+        assert list(got["rnk"]) == list(range(1, len(got) + 1))
+        # boilerplate 3-grams appear in the 10 even docs
+        assert got["n_docs"].max() == 10
+        top = got[got["n_docs"] == 10]
+        assert (top["first_doc"] == 0).all() and (top["last_doc"] == 18).all()
+
+    def test_no_duplicates_empty(self, spark):
+        from forecaster_spark.operators.dedup import duplicated_spans
+
+        docs = [(i, f"w{i}a w{i}b w{i}c alpha{i} beta{i} gamma{i}") for i in range(6)]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = duplicated_spans(df, top_n=5).toPandas()
+        assert len(got) == 0
+
+    def test_unsigned_tiebreak_order(self, spark):
+        # ties on n_docs must order by the UNSIGNED hash: any negative
+        # span_hash ranks after every positive one at the same n_docs
+        from forecaster_spark.operators.dedup import duplicated_spans
+
+        docs = [(i, "one two three four five six seven eight nine ten") for i in range(3)]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = duplicated_spans(df, top_n=50).toPandas()
+        assert (got["n_docs"] == 3).all()
+        h = got["span_hash"].to_list()
+        uns = [x & ((1 << 64) - 1) for x in h]
+        assert uns == sorted(uns)
