@@ -2351,6 +2351,18 @@ def q_duplicated_spans(spark, sf_dir):
     )
 
 
+def q_granger_pairs(spark, sf_dir):
+    """Lag-1 Granger-causality screen over all ordered source pairs of
+    the hourly tier: restricted-vs-full exact-Cramer OLS (2x2/3x3 integer
+    determinants through the HUGEINT->DOUBLE mimic), micro-quantized RSS
+    sums, one-division F-ratio — which exo series deserves an ARX slot."""
+    from forecaster_spark.operators.stats_tests import granger_pairs
+
+    return granger_pairs(_hourly_int_series(spark, sf_dir)).select(
+        "y_source", "x_source", "n", "rss_r_q", "rss_f_q", "b_cross", "f_ratio"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2383,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits_events": q_benford_digits,
         "pinball_qof_events_1h": q_pinball_qof,
         "duplicated_spans_documents": q_duplicated_spans,
+        "granger_pairs_events_1h": q_granger_pairs,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3603,6 +3616,7 @@ SELECT source, tau_num, tau_den, count(*) AS n,
        (1000 * CAST(sum(dl) AS BIGINT)) // (count(*) * tau_den) AS mean_milli
 FROM l GROUP BY 1, 2, 3""",
         "duplicated_spans_documents": xhash_sql.duplicated_spans_sql(top_n=20),
+        "granger_pairs_events_1h": exact_sql.granger_sql(),
         "benford_digits_events": """
 WITH m AS (
   SELECT event_type AS source,

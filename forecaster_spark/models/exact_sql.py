@@ -614,3 +614,82 @@ SELECT source, feature, score,
        CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, fidx ASC) AS INTEGER) AS rank
 FROM longf
 QUALIFY rank <= {k}"""
+
+
+def granger_sql() -> str:
+    """Oracle for ``stats_tests.granger_pairs``: hourly integer tier,
+    ordered series pairs joined on the bucket, exact HUGEINT normal
+    equations, 2x2 / 3x3 Cramer (same singular intercept-only fallback as
+    :func:`_coef_items`), fixed left-assoc residual chains, micro-unit
+    floor-quantized RSS sums, one BIGINT F-ratio division.  The kernel
+    divides determinants through the HUGEINT->DOUBLE cast mimic so the
+    coefficient doubles match this SQL bit-for-bit (the pacf recipe)."""
+    A = [["n", "sl", "sx"], ["sl", "sll", "slx"], ["sx", "slx", "sxx"]]
+    cv = ["sy", "syl", "syx"]
+    dets = [f"{_det3(A)} AS d3"]
+    for j in range(3):
+        Aj = [[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
+        dets.append(f"{_det3(Aj)} AS nf{j}")
+    det_items = ", ".join(dets)
+    return f"""
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), pr AS (
+  SELECT a.source AS ys, c.source AS xs, a.b AS b, a.v AS y, c.v AS x
+  FROM o a JOIN o c ON c.b = a.b AND c.source <> a.source
+), lg AS (
+  SELECT ys, xs, b, y,
+         lag(y, 1) OVER w AS l1y, lag(x, 1) OVER w AS l1x
+  FROM pr WINDOW w AS (PARTITION BY ys, xs ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE l1y IS NOT NULL AND l1x IS NOT NULL
+), sums AS (
+  SELECT ys, xs, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1y) AS HUGEINT) AS sl, CAST(sum(l1x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(l1y*l1y) AS HUGEINT) AS sll, CAST(sum(l1y*l1x) AS HUGEINT) AS slx,
+         CAST(sum(l1x*l1x) AS HUGEINT) AS sxx,
+         CAST(sum(y*l1y) AS HUGEINT) AS syl, CAST(sum(y*l1x) AS HUGEINT) AS syx
+  FROM e GROUP BY 1, 2
+), par AS (
+  SELECT ys, xs, n, sy,
+         (n*sll - sl*sl) AS d2,
+         (sy*sll - sl*syl) AS n0r, (n*syl - sl*sy) AS n1r,
+         {det_items}
+  FROM sums
+), cf AS (
+  SELECT ys, xs, n,
+         CASE WHEN d2 = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE CAST(n0r AS DOUBLE) / CAST(d2 AS DOUBLE) END AS b0r,
+         CASE WHEN d2 = 0 THEN 0.0
+              ELSE CAST(n1r AS DOUBLE) / CAST(d2 AS DOUBLE) END AS b1r,
+         CASE WHEN d3 = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE CAST(nf0 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b0f,
+         CASE WHEN d3 = 0 THEN 0.0
+              ELSE CAST(nf1 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b1f,
+         CASE WHEN d3 = 0 THEN 0.0
+              ELSE CAST(nf2 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b2f
+  FROM par
+), res AS (
+  SELECT e.ys, e.xs,
+         (CAST(y AS DOUBLE) - (b0r + l1y * b1r)) AS er,
+         (CAST(y AS DOUBLE) - (b0f + l1y * b1f + l1x * b2f)) AS ef
+  FROM e JOIN cf ON cf.ys = e.ys AND cf.xs = e.xs
+), ag AS (
+  SELECT ys, xs,
+         CAST(sum(CAST(floor(er * er * 1000000.0) AS BIGINT)) AS BIGINT) AS rss_r_q,
+         CAST(sum(CAST(floor(ef * ef * 1000000.0) AS BIGINT)) AS BIGINT) AS rss_f_q
+  FROM res GROUP BY 1, 2
+)
+SELECT cf.ys AS y_source, cf.xs AS x_source, CAST(cf.n AS BIGINT) AS n,
+       ag.rss_r_q, ag.rss_f_q, cf.b2f AS b_cross,
+       CASE WHEN ag.rss_f_q > 0 AND cf.n > 3 THEN
+         CAST((ag.rss_r_q - ag.rss_f_q) * (CAST(cf.n AS BIGINT) - 3) AS DOUBLE)
+           / CAST(ag.rss_f_q AS DOUBLE)
+       END AS f_ratio
+FROM cf JOIN ag ON ag.ys = cf.ys AND ag.xs = cf.xs
+WHERE cf.n >= 4"""

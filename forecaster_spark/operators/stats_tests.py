@@ -775,3 +775,139 @@ def benford_digits(
         .withColumn("tvd_ppm", F.sum(F.abs("dev_ppm")).over(Window.partitionBy(partition)))
     )
     return full.select(partition, "digit", "cnt", "n", "obs_ppm", "exp_ppm", "dev_ppm", "tvd_ppm")
+
+
+def granger_pairs(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Pairwise Granger-causality screen at lag 1 (Granger 1969): for
+    every ordered series pair (y, x), fit the restricted AR model
+    y_t ~ [1, y_{t-1}] and the full model y_t ~ [1, y_{t-1}, x_{t-1}] by
+    exact OLS and report the F-ratio ((RSS_r - RSS_f)(n-3)) / RSS_f — the
+    exogenous-selection companion of :func:`~forecaster_spark.operators.
+    timeweight.ccf` that answers "does x's past IMPROVE y's forecast
+    beyond y's own past?", i.e. which exo columns deserve a slot in the
+    reference's ARX design (reference arx.py exo blocks take that choice
+    as given).
+
+    Exactness discipline (the pacf/exact-Cramer recipe, CLAUDE.md): the
+    integer-valued rolled signal gives exact BIGINT normal-equation sums;
+    both solves are integer Cramer — 2x2 ratios and 3x3 determinants as
+    exact Python ints, each divided ONCE through the DuckDB
+    HUGEINT->DOUBLE cast mimic (oracle/ref.py hugeint_to_double), with the
+    singular-design intercept-only fallback (dd = 0 -> [Sy/n, 0, ...])
+    mirrored from models/exact_sql.py; residuals are fixed left-assoc
+    float chains ((b0 + l1y*b1) + l1x*b2) and RSS is the add-order-
+    independent BIGINT sum of floor(e*e*1e6) micro-units; the F-ratio is
+    one IEEE division of two exact BIGINTs (< 2^57 on the tiers).
+    Determinant bound: 3x3 terms ~ n*Sll*Sxx <= ~2^65 at tier scale —
+    inside HUGEINT/Python int, OUTSIDE int64, which is why the dets are
+    Python ints, never numpy.
+
+    Plan shape (100-TB lens): one equi-join of the rolled tier with
+    itself on the time bucket (tier-bounded: |sources| x |buckets| rows),
+    then ONE shuffle on the (y,x) pair key into a per-pair Arrow kernel
+    — normal-equation sums are int64 numpy dots; pair count scales the
+    parallelism, each task is one bounded series pair.
+
+    Output: (y_source, x_source, n, rss_r_q, rss_f_q, b_cross, f_ratio).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            T.StructField("y_source", part_field.dataType),
+            T.StructField("x_source", part_field.dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("rss_r_q", T.LongType()),
+            T.StructField("rss_f_q", T.LongType()),
+            T.StructField("b_cross", T.DoubleType()),
+            T.StructField("f_ratio", T.DoubleType()),
+        ]
+    )
+    t = df.select(F.col(partition), F.col(ts).alias("_b"), F.col(value).cast("long").alias("_v"))
+    a, c = t.alias("a"), t.alias("c")
+    pr = a.join(
+        c,
+        (F.col("a._b") == F.col("c._b")) & (F.col(f"a.{partition}") != F.col(f"c.{partition}")),
+    ).select(
+        F.col(f"a.{partition}").alias("y_source"),
+        F.col(f"c.{partition}").alias("x_source"),
+        F.col("a._b").alias("_b"),
+        F.col("a._v").alias("_y"),
+        F.col("c._v").alias("_x"),
+    )
+
+    def det3(m):
+        (a_, b_, c_), (d_, e_, f_), (g_, h_, i_) = m
+        return a_ * (e_ * i_ - f_ * h_) - b_ * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e_ * g_)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b").reset_index(drop=True)
+        yy = pdf["_y"].to_numpy()
+        xx = pdf["_x"].to_numpy()
+        yv, l1y, l1x = yy[1:], yy[:-1], xx[:-1]
+        n = len(yv)
+        cols = [f.name for f in out_schema.fields]
+        if n < 4:
+            return pd.DataFrame(columns=cols)
+        sl, sx, sy = int(l1y.sum()), int(l1x.sum()), int(yv.sum())
+        sll = int(np.dot(l1y, l1y))
+        slx = int(np.dot(l1y, l1x))
+        sxx = int(np.dot(l1x, l1x))
+        syl = int(np.dot(yv, l1y))
+        syx = int(np.dot(yv, l1x))
+        # restricted 2x2 Cramer
+        d2 = n * sll - sl * sl
+        if d2 == 0:
+            b0r, b1r = h2d(sy) / h2d(n), 0.0
+        else:
+            b0r = h2d(sy * sll - sl * syl) / h2d(d2)
+            b1r = h2d(n * syl - sl * sy) / h2d(d2)
+        # full 3x3 Cramer (exact Python ints — terms exceed int64)
+        A = [[n, sl, sx], [sl, sll, slx], [sx, slx, sxx]]
+        cv = [sy, syl, syx]
+        d3 = det3(A)
+        if d3 == 0:
+            b0f, b1f, b2f = h2d(sy) / h2d(n), 0.0, 0.0
+        else:
+            num = [
+                det3([[cv[i] if j == jj else A[i][jj] for jj in range(3)] for i in range(3)])
+                for j, _ in enumerate(range(3))
+            ]
+            b0f = h2d(num[0]) / h2d(d3)
+            b1f = h2d(num[1]) / h2d(d3)
+            b2f = h2d(num[2]) / h2d(d3)
+        f8 = np.float64
+        er = yv.astype(f8) - (b0r + l1y.astype(f8) * b1r)
+        ef = yv.astype(f8) - ((b0f + l1y.astype(f8) * b1f) + l1x.astype(f8) * b2f)
+        rss_r = int(np.floor(er * er * 1e6).astype(np.int64).sum())
+        rss_f = int(np.floor(ef * ef * 1e6).astype(np.int64).sum())
+        if rss_f > 0 and n > 3:
+            f_ratio = float((rss_r - rss_f) * (n - 3)) / float(rss_f)
+        else:
+            f_ratio = None
+        return pd.DataFrame(
+            [
+                (
+                    pdf["y_source"].iat[0],
+                    pdf["x_source"].iat[0],
+                    n,
+                    rss_r,
+                    rss_f,
+                    b2f,
+                    f_ratio,
+                )
+            ],
+            columns=cols,
+        )
+
+    return pr.groupBy("y_source", "x_source").applyInPandas(kernel, schema=out_schema)

@@ -246,3 +246,46 @@ class TestDuplicatedSpans:
         h = got["span_hash"].to_list()
         uns = [x & ((1 << 64) - 1) for x in h]
         assert uns == sorted(uns)
+
+
+class TestGrangerPairs:
+    def _run(self, spark, data):
+        from forecaster_spark.operators.stats_tests import granger_pairs
+
+        rows = []
+        for src, ys in data.items():
+            for i, y in enumerate(ys):
+                rows.append((src, pd.Timestamp("2030-01-01") + pd.Timedelta(hours=i), float(y)))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "ts", "y"]))
+        return granger_pairs(df).toPandas().set_index(["y_source", "x_source"])
+
+    def test_planted_causality_detected(self, spark):
+        # y follows x's previous value exactly; z is independent noise
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 200, 120)
+        noise = rng.integers(-3, 4, 120)
+        y = np.concatenate([[50], x[:-1]]) + noise  # y_t ~ x_{t-1} + eps
+        z = rng.integers(0, 200, 120)
+        got = self._run(spark, {"x": x.tolist(), "y": y.tolist(), "z": z.tolist()})
+        # x's past explains y up to small noise -> huge F; z's past does not
+        assert got.loc[("y", "x"), "f_ratio"] > 100 * max(got.loc[("y", "z"), "f_ratio"], 1.0)
+        assert abs(got.loc[("y", "x"), "b_cross"] - 1.0) < 0.05
+        assert got.loc[("y", "x"), "rss_f_q"] <= got.loc[("y", "x"), "rss_r_q"]
+
+    def test_matches_lstsq_reference(self, spark):
+        rng = np.random.default_rng(13)
+        a = np.floor(rng.normal(100, 20, 90)).astype(int)
+        b = np.floor(rng.normal(100, 20, 90)).astype(int)
+        got = self._run(spark, {"a": a.tolist(), "b": b.tolist()})
+        yv, l1y, l1x = a[1:].astype(float), a[:-1].astype(float), b[:-1].astype(float)
+        Xf = np.column_stack([np.ones_like(yv), l1y, l1x])
+        bf, *_ = np.linalg.lstsq(Xf, yv, rcond=None)
+        assert abs(got.loc[("a", "b"), "b_cross"] - bf[2]) < 1e-6
+        rss_f = float(np.sum((yv - Xf @ bf) ** 2))
+        # micro-quantized integer RSS within one quantum per row of BLAS RSS
+        assert abs(got.loc[("a", "b"), "rss_f_q"] / 1e6 - rss_f) < len(yv) / 1e6 + 1e-3
+
+    def test_row_count_and_n(self, spark):
+        got = self._run(spark, {"p": list(range(40)), "q": list(range(40)), "r": list(range(40))})
+        assert len(got) == 6  # 3 sources -> 6 ordered pairs
+        assert set(got["n"]) == {39}
