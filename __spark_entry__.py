@@ -2363,6 +2363,32 @@ def q_granger_pairs(spark, sf_dir):
     )
 
 
+def q_dickey_fuller(spark, sf_dir):
+    """Dickey-Fuller unit-root screen per source on the hourly tier:
+    dy ~ [1, y_{t-1}] by exact 2x2 Cramer, micro-quantized RSS, then a
+    fixed chain of correctly-rounded IEEE ops (two divisions, one sqrt)
+    for the tau_mu t-ratio vs the -2.86 5% critical value — the
+    stationarity gate in front of the AR/ARX fits."""
+    from forecaster_spark.operators.stats_tests import dickey_fuller
+
+    return dickey_fuller(_hourly_int_series(spark, sf_dir)).select(
+        "source", "n", "b_hat", "rss_q", "t_stat", "stationary_5pct"
+    )
+
+
+def q_kpss_level(spark, sf_dir):
+    """KPSS level-stationarity statistic per source (lag-0 variant) on
+    the hourly tier: with the short-run variance the statistic is a ratio
+    of exact BIGINTs — sum(S_t^2)/(n*sum(dev^2)) — one IEEE division, no
+    sqrt; compared against the published 0.463 5% critical value. The
+    complement of the Dickey-Fuller screen (opposite null)."""
+    from forecaster_spark.operators.stats_tests import kpss_level
+
+    return kpss_level(_hourly_int_series(spark, sf_dir)).select(
+        "source", "n", "s2_sum_d", "dev2_sum", "eta", "level_stationary_5pct"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2396,6 +2422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinball_qof_events_1h": q_pinball_qof,
         "duplicated_spans_documents": q_duplicated_spans,
         "granger_pairs_events_1h": q_granger_pairs,
+        "dickey_fuller_events_1h": q_dickey_fuller,
+        "kpss_level_events_1h": q_kpss_level,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3617,6 +3645,84 @@ SELECT source, tau_num, tau_den, count(*) AS n,
 FROM l GROUP BY 1, 2, 3""",
         "duplicated_spans_documents": xhash_sql.duplicated_spans_sql(top_n=20),
         "granger_pairs_events_1h": exact_sql.granger_sql(),
+        "dickey_fuller_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), lg AS (
+  SELECT source, v - lag(v, 1) OVER w AS dy, lag(v, 1) OVER w AS z
+  FROM o WINDOW w AS (PARTITION BY source ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE z IS NOT NULL
+), sums AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(z) AS HUGEINT) AS sz, CAST(sum(dy) AS HUGEINT) AS sd,
+         CAST(sum(z*z) AS HUGEINT) AS szz, CAST(sum(dy*z) AS HUGEINT) AS sdz
+  FROM e GROUP BY 1
+), par AS (
+  SELECT source, n, (n*szz - sz*sz) AS d2,
+         (n*sdz - sz*sd) AS bn, (sd*szz - sz*sdz) AS an
+  FROM sums
+), cf AS (
+  SELECT source, n, d2,
+         CASE WHEN d2 = 0 THEN 0.0 ELSE CAST(bn AS DOUBLE) / CAST(d2 AS DOUBLE) END AS bh,
+         CASE WHEN d2 = 0 THEN 0.0 ELSE CAST(an AS DOUBLE) / CAST(d2 AS DOUBLE) END AS ah
+  FROM par
+), res AS (
+  SELECT e.source, (CAST(dy AS DOUBLE) - (ah + z * bh)) AS er
+  FROM e JOIN cf ON cf.source = e.source
+), ag AS (
+  SELECT source,
+         CAST(sum(CAST(floor(er * er * 1000000.0) AS BIGINT)) AS BIGINT) AS rss_q
+  FROM res GROUP BY 1
+)
+SELECT cf.source, CAST(cf.n AS BIGINT) AS n, cf.bh AS b_hat, ag.rss_q,
+       CASE WHEN ag.rss_q > 0 AND cf.n > 2 AND cf.d2 <> 0 THEN
+         cf.bh / sqrt(CAST(ag.rss_q AS DOUBLE) / 1000000.0
+                      / (CAST(cf.n AS BIGINT) - 2)
+                      * CAST(cf.n AS DOUBLE) / CAST(cf.d2 AS DOUBLE))
+       END AS t_stat,
+       CASE WHEN ag.rss_q > 0 AND cf.n > 2 AND cf.d2 <> 0 THEN
+         (cf.bh / sqrt(CAST(ag.rss_q AS DOUBLE) / 1000000.0
+                       / (CAST(cf.n AS BIGINT) - 2)
+                       * CAST(cf.n AS DOUBLE) / CAST(cf.d2 AS DOUBLE))) < -2.86
+       END AS stationary_5pct
+FROM cf JOIN ag ON ag.source = cf.source
+WHERE cf.n >= 3""",
+        "kpss_level_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), ag AS (
+  SELECT source, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM o GROUP BY 1
+), c AS (
+  SELECT o.source, o.b, (ag.n * o.v - ag.s) AS dd, ag.n
+  FROM o JOIN ag ON ag.source = o.source
+), w AS (
+  SELECT source, n, dd,
+         CAST(sum(dd) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS st
+  FROM c
+), g AS (
+  SELECT source, max(n) AS n,
+         CAST(sum(CAST(st AS HUGEINT) * st) AS HUGEINT) AS s2_sum,
+         CAST(sum(dd*dd) AS BIGINT) AS dev2_sum
+  FROM w GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(s2_sum AS DOUBLE) AS s2_sum_d, dev2_sum,
+       CASE WHEN dev2_sum <> 0 THEN
+         CAST(s2_sum AS DOUBLE) / CAST(CAST(n AS HUGEINT) * dev2_sum AS DOUBLE)
+       END AS eta,
+       CASE WHEN dev2_sum <> 0 THEN
+         (CAST(s2_sum AS DOUBLE) / CAST(CAST(n AS HUGEINT) * dev2_sum AS DOUBLE)) < 0.463
+       END AS level_stationary_5pct
+FROM g WHERE n >= 2""",
         "benford_digits_events": """
 WITH m AS (
   SELECT event_type AS source,

@@ -911,3 +911,163 @@ def granger_pairs(
         )
 
     return pr.groupBy("y_source", "x_source").applyInPandas(kernel, schema=out_schema)
+
+
+def dickey_fuller(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Dickey-Fuller unit-root screen per series (Dickey & Fuller 1979,
+    constant-only lag-0 form): regress dy_t = a + b*y_{t-1} and report
+    b's t-ratio against the 5% asymptotic critical value (-2.86, Fuller's
+    tau_mu table; MacKinnon 1994) — the stationarity gate in front of the
+    reference's AR/ARX fits (reference ar_yw.py assumes a stationary
+    series; this is the check its notebooks do by eye).
+
+    Exactness discipline: integer signal -> exact BIGINT normal-equation
+    sums; 2x2 Cramer ratios divided once through the HUGEINT->DOUBLE
+    mimic; residual RSS as the order-independent BIGINT sum of
+    floor(e*e*1e6); then a FIXED chain of correctly-rounded IEEE ops
+    written identically in the SQL mirror: s2 = double(rss)/1e6/(n-2),
+    se = sqrt(s2 * double(n) / double(d2)), t = b/se.  sqrt is exactly
+    rounded per IEEE-754 (the temperature_mixture precedent), so the
+    t-stat is bit-identical cross-engine.  d2 <= n*Szz ~ 2^37 at tier
+    scale — every cast stays under 2^53, exact.
+
+    Plan shape: one shuffle on the series key into a per-series Arrow
+    kernel over the tier-bounded array (int64 numpy dots, Python-int
+    Cramer).  Output: (partition, n, b_hat, rss_q, t_stat,
+    stationary_5pct).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("n", T.LongType()),
+            T.StructField("b_hat", T.DoubleType()),
+            T.StructField("rss_q", T.LongType()),
+            T.StructField("t_stat", T.DoubleType()),
+            T.StructField("stationary_5pct", T.BooleanType()),
+        ]
+    )
+    b = df.select(F.col(partition), F.col(ts).alias("_b"), F.col(value).cast("long").alias("_v"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b").reset_index(drop=True)
+        vv = pdf["_v"].to_numpy()
+        cols = [f.name for f in out_schema.fields]
+        if len(vv) < 4:
+            return pd.DataFrame(columns=cols)
+        z = vv[:-1]
+        dy = vv[1:] - vv[:-1]
+        n = len(dy)
+        sz, sd = int(z.sum()), int(dy.sum())
+        szz = int(np.dot(z, z))
+        sdz = int(np.dot(dy, z))
+        d2 = n * szz - sz * sz
+        if d2 == 0:
+            bh, ah = 0.0, 0.0  # mirror the SQL CASE: singular -> zeros
+        else:
+            bh = h2d(n * sdz - sz * sd) / h2d(d2)
+            ah = h2d(sd * szz - sz * sdz) / h2d(d2)
+        f8 = np.float64
+        e = dy.astype(f8) - (ah + z.astype(f8) * bh)
+        rss_q = int(np.floor(e * e * 1e6).astype(np.int64).sum())
+        if rss_q > 0 and n > 2 and d2 != 0:
+            s2 = float(rss_q) / 1e6 / (n - 2)
+            se = math.sqrt(s2 * float(n) / float(d2))
+            t = bh / se
+            stat = bool(t < -2.86)
+        else:
+            t, stat = None, None
+        return pd.DataFrame(
+            [(pdf[partition].iat[0], n, bh, rss_q, t, stat)], columns=cols
+        )
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+
+def kpss_level(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """KPSS level-stationarity statistic per series (Kwiatkowski,
+    Phillips, Schmidt & Shin 1992, lag-0 short-run variance variant) —
+    the complement of :func:`dickey_fuller`: KPSS takes STATIONARITY as
+    the null, so "DF rejects unit root AND KPSS fails to reject
+    stationarity" is the agreement band that actually clears a series
+    for the reference's AR fits.
+
+    Estimator (documented, engine-exact): centering must be EXACT here —
+    a truncated integer mean leaves an O(1)-per-step drift whose partial
+    sums dominate the statistic (measured: iid-noise eta 0.85 vs the
+    correct 0.24) — so deviations are scaled integers D_i = n*v_i - s
+    (exactly zero-mean, no division); the statistic is scale-invariant:
+    eta = sum(S'_t^2) / (n * sum(D^2)) with S'_t = cumsum(D).  S'_t fits
+    int64 at tier scale but sum(S'^2) can reach ~2^69 on trending series,
+    so the squares accumulate in PYTHON ints (kernel) / HUGEINT (SQL),
+    and the single division runs both operands through the
+    HUGEINT->DOUBLE cast mimic (pacf recipe).  Compared against the
+    published 5% critical value 0.463 (KPSS Table 1, level case).
+
+    Plan shape: one shuffle on the series key into a per-series Arrow
+    kernel (int64 cumsum + Python-int square sums over the tier-bounded
+    array).
+
+    Output: (partition, n, s2_sum_d, dev2_sum, eta, level_stationary_5pct)
+    — s2_sum_d is the (possibly >2^63) square sum as its DOUBLE cast.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("n", T.LongType()),
+            T.StructField("s2_sum_d", T.DoubleType()),
+            T.StructField("dev2_sum", T.LongType()),
+            T.StructField("eta", T.DoubleType()),
+            T.StructField("level_stationary_5pct", T.BooleanType()),
+        ]
+    )
+    b = df.select(F.col(partition), F.col(ts).alias("_b"), F.col(value).cast("long").alias("_v"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b").reset_index(drop=True)
+        vv = pdf["_v"].to_numpy()
+        n = len(vv)
+        cols = [f.name for f in out_schema.fields]
+        if n < 2:
+            return pd.DataFrame(columns=cols)
+        s = int(vv.sum())
+        dd = n * vv - s  # exactly zero-mean scaled deviations (int64-safe)
+        st = np.cumsum(dd)
+        s2 = sum(int(x) * int(x) for x in st)  # may exceed int64: Python ints
+        d2 = int(np.dot(dd, dd))
+        if d2 == 0:
+            eta, flag = None, None
+        else:
+            eta = h2d(s2) / h2d(n * d2)
+            flag = bool(eta < 0.463)
+        return pd.DataFrame(
+            [(pdf[partition].iat[0], n, h2d(s2), d2, eta, flag)], columns=cols
+        )
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)

@@ -289,3 +289,83 @@ class TestGrangerPairs:
         got = self._run(spark, {"p": list(range(40)), "q": list(range(40)), "r": list(range(40))})
         assert len(got) == 6  # 3 sources -> 6 ordered pairs
         assert set(got["n"]) == {39}
+
+
+class TestDickeyFuller:
+    def test_random_walk_vs_stationary(self, spark):
+        from forecaster_spark.operators.stats_tests import dickey_fuller
+
+        rng = np.random.default_rng(17)
+        walk = np.cumsum(rng.integers(-5, 6, 300)) + 1000  # unit root
+        nois = rng.integers(90, 110, 300)  # white noise around 100
+        got = (
+            dickey_fuller(_series_df(spark, {"walk": walk.tolist(), "flat": nois.tolist()}))
+            .toPandas()
+            .set_index("source")
+        )
+        assert bool(got.loc["flat", "stationary_5pct"])
+        assert not bool(got.loc["walk", "stationary_5pct"])
+        assert got.loc["flat", "t_stat"] < -2.86 < got.loc["walk", "t_stat"]
+
+    def test_matches_lstsq_reference(self, spark):
+        from forecaster_spark.operators.stats_tests import dickey_fuller
+
+        rng = np.random.default_rng(23)
+        y = np.floor(rng.normal(50, 12, 150)).astype(int)
+        got = dickey_fuller(_series_df(spark, {"s": y.tolist()})).toPandas().iloc[0]
+        z = y[:-1].astype(float)
+        dy = np.diff(y).astype(float)
+        X = np.column_stack([np.ones_like(z), z])
+        beta, *_ = np.linalg.lstsq(X, dy, rcond=None)
+        resid = dy - X @ beta
+        rss = float(resid @ resid)
+        n = len(dy)
+        se = math.sqrt(rss / (n - 2) / np.sum((z - z.mean()) ** 2))
+        assert abs(got["b_hat"] - beta[1]) < 1e-9
+        assert abs(got["t_stat"] - beta[1] / se) < 1e-6
+
+    def test_constant_series_null_stat(self, spark):
+        from forecaster_spark.operators.stats_tests import dickey_fuller
+
+        got = dickey_fuller(_series_df(spark, {"c": [7.0] * 30})).toPandas().iloc[0]
+        assert got["rss_q"] == 0 and pd.isna(got["t_stat"])
+
+
+class TestKpssLevel:
+    def test_walk_vs_noise(self, spark):
+        from forecaster_spark.operators.stats_tests import kpss_level
+
+        rng = np.random.default_rng(29)
+        walk = np.cumsum(rng.integers(-5, 6, 400)) + 1000
+        nois = rng.integers(90, 110, 400)
+        got = (
+            kpss_level(_series_df(spark, {"walk": walk.tolist(), "flat": nois.tolist()}))
+            .toPandas()
+            .set_index("source")
+        )
+        assert bool(got.loc["flat", "level_stationary_5pct"])
+        assert not bool(got.loc["walk", "level_stationary_5pct"])
+
+    def test_matches_numpy_formula(self, spark):
+        # exact scaled centering: D = n*y - sum(y), eta = sum(cumsum(D)^2)
+        # / (n * sum(D^2)) — big square sum in Python ints
+        from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+        from forecaster_spark.operators.stats_tests import kpss_level
+
+        rng = np.random.default_rng(31)
+        y = np.floor(rng.normal(80, 15, 200)).astype(int)
+        got = kpss_level(_series_df(spark, {"s": y.tolist()})).toPandas().iloc[0]
+        s, n = int(y.sum()), len(y)
+        dd = n * y - s
+        st = np.cumsum(dd)
+        s2 = sum(int(x) * int(x) for x in st)
+        d2 = int(dd @ dd)
+        assert (got["s2_sum_d"], got["dev2_sum"]) == (h2d(s2), d2)
+        assert got["eta"] == h2d(s2) / h2d(n * d2)
+
+    def test_constant_series_null(self, spark):
+        from forecaster_spark.operators.stats_tests import kpss_level
+
+        got = kpss_level(_series_df(spark, {"c": [3.0] * 25})).toPandas().iloc[0]
+        assert got["dev2_sum"] == 0 and pd.isna(got["eta"])
+        assert got["s2_sum_d"] == 0.0
