@@ -2389,6 +2389,19 @@ def q_kpss_level(spark, sf_dir):
     )
 
 
+def q_ar_order_select(spark, sf_dir):
+    """Sequential partial-F AR order selection (p in 1..3) per source on
+    the hourly tier — nested exact-Cramer fits on one conditional sample
+    (2x2/3x3/4x4 Python-int determinants through the HUGEINT mimic),
+    micro-quantized RSS, forward F-tests vs 3.84. Closes the Box-Jenkins
+    identification loop the reference leaves to the analyst."""
+    from forecaster_spark.operators.timeweight import ar_order_select
+
+    return ar_order_select(_hourly_int_series(spark, sf_dir)).select(
+        "source", "n", "rss1_q", "rss2_q", "rss3_q", "f21", "f32", "selected_p"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2424,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_pairs_events_1h": q_granger_pairs,
         "dickey_fuller_events_1h": q_dickey_fuller,
         "kpss_level_events_1h": q_kpss_level,
+        "ar_order_select_events_1h": q_ar_order_select,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3645,6 +3659,7 @@ SELECT source, tau_num, tau_den, count(*) AS n,
 FROM l GROUP BY 1, 2, 3""",
         "duplicated_spans_documents": xhash_sql.duplicated_spans_sql(top_n=20),
         "granger_pairs_events_1h": exact_sql.granger_sql(),
+        "ar_order_select_events_1h": exact_sql.ar_order_select_sql(),
         "dickey_fuller_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -693,3 +693,104 @@ SELECT cf.ys AS y_source, cf.xs AS x_source, CAST(cf.n AS BIGINT) AS n,
        END AS f_ratio
 FROM cf JOIN ag ON ag.ys = cf.ys AND ag.xs = cf.xs
 WHERE cf.n >= 4"""
+
+
+def ar_order_select_sql(f_crit: str = "3.84") -> str:
+    """Oracle for ``timeweight.ar_order_select``: shared conditional
+    sample (lag-3 rows), HUGEINT normal equations, 2x2/3x3/4x4 Cramer
+    with the intercept-only singular fallback, fixed-chain residuals,
+    micro-quantized RSS, sequential partial-F selection."""
+    A3 = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    c3 = ["sy", "sy1", "sy2"]
+    A4 = [
+        ["n", "s1", "s2", "s3"],
+        ["s1", "s11", "s12", "s13"],
+        ["s2", "s12", "s22", "s23"],
+        ["s3", "s13", "s23", "s33"],
+    ]
+    c4 = ["sy", "sy1", "sy2", "sy3"]
+    it3 = [f"{_det3(A3)} AS dd3"]
+    for j in range(3):
+        Aj = [[c3[i] if jj == j else A3[i][jj] for jj in range(3)] for i in range(3)]
+        it3.append(f"{_det3(Aj)} AS d3_{j}")
+    it4 = [f"{_det4(A4)} AS dd4"]
+    for j in range(4):
+        Aj = [[c4[i] if jj == j else A4[i][jj] for jj in range(4)] for i in range(4)]
+        it4.append(f"{_det4(Aj)} AS d4_{j}")
+    det_items = ", ".join(it3 + it4)
+
+    def cf(dd, dnum, first):
+        if first:
+            return (
+                f"CASE WHEN {dd} = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) "
+                f"ELSE CAST({dnum} AS DOUBLE) / CAST({dd} AS DOUBLE) END"
+            )
+        return f"CASE WHEN {dd} = 0 THEN 0.0 ELSE CAST({dnum} AS DOUBLE) / CAST({dd} AS DOUBLE) END"
+
+    return f"""
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), lg AS (
+  SELECT source, b, v AS y,
+         lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2, lag(v, 3) OVER w AS l3
+  FROM o WINDOW w AS (PARTITION BY source ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE l3 IS NOT NULL
+), sums AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(l1) AS HUGEINT) AS s1, CAST(sum(l2) AS HUGEINT) AS s2,
+         CAST(sum(l3) AS HUGEINT) AS s3,
+         CAST(sum(l1*l1) AS HUGEINT) AS s11, CAST(sum(l1*l2) AS HUGEINT) AS s12,
+         CAST(sum(l1*l3) AS HUGEINT) AS s13,
+         CAST(sum(l2*l2) AS HUGEINT) AS s22, CAST(sum(l2*l3) AS HUGEINT) AS s23,
+         CAST(sum(l3*l3) AS HUGEINT) AS s33,
+         CAST(sum(y*l1) AS HUGEINT) AS sy1, CAST(sum(y*l2) AS HUGEINT) AS sy2,
+         CAST(sum(y*l3) AS HUGEINT) AS sy3
+  FROM e GROUP BY 1
+), par AS (
+  SELECT source, n, sy,
+         (n*s11 - s1*s1) AS dd2, (sy*s11 - s1*sy1) AS d2_0, (n*sy1 - s1*sy) AS d2_1,
+         {det_items}
+  FROM sums
+), co AS (
+  SELECT source, n,
+         {cf("dd2", "d2_0", True)} AS b0a, {cf("dd2", "d2_1", False)} AS b1a,
+         {cf("dd3", "d3_0", True)} AS b0b, {cf("dd3", "d3_1", False)} AS b1b,
+         {cf("dd3", "d3_2", False)} AS b2b,
+         {cf("dd4", "d4_0", True)} AS b0c, {cf("dd4", "d4_1", False)} AS b1c,
+         {cf("dd4", "d4_2", False)} AS b2c, {cf("dd4", "d4_3", False)} AS b3c
+  FROM par
+), res AS (
+  SELECT e.source,
+         (CAST(y AS DOUBLE) - (b0a + l1 * b1a)) AS e1,
+         (CAST(y AS DOUBLE) - (b0b + l1 * b1b + l2 * b2b)) AS e2,
+         (CAST(y AS DOUBLE) - (b0c + l1 * b1c + l2 * b2c + l3 * b3c)) AS e3
+  FROM e JOIN co ON co.source = e.source
+), ag AS (
+  SELECT source,
+         CAST(sum(CAST(floor(e1 * e1 * 1000000.0) AS BIGINT)) AS BIGINT) AS rss1_q,
+         CAST(sum(CAST(floor(e2 * e2 * 1000000.0) AS BIGINT)) AS BIGINT) AS rss2_q,
+         CAST(sum(CAST(floor(e3 * e3 * 1000000.0) AS BIGINT)) AS BIGINT) AS rss3_q
+  FROM res GROUP BY 1
+), fs AS (
+  SELECT co.source, CAST(co.n AS BIGINT) AS n, ag.rss1_q, ag.rss2_q, ag.rss3_q,
+         CASE WHEN ag.rss2_q > 0 AND co.n > 3 THEN
+           CAST((ag.rss1_q - ag.rss2_q) * (CAST(co.n AS BIGINT) - 3) AS DOUBLE)
+             / CAST(ag.rss2_q AS DOUBLE) END AS f21,
+         CASE WHEN ag.rss3_q > 0 AND co.n > 4 THEN
+           CAST((ag.rss2_q - ag.rss3_q) * (CAST(co.n AS BIGINT) - 4) AS DOUBLE)
+             / CAST(ag.rss3_q AS DOUBLE) END AS f32
+  FROM co JOIN ag ON ag.source = co.source
+  WHERE co.n >= 5
+)
+SELECT source, n, rss1_q, rss2_q, rss3_q, f21, f32,
+       CASE WHEN f21 IS NULL THEN NULL
+            WHEN f21 <= {f_crit} THEN 1
+            WHEN f32 IS NULL THEN NULL
+            WHEN f32 > {f_crit} THEN 3 ELSE 2 END AS selected_p
+FROM fs"""

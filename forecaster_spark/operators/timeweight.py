@@ -1593,3 +1593,127 @@ def stl_strength(decomposed: DataFrame, partition: str = "source") -> DataFrame:
     return agg.select(
         partition, "n", strength(va).alias("ft_q6"), strength(vb).alias("fs_q6")
     )
+
+
+def ar_order_select(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    f_crit: float = 3.84,
+) -> DataFrame:
+    """Automatic AR order selection by sequential partial F-tests
+    (forward: accept lag p+1 iff F = (RSS_p - RSS_{p+1})(n-k)/RSS_{p+1}
+    exceeds the 5% chi-square/F critical value 3.84) over p in {1,2,3} —
+    the model-order decision the reference leaves to the analyst
+    (reference ar_yw.py takes p as given; its notebooks eyeball
+    ACF/PACF).  Paired with :func:`acf`/:func:`pacf` this closes the
+    Box-Jenkins identification loop inside the engine.
+
+    All three fits share the SAME conditional sample (rows where lag 3
+    exists), so the RSS values are nested and comparable — the textbook
+    conditional-likelihood setup.
+
+    Exactness discipline (the granger/pacf recipe): exact BIGINT
+    normal-equation sums; 2x2 ratios, 3x3 and 4x4 determinants as exact
+    Python ints (cofactor expansion — any order yields the same integer;
+    4x4 terms ~ n*(Syy)^3 exceed int64 by far, inside HUGEINT/Python
+    int), each divided once through the HUGEINT->DOUBLE cast mimic with
+    the singular intercept-only fallback; residuals are fixed left-assoc
+    chains (((b0 + l1*b1) + l2*b2) + l3*b3); RSS is the order-independent
+    BIGINT sum of floor(e*e*1e6); each F is one IEEE division of exact
+    BIGINTs.
+
+    Plan shape: one shuffle on the series key into a per-series Arrow
+    kernel over the tier-bounded array (numpy int64 dots for the sums,
+    Python-int Cramer).  Output: (partition, n, rss1_q, rss2_q, rss3_q,
+    f21, f32, selected_p).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("n", T.LongType()),
+            T.StructField("rss1_q", T.LongType()),
+            T.StructField("rss2_q", T.LongType()),
+            T.StructField("rss3_q", T.LongType()),
+            T.StructField("f21", T.DoubleType()),
+            T.StructField("f32", T.DoubleType()),
+            T.StructField("selected_p", T.LongType()),
+        ]
+    )
+    b = df.select(F.col(partition), F.col(ts).alias("_b"), F.col(value).cast("long").alias("_v"))
+
+    def det(m):
+        k = len(m)
+        if k == 1:
+            return m[0][0]
+        tot = 0
+        for j in range(k):
+            minor = [[m[r][c] for c in range(k) if c != j] for r in range(1, k)]
+            tot += (1 if j % 2 == 0 else -1) * m[0][j] * det(minor)
+        return tot
+
+    def solve(A, c):
+        """Cramer with the intercept-only singular fallback; returns the
+        coefficient tuple (floats through the HUGEINT->DOUBLE mimic)."""
+        dd = det(A)
+        k = len(A)
+        if dd == 0:
+            return (h2d(c[0]) / h2d(A[0][0]),) + (0.0,) * (k - 1)
+        out = []
+        for j in range(k):
+            Aj = [[c[i] if jj == j else A[i][jj] for jj in range(k)] for i in range(k)]
+            out.append(h2d(det(Aj)) / h2d(dd))
+        return tuple(out)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b").reset_index(drop=True)
+        vv = pdf["_v"].to_numpy()
+        cols = [f.name for f in out_schema.fields]
+        if len(vv) < 8:
+            return pd.DataFrame(columns=cols)
+        yv, l1, l2, l3 = vv[3:], vv[2:-1], vv[1:-2], vv[:-3]
+        n = len(yv)
+        S = lambda a, bb: int(np.dot(a, bb))  # noqa: E731
+        one = np.ones_like(yv)
+        sy, s1, s2, s3 = S(yv, one), S(l1, one), S(l2, one), S(l3, one)
+        s11, s12, s13 = S(l1, l1), S(l1, l2), S(l1, l3)
+        s22, s23, s33 = S(l2, l2), S(l2, l3), S(l3, l3)
+        sy1, sy2, sy3 = S(yv, l1), S(yv, l2), S(yv, l3)
+        b0a, b1a = solve([[n, s1], [s1, s11]], [sy, sy1])
+        b0b, b1b, b2b = solve(
+            [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]], [sy, sy1, sy2]
+        )
+        b0c, b1c, b2c, b3c = solve(
+            [[n, s1, s2, s3], [s1, s11, s12, s13], [s2, s12, s22, s23], [s3, s13, s23, s33]],
+            [sy, sy1, sy2, sy3],
+        )
+        f8 = np.float64
+        yd, d1, d2_, d3_ = yv.astype(f8), l1.astype(f8), l2.astype(f8), l3.astype(f8)
+        e1 = yd - (b0a + d1 * b1a)
+        e2 = yd - ((b0b + d1 * b1b) + d2_ * b2b)
+        e3 = yd - (((b0c + d1 * b1c) + d2_ * b2c) + d3_ * b3c)
+        q = lambda e: int(np.floor(e * e * 1e6).astype(np.int64).sum())  # noqa: E731
+        r1, r2, r3 = q(e1), q(e2), q(e3)
+        f21 = float((r1 - r2) * (n - 3)) / float(r2) if r2 > 0 and n > 3 else None
+        f32 = float((r2 - r3) * (n - 4)) / float(r3) if r3 > 0 and n > 4 else None
+        if f21 is None:
+            sel = None
+        elif f21 <= f_crit:
+            sel = 1
+        elif f32 is None:
+            sel = None
+        else:
+            sel = 3 if f32 > f_crit else 2
+        return pd.DataFrame(
+            [(pdf[partition].iat[0], n, r1, r2, r3, f21, f32, sel)], columns=cols
+        )
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)

@@ -369,3 +369,42 @@ class TestKpssLevel:
         got = kpss_level(_series_df(spark, {"c": [3.0] * 25})).toPandas().iloc[0]
         assert got["dev2_sum"] == 0 and pd.isna(got["eta"])
         assert got["s2_sum_d"] == 0.0
+
+
+class TestArOrderSelect:
+    def test_white_noise_selects_1(self, spark):
+        from forecaster_spark.operators.timeweight import ar_order_select
+
+        rng = np.random.default_rng(41)
+        y = rng.integers(50, 150, 400)
+        got = ar_order_select(_series_df(spark, {"wn": y.tolist()})).toPandas().iloc[0]
+        assert got["selected_p"] == 1
+        assert got["rss3_q"] <= got["rss2_q"] <= got["rss1_q"]
+
+    def test_planted_ar2_selects_2(self, spark):
+        from forecaster_spark.operators.timeweight import ar_order_select
+
+        rng = np.random.default_rng(43)
+        n = 500
+        y = np.zeros(n)
+        for t in range(2, n):
+            y[t] = 0.55 * y[t - 1] - 0.35 * y[t - 2] + rng.normal(0, 8)
+        y = np.floor(y + 500).astype(int)
+        got = ar_order_select(_series_df(spark, {"ar2": y.tolist()})).toPandas().iloc[0]
+        assert got["selected_p"] == 2
+        assert got["f21"] > 3.84 >= got["f32"]
+
+    def test_rss_matches_lstsq(self, spark):
+        from forecaster_spark.operators.timeweight import ar_order_select
+
+        rng = np.random.default_rng(47)
+        y = np.floor(rng.normal(100, 20, 200)).astype(int)
+        got = ar_order_select(_series_df(spark, {"s": y.tolist()})).toPandas().iloc[0]
+        yv = y[3:].astype(float)
+        for p, col in ((1, "rss1_q"), (2, "rss2_q"), (3, "rss3_q")):
+            X = np.column_stack(
+                [np.ones_like(yv)] + [y[3 - k : len(y) - k].astype(float) for k in range(1, p + 1)]
+            )
+            beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+            rss = float(np.sum((yv - X @ beta) ** 2))
+            assert abs(got[col] / 1e6 - rss) < len(yv) / 1e6 + 1e-3
