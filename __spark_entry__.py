@@ -2402,6 +2402,18 @@ def q_ar_order_select(spark, sf_dir):
     )
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau white-noise test per source (h=5, raw
+    events like q_acf): exact integer gammas, one division per rho, Q as
+    a pinned left-assoc IEEE chain vs chi2_0.95(5)=11.07 — the diagnose
+    stage of the Box-Jenkins loop."""
+    from forecaster_spark.operators.timeweight import ljung_box
+
+    return ljung_box(_ev(spark, sf_dir)).select(
+        "source", "n", "q_stat", "white_noise_5pct"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2438,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dickey_fuller_events_1h": q_dickey_fuller,
         "kpss_level_events_1h": q_kpss_level,
         "ar_order_select_events_1h": q_ar_order_select,
+        "ljung_box_events": q_ljung_box,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3660,6 +3673,50 @@ FROM l GROUP BY 1, 2, 3""",
         "duplicated_spans_documents": xhash_sql.duplicated_spans_sql(top_n=20),
         "granger_pairs_events_1h": exact_sql.granger_sql(),
         "ar_order_select_events_1h": exact_sql.ar_order_select_sql(),
+        "ljung_box_events": """
+WITH s AS (
+  SELECT event_type AS source, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), ag0 AS (
+  SELECT source, CAST(sum(vc) AS BIGINT) AS sv, count(*) AS n FROM s GROUP BY 1
+), c AS (
+  SELECT s.source, s.ts, s.event_id,
+         s.vc - (CASE WHEN sv >= 0 THEN abs(sv) // n ELSE -(abs(sv) // n) END) AS dev,
+         ag0.n
+  FROM s JOIN ag0 ON ag0.source = s.source
+), l AS (
+  SELECT source, n, dev,
+         lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2,
+         lag(dev, 3) OVER w AS d3, lag(dev, 4) OVER w AS d4,
+         lag(dev, 5) OVER w AS d5
+  FROM c WINDOW w AS (PARTITION BY source ORDER BY ts, event_id)
+), g AS (
+  SELECT source, max(n) AS n,
+         CAST(sum(dev * dev) AS BIGINT) AS g0,
+         CAST(sum(dev * d1) AS BIGINT) AS g1, CAST(sum(dev * d2) AS BIGINT) AS g2,
+         CAST(sum(dev * d3) AS BIGINT) AS g3, CAST(sum(dev * d4) AS BIGINT) AS g4,
+         CAST(sum(dev * d5) AS BIGINT) AS g5
+  FROM l GROUP BY 1
+), sel AS (
+  SELECT source, n,
+         CAST(g1 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r1,
+         CAST(g2 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r2,
+         CAST(g3 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r3,
+         CAST(g4 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r4,
+         CAST(g5 AS DOUBLE) / CAST(g0 AS DOUBLE) AS r5
+  FROM g WHERE g0 <> 0
+), q AS (
+  SELECT source,
+         CAST(n * (n + 2) AS DOUBLE)
+           * ((((((r1*r1)/(n-1) + (r2*r2)/(n-2))) + (r3*r3)/(n-3))
+               + (r4*r4)/(n-4)) + (r5*r5)/(n-5)) AS qs
+  FROM sel
+)
+SELECT g.source, CAST(g.n AS BIGINT) AS n, q.qs AS q_stat,
+       CASE WHEN q.qs IS NOT NULL THEN q.qs < 11.07 END AS white_noise_5pct
+FROM g LEFT JOIN q ON q.source = g.source
+WHERE g.n > 6""",
         "dickey_fuller_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -408,3 +408,46 @@ class TestArOrderSelect:
             beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
             rss = float(np.sum((yv - X @ beta) ** 2))
             assert abs(got[col] / 1e6 - rss) < len(yv) / 1e6 + 1e-3
+
+
+class TestLjungBox:
+    def test_noise_vs_ar1(self, spark):
+        from forecaster_spark.operators.timeweight import ljung_box
+
+        rng = np.random.default_rng(53)
+        wn = rng.integers(0, 100, 500)
+        ar = np.zeros(500)
+        for t in range(1, 500):
+            ar[t] = 0.7 * ar[t - 1] + rng.normal(0, 5)
+        ar = np.floor(ar + 200)
+        rows = []
+        for src, ys in (("wn", wn), ("ar", ar)):
+            for i, y in enumerate(ys):
+                rows.append((src, pd.Timestamp("2030-01-01") + pd.Timedelta(minutes=i), i, float(y)))
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "ts", "event_id", "y"]))
+        got = ljung_box(df).toPandas().set_index("source")
+        assert bool(got.loc["wn", "white_noise_5pct"])
+        assert not bool(got.loc["ar", "white_noise_5pct"])
+        assert got.loc["ar", "q_stat"] > 100
+
+    def test_matches_formula(self, spark):
+        from forecaster_spark.operators.timeweight import ljung_box
+
+        rng = np.random.default_rng(59)
+        y = np.floor(rng.normal(40, 9, 300)).astype(int)
+        rows = [
+            ("s", pd.Timestamp("2030-01-01") + pd.Timedelta(minutes=i), i, float(v))
+            for i, v in enumerate(y)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "ts", "event_id", "y"]))
+        got = ljung_box(df).toPandas().iloc[0]
+        vc = np.round(y * 100).astype(np.int64)
+        s, n = int(vc.sum()), len(vc)
+        m = abs(s) // n * (1 if s >= 0 else -1)
+        dev = vc - m
+        g0 = int(dev @ dev)
+        acc = np.float64(0.0)
+        for k in range(1, 6):
+            rho = np.float64(int(dev[k:] @ dev[:-k])) / np.float64(g0)
+            acc = acc + (rho * rho) / np.float64(n - k)
+        assert got["q_stat"] == float(np.float64(n * (n + 2)) * acc)
