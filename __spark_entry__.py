@@ -2414,6 +2414,19 @@ def q_ljung_box(spark, sf_dir):
     )
 
 
+def q_auto_seasonal_qof(spark, sf_dir):
+    """Zero-config seasonal baseline: dominant_period detects each
+    source's period (exact ACF argmax), seasonal-naive forecasts AT that
+    per-series period via a computed-key self-join (variable-offset LAG
+    isn't portable), and exact integer error sums score it on a shared
+    t>=48 window — the engine's detect->forecast->score composition."""
+    from forecaster_spark.operators.timeweight import auto_seasonal_qof
+
+    return auto_seasonal_qof(_hourly_int_series(spark, sf_dir)).select(
+        "source", "period", "n", "sae", "sse", "mae_milli"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2451,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kpss_level_events_1h": q_kpss_level,
         "ar_order_select_events_1h": q_ar_order_select,
         "ljung_box_events": q_ljung_box,
+        "auto_seasonal_qof_events_1h": q_auto_seasonal_qof,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -2689,6 +2703,41 @@ SELECT source, n,
          (1.0 - (CAST(vr AS DOUBLE) / CAST(vb AS DOUBLE))) * 1000000.0
        ) AS BIGINT)) END AS fs_q6
 FROM v"""
+
+
+# Shared CTE block: hourly integer tier -> exact-integer ACF argmax over
+# lags 2..48 (dominant period per source); `pick` has rk=1 as the winner.
+_DP_CTES = """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, CAST(yd AS BIGINT) AS yv,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), ag AS (
+  SELECT source, CAST(sum(yv) AS BIGINT) AS s, count(*) AS n FROM o GROUP BY 1
+), c AS (
+  SELECT o.source, o.idx,
+         o.yv - (CASE WHEN s >= 0 THEN abs(s) // n ELSE -(abs(s) // n) END) AS dev,
+         ag.n
+  FROM o JOIN ag ON ag.source = o.source
+), gz AS (
+  SELECT source, CAST(sum(dev * dev) AS BIGINT) AS g0, max(n) AS n FROM c GROUP BY 1
+), ks AS (SELECT unnest(generate_series(2, 48)) AS kk
+), gk AS (
+  SELECT a.source, CAST(ks.kk AS BIGINT) AS period,
+         CAST(sum(a.dev * b.dev) AS BIGINT) AS gamma
+  FROM ks CROSS JOIN c a JOIN c b
+    ON b.source = a.source AND b.idx = a.idx - ks.kk
+  GROUP BY 1, 2
+), pick AS (
+  SELECT gk.source, gk.period, gk.gamma, gz.g0, gz.n,
+         row_number() OVER (PARTITION BY gk.source
+                            ORDER BY gk.gamma DESC, gk.period ASC) AS rk
+  FROM gk JOIN gz ON gz.source = gk.source
+)"""
 
 
 def _oracle_sql_entries() -> dict[str, str]:
@@ -3616,39 +3665,24 @@ SELECT o.source, o.ts, o.yv AS y, o.fc, rad.q,
        (o.yv >= o.fc - rad.q AND o.yv <= o.fc + rad.q) AS covered
 FROM o JOIN rad ON rad.source = o.source
 WHERE o.idx >= o.n - 6""",
-        "dominant_period_events_1h": """
-WITH th AS (
-  SELECT event_type AS source, date_trunc('hour', ts) AS b,
-         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
-  FROM events GROUP BY 1, 2
-), o AS (
-  SELECT source, CAST(yd AS BIGINT) AS yv,
-         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
-  FROM th
-), ag AS (
-  SELECT source, CAST(sum(yv) AS BIGINT) AS s, count(*) AS n FROM o GROUP BY 1
-), c AS (
-  SELECT o.source, o.idx,
-         o.yv - (CASE WHEN s >= 0 THEN abs(s) // n ELSE -(abs(s) // n) END) AS dev,
-         ag.n
-  FROM o JOIN ag ON ag.source = o.source
-), gz AS (
-  SELECT source, CAST(sum(dev * dev) AS BIGINT) AS g0, max(n) AS n FROM c GROUP BY 1
-), ks AS (SELECT unnest(generate_series(2, 48)) AS kk
-), gk AS (
-  SELECT a.source, CAST(ks.kk AS BIGINT) AS period,
-         CAST(sum(a.dev * b.dev) AS BIGINT) AS gamma
-  FROM ks CROSS JOIN c a JOIN c b
-    ON b.source = a.source AND b.idx = a.idx - ks.kk
-  GROUP BY 1, 2
-)
+        "dominant_period_events_1h": _DP_CTES + """
 SELECT source, period, gamma,
        CAST(gamma AS DOUBLE) / CAST(g0 AS DOUBLE) AS rho, g0, n
-FROM (SELECT gk.source, gk.period, gk.gamma, gz.g0, gz.n,
-             row_number() OVER (PARTITION BY gk.source
-                                ORDER BY gk.gamma DESC, gk.period ASC) AS rk
-      FROM gk JOIN gz ON gz.source = gk.source) t
-WHERE rk = 1""",
+FROM pick WHERE rk = 1""",
+        "auto_seasonal_qof_events_1h": _DP_CTES + """
+, dp AS (SELECT source, period FROM pick WHERE rk = 1
+), a AS (
+  SELECT o.source, o.idx, o.yv, dp.period
+  FROM o JOIN dp ON dp.source = o.source WHERE o.idx >= 48
+), j AS (
+  SELECT a.source, a.period, a.yv AS v, b.yv AS f
+  FROM a JOIN o b ON b.source = a.source AND b.idx = a.idx - a.period
+)
+SELECT source, period, count(*) AS n,
+       CAST(sum(abs(v - f)) AS BIGINT) AS sae,
+       CAST(sum((v - f) * (v - f)) AS BIGINT) AS sse,
+       (1000 * CAST(sum(abs(v - f)) AS BIGINT)) // count(*) AS mae_milli
+FROM j GROUP BY 1, 2""",
         "pinball_qof_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -1790,3 +1790,70 @@ def ljung_box(
         )
 
     return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def auto_seasonal_qof(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    min_lag: int = 2,
+    max_lag: int = 48,
+) -> DataFrame:
+    """Auto-seasonal baseline QoF: detect each series' dominant period
+    with :func:`dominant_period`, forecast seasonal-naive AT THAT PERIOD
+    (f_t = y_{t-P}, P per series), and score it — the zero-config
+    composition of the engine's detect -> forecast -> score pieces (the
+    reference hard-codes the period into its seasonal configs; here the
+    pipeline picks it per series).  Evaluation rows share one fixed skip
+    (t >= max_lag) so every series scores the same window regardless of
+    its detected P.
+
+    Exactness: the detected period is an exact integer (argmax of exact
+    BIGINT gammas); the forecast is a row lookup (self-join on the
+    computed key idx - P — LAG with a variable offset is not portable,
+    an equi-join is); errors are exact BIGINTs and ``mae_milli =
+    (1000*sae) div n`` one integer floor division.
+
+    Plan shape (100-TB lens): one shuffle for the per-series kernel
+    (period detection), the tiny (one row per series) period table
+    broadcast back, then a tier self-join on (series, idx-P) = (series,
+    idx) — both sides hash-partition on the series key, tier-bounded —
+    and a map-side-partial hash aggregate.
+
+    Output: (partition, period, n, sae, sse, mae_milli).
+    """
+    from pyspark.sql import Window
+
+    dp = dominant_period(
+        df, value=value, partition=partition, order=(ts,), min_lag=min_lag, max_lag=max_lag
+    ).select(partition, "period")
+    w = Window.partitionBy(partition).orderBy(ts)
+    o = df.select(
+        F.col(partition), F.col(ts).alias("_b"), F.col(value).cast("long").alias("_v")
+    ).withColumn("idx", F.row_number().over(Window.partitionBy(partition).orderBy("_b")) - 1)
+    a = o.join(F.broadcast(dp), on=partition).filter(F.col("idx") >= max_lag)
+    b = o.select(
+        F.col(partition).alias("_bsrc"), F.col("idx").alias("bidx"), F.col("_v").alias("_f")
+    )
+    j = a.join(
+        b,
+        (F.col(partition) == F.col("_bsrc"))
+        & (F.col("idx") - F.col("period") == F.col("bidx")),
+    ).select(F.col(partition).alias("src"), "period", "_v", "_f")
+    return (
+        j.groupBy("src", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.abs(F.col("_v") - F.col("_f"))).alias("sae"),
+            F.sum((F.col("_v") - F.col("_f")) * (F.col("_v") - F.col("_f"))).alias("sse"),
+        )
+        .select(
+            F.col("src").alias(partition),
+            "period",
+            "n",
+            "sae",
+            "sse",
+            F.expr("(1000 * sae) div n").alias("mae_milli"),
+        )
+    )

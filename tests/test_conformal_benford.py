@@ -451,3 +451,39 @@ class TestLjungBox:
             rho = np.float64(int(dev[k:] @ dev[:-k])) / np.float64(g0)
             acc = acc + (rho * rho) / np.float64(n - k)
         assert got["q_stat"] == float(np.float64(n * (n + 2)) * acc)
+
+
+class TestAutoSeasonalQof:
+    def test_planted_period_scores_zero(self, spark):
+        from forecaster_spark.operators.timeweight import auto_seasonal_qof
+
+        # pure period-24 signal: detected P=24, seasonal-naive is perfect
+        y = [(i % 24) * 5 + 10 for i in range(120)]
+        # period-7 signal with noise floor
+        rng = np.random.default_rng(61)
+        y7 = [((i % 7) * 20 + int(rng.integers(0, 3))) for i in range(120)]
+        got = (
+            auto_seasonal_qof(_series_df(spark, {"p24": y, "p7": y7}), max_lag=30)
+            .toPandas()
+            .set_index("source")
+        )
+        assert got.loc["p24", "period"] == 24
+        assert got.loc["p24", "sae"] == 0 and got.loc["p24", "mae_milli"] == 0
+        assert got.loc["p7", "period"] == 7
+        assert got.loc["p7", "mae_milli"] < 2000  # within the noise band
+        # shared window: both scored on idx >= max_lag
+        assert set(got["n"]) == {120 - 30}
+
+    def test_hand_computed_errors(self, spark):
+        from forecaster_spark.operators.timeweight import auto_seasonal_qof
+
+        rng = np.random.default_rng(67)
+        base = [(i % 12) * 10 for i in range(100)]
+        noise = rng.integers(-2, 3, 100)
+        y = (np.array(base) + noise).tolist()
+        got = auto_seasonal_qof(_series_df(spark, {"s": y}), max_lag=24).toPandas().iloc[0]
+        P = int(got["period"])
+        errs = [y[t] - y[t - P] for t in range(24, 100)]
+        assert got["sae"] == sum(abs(e) for e in errs)
+        assert got["sse"] == sum(e * e for e in errs)
+        assert got["mae_milli"] == (1000 * sum(abs(e) for e in errs)) // len(errs)
