@@ -2427,6 +2427,18 @@ def q_auto_seasonal_qof(spark, sf_dir):
     )
 
 
+def q_arch_lm(spark, sf_dir):
+    """Engle ARCH-LM volatility-clustering test per source on the hourly
+    tier (u=dy^2 on its lag by exact 2x2 Cramer; milli-quantized RSS/TSS
+    — degree-4 terms overflow the micro quantum; LM = n*(1-rss/tss) vs
+    chi2(1)=3.84). Honesty check for OLS/conformal interval widths."""
+    from forecaster_spark.operators.stats_tests import arch_lm
+
+    return arch_lm(_hourly_int_series(spark, sf_dir)).select(
+        "source", "n", "rss_q", "tss_q", "lm_stat", "arch_5pct"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2465,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_order_select_events_1h": q_ar_order_select,
         "ljung_box_events": q_ljung_box,
         "auto_seasonal_qof_events_1h": q_auto_seasonal_qof,
+        "arch_lm_events_1h": q_arch_lm,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3796,6 +3809,57 @@ SELECT cf.source, CAST(cf.n AS BIGINT) AS n, cf.bh AS b_hat, ag.rss_q,
                        / (CAST(cf.n AS BIGINT) - 2)
                        * CAST(cf.n AS DOUBLE) / CAST(cf.d2 AS DOUBLE))) < -2.86
        END AS stationary_5pct
+FROM cf JOIN ag ON ag.source = cf.source
+WHERE cf.n >= 3""",
+        "arch_lm_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), du AS (
+  SELECT source, b,
+         (v - lag(v, 1) OVER w) * (v - lag(v, 1) OVER w) AS u
+  FROM o WINDOW w AS (PARTITION BY source ORDER BY b)
+), lg AS (
+  SELECT source, b, u AS y, lag(u, 1) OVER w AS z
+  FROM du WHERE u IS NOT NULL WINDOW w AS (PARTITION BY source ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE z IS NOT NULL
+), sums AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(z) AS HUGEINT) AS sz, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(z*z) AS HUGEINT) AS szz, CAST(sum(y*z) AS HUGEINT) AS syz
+  FROM e GROUP BY 1
+), par AS (
+  SELECT source, n, sy, (n*szz - sz*sz) AS d2,
+         (n*syz - sz*sy) AS bn, (sy*szz - sz*syz) AS an
+  FROM sums
+), cf AS (
+  SELECT source, n, d2, sy,
+         CASE WHEN d2 = 0 THEN 0.0 ELSE CAST(bn AS DOUBLE) / CAST(d2 AS DOUBLE) END AS bh,
+         CASE WHEN d2 = 0 THEN 0.0 ELSE CAST(an AS DOUBLE) / CAST(d2 AS DOUBLE) END AS ah,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ubar
+  FROM par
+), res AS (
+  SELECT e.source,
+         (CAST(y AS DOUBLE) - (ah + z * bh)) AS er,
+         (CAST(y AS DOUBLE) - ubar) AS dr
+  FROM e JOIN cf ON cf.source = e.source
+), ag AS (
+  SELECT source,
+         CAST(sum(CAST(floor(er * er * 1000.0) AS BIGINT)) AS BIGINT) AS rss_q,
+         CAST(sum(CAST(floor(dr * dr * 1000.0) AS BIGINT)) AS BIGINT) AS tss_q
+  FROM res GROUP BY 1
+)
+SELECT cf.source, CAST(cf.n AS BIGINT) AS n, ag.rss_q, ag.tss_q,
+       CASE WHEN ag.tss_q > 0 AND cf.d2 <> 0 THEN
+         CAST(cf.n AS DOUBLE) * (1.0 - CAST(ag.rss_q AS DOUBLE) / CAST(ag.tss_q AS DOUBLE))
+       END AS lm_stat,
+       CASE WHEN ag.tss_q > 0 AND cf.d2 <> 0 THEN
+         (CAST(cf.n AS DOUBLE) * (1.0 - CAST(ag.rss_q AS DOUBLE) / CAST(ag.tss_q AS DOUBLE))) > 3.84
+       END AS arch_5pct
 FROM cf JOIN ag ON ag.source = cf.source
 WHERE cf.n >= 3""",
         "kpss_level_events_1h": """

@@ -1071,3 +1071,89 @@ def kpss_level(
         )
 
     return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def arch_lm(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Engle ARCH-LM test per series (Engle 1982, one-lag form):
+    volatility clustering shows up as autocorrelation in SQUARED
+    first differences — regress u_t = dy_t^2 on [1, u_{t-1}] and report
+    LM = n*R^2 against chi-square(1) 5% = 3.84.  The heteroskedasticity
+    companion of :func:`dickey_fuller`/:func:`~forecaster_spark.
+    operators.timeweight.ljung_box`: OLS forecast intervals (and the
+    conformal band's exchangeability assumption) are only honest when
+    this fails to reject.
+
+    Exactness discipline (the dickey_fuller recipe on u = dy^2): exact
+    BIGINT sums (u <= ~2^40 on the tiers -> all normal-equation terms
+    inside int64/HUGEINT), 2x2 Cramer through the HUGEINT->DOUBLE mimic,
+    MILLI-quantized RSS and TSS — u is already a square, so e*e is
+    degree FOUR in the signal and the micro quantum would overflow int64
+    (e^2*1e6 <= ~6e16/row x 720 rows > 2^63); floor(e*e*1e3) keeps the
+    sum under ~2^56 with the same cross-engine exactness — then a fixed
+    IEEE chain: r2 = 1 - double(rss)/double(tss), lm = double(n) * r2.
+    TSS uses the same quantization (d = u - ubar, ubar = the exact-ratio
+    mean via one division) so the ratio compares like-with-like.
+
+    Plan shape: one shuffle on the series key into a per-series Arrow
+    kernel.  Output: (partition, n, rss_q, tss_q, lm_stat, arch_5pct).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("n", T.LongType()),
+            T.StructField("rss_q", T.LongType()),
+            T.StructField("tss_q", T.LongType()),
+            T.StructField("lm_stat", T.DoubleType()),
+            T.StructField("arch_5pct", T.BooleanType()),
+        ]
+    )
+    b = df.select(F.col(partition), F.col(ts).alias("_b"), F.col(value).cast("long").alias("_v"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b").reset_index(drop=True)
+        vv = pdf["_v"].to_numpy()
+        cols = [f.name for f in out_schema.fields]
+        if len(vv) < 5:
+            return pd.DataFrame(columns=cols)
+        dy = vv[1:] - vv[:-1]
+        u = dy * dy
+        yv, z = u[1:], u[:-1]
+        n = len(yv)
+        sz, sy = int(z.sum()), int(yv.sum())
+        szz = int(np.dot(z, z))
+        syz = int(np.dot(yv, z))
+        d2 = n * szz - sz * sz
+        if d2 == 0:
+            bh, ah = 0.0, 0.0
+        else:
+            bh = h2d(n * syz - sz * sy) / h2d(d2)
+            ah = h2d(sy * szz - sz * syz) / h2d(d2)
+        f8 = np.float64
+        e = yv.astype(f8) - (ah + z.astype(f8) * bh)
+        rss = int(np.floor(e * e * 1e3).astype(np.int64).sum())
+        ubar = h2d(sy) / h2d(n)  # exact-ratio mean, one division
+        d = yv.astype(f8) - ubar
+        tss = int(np.floor(d * d * 1e3).astype(np.int64).sum())
+        if tss > 0 and d2 != 0:
+            r2 = 1.0 - float(rss) / float(tss)
+            lm = float(n) * r2
+            flag = bool(lm > 3.84)
+        else:
+            lm, flag = None, None
+        return pd.DataFrame(
+            [(pdf[partition].iat[0], n, rss, tss, lm, flag)], columns=cols
+        )
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)

@@ -487,3 +487,46 @@ class TestAutoSeasonalQof:
         assert got["sae"] == sum(abs(e) for e in errs)
         assert got["sse"] == sum(e * e for e in errs)
         assert got["mae_milli"] == (1000 * sum(abs(e) for e in errs)) // len(errs)
+
+
+class TestArchLm:
+    def test_garch_like_vs_homoskedastic(self, spark):
+        from forecaster_spark.operators.stats_tests import arch_lm
+
+        rng = np.random.default_rng(71)
+        # volatility-clustered: alternating calm/wild 50-step regimes
+        vol = np.repeat([2, 40] * 5, 50)
+        clustered = np.cumsum(rng.normal(0, 1, 500) * vol)
+        clustered = np.floor(clustered + 5000)
+        homo = np.floor(np.cumsum(rng.normal(0, 10, 500)) + 5000)
+        got = (
+            arch_lm(_series_df(spark, {"cl": clustered.tolist(), "ho": homo.tolist()}))
+            .toPandas()
+            .set_index("source")
+        )
+        assert bool(got.loc["cl", "arch_5pct"])
+        assert got.loc["cl", "lm_stat"] > 3.84
+        assert not bool(got.loc["ho", "arch_5pct"])
+
+    def test_matches_formula(self, spark):
+        from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+        from forecaster_spark.operators.stats_tests import arch_lm
+
+        rng = np.random.default_rng(73)
+        y = np.floor(rng.normal(300, 50, 150)).astype(int)
+        got = arch_lm(_series_df(spark, {"s": y.tolist()})).toPandas().iloc[0]
+        dy = np.diff(y)
+        u = (dy * dy).astype(np.int64)
+        yv, z = u[1:], u[:-1]
+        n = len(yv)
+        sz, sy = int(z.sum()), int(yv.sum())
+        szz, syz = int(z @ z), int(yv @ z)
+        d2 = n * szz - sz * sz
+        bh = h2d(n * syz - sz * sy) / h2d(d2)
+        ah = h2d(sy * szz - sz * syz) / h2d(d2)
+        e = yv.astype(float) - (ah + z.astype(float) * bh)
+        rss = int(np.floor(e * e * 1e3).astype(np.int64).sum())
+        dd = yv.astype(float) - h2d(sy) / h2d(n)
+        tss = int(np.floor(dd * dd * 1e3).astype(np.int64).sum())
+        assert (got["rss_q"], got["tss_q"]) == (rss, tss)
+        assert got["lm_stat"] == float(n) * (1.0 - float(rss) / float(tss))
