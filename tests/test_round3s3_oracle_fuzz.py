@@ -329,3 +329,28 @@ def test_auto_seasonal_oracle_vs_brute(mv):
     assert int(got.period) == P
     assert int(got.sae) == sum(abs(e) for e in errs)
     assert int(got.sse) == sum(e * e for e in errs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(milli_series)
+def test_arch_lm_oracle_vs_reference(mv):
+    y = _hourly(mv)
+    assume(len(y) >= 5)
+    got = _run("arch_lm_events_1h", events=_events_pdf(mv)).iloc[0]
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    u = [(y[t] - y[t - 1]) ** 2 for t in range(1, len(y))]
+    yv, z = u[1:], u[:-1]
+    n = len(yv)
+    sz, sy = sum(z), sum(yv)
+    szz = sum(a * a for a in z)
+    syz = sum(a * b for a, b in zip(yv, z))
+    d2 = n * szz - sz * sz
+    bh = h2d(n * syz - sz * sy) / h2d(d2) if d2 else 0.0
+    ah = h2d(sy * szz - sz * syz) / h2d(d2) if d2 else 0.0
+    rss = sum(int(math.floor((e * e) * 1e3)) for e in (float(v) - (ah + zz * bh) for v, zz in zip(yv, z)))
+    ubar = h2d(sy) / h2d(n)
+    tss = sum(int(math.floor((d * d) * 1e3)) for d in (float(v) - ubar for v in yv))
+    assert (int(got.rss_q), int(got.tss_q)) == (rss, tss)
+    if tss > 0 and d2 != 0:
+        assert got.lm_stat == float(n) * (1.0 - float(rss) / float(tss))
