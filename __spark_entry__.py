@@ -2439,6 +2439,26 @@ def q_arch_lm(spark, sf_dir):
     )
 
 
+def q_demand_class(spark, sf_dir):
+    """Syntetos-Boylan smooth/intermittent/erratic/lumpy classification
+    of the sparse purchase-demand series (same compressed input as
+    q_croston): integer ADI vs 1320 milli, CV^2 as one division of
+    exact BIGINTs, one codegen hash aggregate — the router between the
+    smooth models and Croston."""
+    from forecaster_spark.operators.timeweight import demand_class
+
+    ev = read_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100)
+    )
+    b = ev.groupBy(
+        F.concat(F.lit("u"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.expr("unix_micros(date_trunc('minute', ts)) div 60000000").alias("m"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("d"))
+    return demand_class(b).select(
+        "source", "n_nz", "span", "adi_milli", "cv2", "demand_class"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2478,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_events": q_ljung_box,
         "auto_seasonal_qof_events_1h": q_auto_seasonal_qof,
         "arch_lm_events_1h": q_arch_lm,
+        "demand_class_events": q_demand_class,
         "contamination_flags_documents": q_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
@@ -3811,6 +3832,34 @@ SELECT cf.source, CAST(cf.n AS BIGINT) AS n, cf.bh AS b_hat, ag.rss_q,
        END AS stationary_5pct
 FROM cf JOIN ag ON ag.source = cf.source
 WHERE cf.n >= 3""",
+        "demand_class_events": """
+WITH s AS (
+  SELECT concat('u', CAST(user_id % 4 AS VARCHAR)) AS source,
+         epoch_us(date_trunc('minute', ts)) // 60000000 AS m,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS d
+  FROM events
+  WHERE event_type = 'purchase' AND value > 100
+  GROUP BY 1, 2
+), a AS (
+  SELECT source, count(*) AS n_nz,
+         CAST(sum(d) AS BIGINT) AS sd, CAST(sum(d*d) AS BIGINT) AS sd2,
+         CAST(max(m) - min(m) + 1 AS BIGINT) AS span
+  FROM s GROUP BY 1
+), b AS (
+  SELECT source, n_nz, span,
+         (1000 * span) // n_nz AS adi_milli,
+         CASE WHEN sd <> 0 THEN
+           CAST(n_nz * sd2 - sd * sd AS DOUBLE) / CAST(sd * sd AS DOUBLE)
+         END AS cv2
+  FROM a
+)
+SELECT source, n_nz, span, adi_milli, cv2,
+       CASE WHEN cv2 IS NULL THEN NULL
+            WHEN adi_milli < 1320 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi_milli < 1320 THEN 'erratic'
+            WHEN cv2 < 0.49 THEN 'intermittent'
+            ELSE 'lumpy' END AS demand_class
+FROM b""",
         "arch_lm_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -530,3 +530,46 @@ class TestArchLm:
         tss = int(np.floor(dd * dd * 1e3).astype(np.int64).sum())
         assert (got["rss_q"], got["tss_q"]) == (rss, tss)
         assert got["lm_stat"] == float(n) * (1.0 - float(rss) / float(tss))
+
+
+class TestDemandClass:
+    def _df(self, spark, series):
+        rows = []
+        for src, pts in series.items():
+            for m, d in pts:
+                rows.append((src, m, d))
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["source", "m", "d"]))
+
+    def test_four_quadrants(self, spark):
+        from forecaster_spark.operators.timeweight import demand_class
+
+        rng = np.random.default_rng(79)
+        # smooth: every period, near-constant sizes
+        smooth = [(m, 100 + int(rng.integers(0, 3))) for m in range(100)]
+        # erratic: every period, wildly varying sizes
+        erratic = [(m, int(rng.choice([1, 1, 1, 500]))) for m in range(100)]
+        # intermittent: sparse periods, near-constant sizes
+        inter = [(m * 7, 100 + int(rng.integers(0, 3))) for m in range(30)]
+        # lumpy: sparse periods, wild sizes
+        lumpy = [(m * 7, int(rng.choice([1, 1, 1, 500]))) for m in range(30)]
+        got = (
+            demand_class(
+                self._df(spark, {"s": smooth, "e": erratic, "i": inter, "l": lumpy})
+            )
+            .toPandas()
+            .set_index("source")
+        )
+        assert got.loc["s", "demand_class"] == "smooth"
+        assert got.loc["e", "demand_class"] == "erratic"
+        assert got.loc["i", "demand_class"] == "intermittent"
+        assert got.loc["l", "demand_class"] == "lumpy"
+
+    def test_exact_formulas(self, spark):
+        from forecaster_spark.operators.timeweight import demand_class
+
+        pts = [(0, 10), (3, 20), (9, 40)]
+        got = demand_class(self._df(spark, {"x": pts})).toPandas().iloc[0]
+        n, sd, sd2, span = 3, 70, 100 + 400 + 1600, 10
+        assert got["n_nz"] == n and got["span"] == span
+        assert got["adi_milli"] == (1000 * span) // n
+        assert got["cv2"] == float(n * sd2 - sd * sd) / float(sd * sd)
