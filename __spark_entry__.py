@@ -2459,6 +2459,122 @@ def q_demand_class(spark, sf_dir):
     )
 
 
+def q_turning_points(spark, sf_dir):
+    """Turning-point randomness test per source on the hourly tier: exact
+    count of strict interior extrema plus the iid-null moments (2(n−2)/3,
+    90·Var = 16n−29) as integers; tp_rate is the one division. Two lag/lead
+    windows + hash agg, codegen end to end."""
+    from forecaster_spark.operators.stats_tests import turning_points
+
+    return turning_points(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n", "tp_count", "exp3", "var90", "tp_rate"
+    )
+
+
+def q_cox_stuart(spark, sf_dir):
+    """Cox-Stuart sign trend test per source on the hourly tier: pair point
+    i with point i+ceil(n/2), count pairwise difference signs (ties held
+    out) — the O(n) distribution-free trend screen beside Mann-Kendall's
+    O(n²) one. Row-number window + self-equi-join on (source, position)."""
+    from forecaster_spark.operators.stats_tests import cox_stuart
+
+    return cox_stuart(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n", "n_pairs", "pos", "neg", "n_ties", "pos_share"
+    )
+
+
+def q_bartels_rank(spark, sf_dir):
+    """Bartels rank von-Neumann randomness ratio per source on the hourly
+    tier: doubled tie-averaged ranks keep numerator and denominator exact
+    BIGINTs (the 4s cancel); RVN = nm/den is the one division (iid ≈ 2,
+    trend ≪ 2, alternation ≫ 2)."""
+    from forecaster_spark.operators.stats_tests import bartels_rank
+
+    return bartels_rank(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n", "nm_num", "d_den", "rvn"
+    )
+
+
+def q_von_neumann(spark, sf_dir):
+    """Von Neumann mean-squared-successive-difference ratio per source on
+    the whole-unit hourly signal: VN = n²·Σd² / ((n−1)·ΣD²) with exactly
+    zero-mean scaled deviations D = n·v−Σv — all-BIGINT numerator and
+    denominator, one division. The value-domain twin of bartels_rank."""
+    from forecaster_spark.operators.stats_tests import von_neumann_ratio
+
+    return von_neumann_ratio(_hourly_int_series(spark, sf_dir)).select(
+        "source", "n", "sum_d2", "dev2_sum", "vn_ratio"
+    )
+
+
+def q_grubbs(spark, sf_dir):
+    """Grubbs max-studentized-deviation outlier statistic per source on the
+    whole-unit hourly signal: G = maxD/sqrt(ΣD²/(n−1)) on exact scaled
+    deviations — division→sqrt→division, each correctly rounded (the
+    dickey_fuller chain), no other float steps."""
+    from forecaster_spark.operators.stats_tests import grubbs_stat
+
+    return grubbs_stat(_hourly_int_series(spark, sf_dir)).select(
+        "source", "n", "max_dev_scaled", "dev2_sum", "grubbs_g"
+    )
+
+
+def q_friedman(spark, sf_dir):
+    """Friedman blocked-rank test across sources on the complete hourly
+    buckets: doubled within-block ranks, per-source exact rank sums, and
+    the global chi² as ONE division plus one exact-integer subtraction —
+    the k-sample ANOVA companion of the pairwise Spearman join."""
+    from forecaster_spark.operators.stats_tests import friedman_blocks
+
+    return friedman_blocks(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n_blocks", "k", "rank2_sum", "chi2"
+    )
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis sufficient statistics across sources on raw events:
+    global tie-averaged ranks WITHOUT a global sort (distinct-value counts
+    + running-offset window over the distinct-value table, the KS recipe),
+    per-source exact rank sums, global tie-cube term; mean_rank2 is the
+    one division. H assembles driver-side from the exact pieces."""
+    from forecaster_spark.operators.stats_tests import kruskal_wallis_stats
+
+    return kruskal_wallis_stats(_ev(spark, sf_dir), value="y").select(
+        "source", "n_g", "rank2_sum", "n_total", "tie_cubes", "mean_rank2"
+    )
+
+
+def q_snaive_mase(spark, sf_dir):
+    """Seasonal-naive (m=24) MASE and Trigg tracking signal per source on
+    the hourly tier — the scale-free M-competition QoF pair beside
+    mse/mae/smape/pinball: both are single divisions of exact BIGINT
+    micro-unit error sums (products ≤ 2^52, also double-exact)."""
+    from forecaster_spark.operators.stats_tests import snaive_mase
+
+    return snaive_mase(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n", "sum_e", "sae", "sad", "mase", "tracking_signal"
+    )
+
+
+def q_holt_damped(spark, sf_dir):
+    """Damped-trend Holt (α=0.25, β=0.5, φ=0.875 — all binary-exact, as is
+    φ(1−β)=0.4375) over the hourly integer signal: the M-competition
+    damping fix for Holt's over-extrapolation, replayed bit-for-bit by a
+    recursive-CTE oracle with IEEE-identical expression shapes."""
+    from forecaster_spark.operators.timeweight import holt_damped
+
+    return holt_damped(
+        _hourly_int_series(spark, sf_dir), alpha=0.25, beta=0.5, phi=0.875
+    ).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "y",
+        "level",
+        "trend",
+        "fc1",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2614,6 +2730,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_changepoint_events": q_binseg_changepoint,
         "stl_strength_events": q_stl_strength,
         "cross_rank_events_1h": q_cross_rank,
+        "turning_points_events_1h": q_turning_points,
+        "cox_stuart_events_1h": q_cox_stuart,
+        "bartels_rank_events_1h": q_bartels_rank,
+        "von_neumann_events_1h": q_von_neumann,
+        "grubbs_events_1h": q_grubbs,
+        "friedman_events_1h": q_friedman,
+        "kruskal_wallis_events": q_kruskal_wallis,
+        "snaive_mase_events_1h": q_snaive_mase,
+        "holt_damped_events_1h": q_holt_damped,
     }
 
 
@@ -4819,4 +4944,224 @@ WITH th AS (
 SELECT source, ts, yq, rk, n_src,
        ((rk - 1) * 1000000) // greatest(n_src - 1, 1) AS pct_ppm
 FROM r""",
+        "turning_points_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT source, v_micro AS v,
+         lag(v_micro) OVER (PARTITION BY source ORDER BY bucket_start) AS p,
+         lead(v_micro) OVER (PARTITION BY source ORDER BY bucket_start) AS x
+  FROM mb
+), g AS (
+  SELECT source, count(*) AS n,
+         sum(CASE WHEN p IS NOT NULL AND x IS NOT NULL
+                   AND ((p < v AND v > x) OR (p > v AND v < x))
+                  THEN 1 ELSE 0 END) AS tp
+  FROM l GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(tp AS BIGINT) AS tp_count,
+       CAST(2 * (n - 2) AS BIGINT) AS exp3,
+       CAST(16 * n - 29 AS BIGINT) AS var90,
+       CAST(tp AS DOUBLE) / CAST(n - 2 AS DOUBLE) AS tp_rate
+FROM g WHERE n >= 3""",
+        "cox_stuart_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, v_micro AS v,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_start) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM mb
+), j AS (
+  SELECT a.source, a.n, a.v AS va, b.v AS vb
+  FROM s a JOIN s b ON b.source = a.source AND b.rn = a.rn + (a.n - a.n // 2)
+  WHERE a.rn <= a.n // 2
+), g AS (
+  SELECT source, n, count(*) AS n_pairs,
+         sum(CASE WHEN vb > va THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN vb < va THEN 1 ELSE 0 END) AS neg,
+         sum(CASE WHEN vb = va THEN 1 ELSE 0 END) AS n_ties
+  FROM j GROUP BY 1, 2
+)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(pos AS BIGINT) AS pos, CAST(neg AS BIGINT) AS neg,
+       CAST(n_ties AS BIGINT) AS n_ties,
+       CASE WHEN pos + neg > 0 THEN
+         CAST(pos AS DOUBLE) / CAST(pos + neg AS DOUBLE)
+       END AS pos_share
+FROM g""",
+        "bartels_rank_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT source, bucket_start,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY v_micro)
+              + count(*) OVER (PARTITION BY source, v_micro) - 1 AS BIGINT) AS r2,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM mb
+), l AS (
+  SELECT source, n, r2,
+         lead(r2) OVER (PARTITION BY source ORDER BY bucket_start) AS r2n
+  FROM r
+), g AS (
+  SELECT source, max(n) AS n,
+         sum(CASE WHEN r2n IS NOT NULL THEN (r2n - r2) * (r2n - r2) ELSE 0 END) AS nm,
+         sum((r2 - (n + 1)) * (r2 - (n + 1))) AS den
+  FROM l GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(nm AS BIGINT) AS nm_num,
+       CAST(den AS BIGINT) AS d_den,
+       CASE WHEN den > 0 THEN CAST(nm AS DOUBLE) / CAST(den AS DOUBLE) END AS rvn
+FROM g""",
+        "von_neumann_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), lagd AS (
+  SELECT source, v, lag(v) OVER (PARTITION BY source ORDER BY b) AS pv FROM o
+), d AS (
+  SELECT source, CAST(sum((v - pv) * (v - pv)) AS BIGINT) AS sum_d2
+  FROM lagd WHERE pv IS NOT NULL GROUP BY 1
+), ag AS (
+  SELECT source, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM o GROUP BY 1
+), dev AS (
+  SELECT o.source, ag.n,
+         CAST(sum((ag.n * o.v - ag.s) * (ag.n * o.v - ag.s)) AS BIGINT) AS dev2_sum
+  FROM o JOIN ag ON ag.source = o.source GROUP BY 1, 2
+)
+SELECT dev.source, CAST(dev.n AS BIGINT) AS n, d.sum_d2, dev.dev2_sum,
+       CASE WHEN dev.dev2_sum > 0 THEN
+         CAST(dev.n * dev.n * d.sum_d2 AS DOUBLE)
+         / CAST((dev.n - 1) * dev.dev2_sum AS DOUBLE)
+       END AS vn_ratio
+FROM dev JOIN d ON d.source = dev.source
+WHERE dev.n >= 2""",
+        "grubbs_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, CAST(yd AS BIGINT) AS v FROM th
+), ag AS (
+  SELECT source, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM o GROUP BY 1
+), g AS (
+  SELECT o.source, ag.n,
+         CAST(max(abs(ag.n * o.v - ag.s)) AS BIGINT) AS max_dev_scaled,
+         CAST(sum((ag.n * o.v - ag.s) * (ag.n * o.v - ag.s)) AS BIGINT) AS dev2_sum
+  FROM o JOIN ag ON ag.source = o.source GROUP BY 1, 2
+)
+SELECT source, CAST(n AS BIGINT) AS n, max_dev_scaled, dev2_sum,
+       CASE WHEN dev2_sum > 0 THEN
+         CAST(max_dev_scaled AS DOUBLE)
+         / sqrt(CAST(dev2_sum AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+       END AS grubbs_g
+FROM g WHERE n >= 2""",
+        "friedman_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), kk AS (
+  SELECT count(DISTINCT source) AS k FROM mb
+), c AS (
+  SELECT mb.source, mb.bucket_start, mb.v_micro, kk.k,
+         count(*) OVER (PARTITION BY mb.bucket_start) AS bc
+  FROM mb, kk
+), r AS (
+  SELECT source, k,
+         CAST(2 * rank() OVER (PARTITION BY bucket_start ORDER BY v_micro)
+              + count(*) OVER (PARTITION BY bucket_start, v_micro) - 1 AS BIGINT) AS r2
+  FROM c WHERE bc = k
+), p AS (
+  SELECT source, k, count(*) AS n_blocks, CAST(sum(r2) AS BIGINT) AS rank2_sum
+  FROM r GROUP BY 1, 2
+), t AS (
+  SELECT CAST(sum(rank2_sum * rank2_sum) AS BIGINT) AS tot FROM p
+)
+SELECT p.source, CAST(p.n_blocks AS BIGINT) AS n_blocks, CAST(p.k AS BIGINT) AS k,
+       p.rank2_sum,
+       CASE WHEN p.n_blocks > 0 THEN
+         CAST(3 * t.tot AS DOUBLE)
+         / CAST(p.n_blocks * p.k * (p.k + 1) AS DOUBLE)
+         - CAST(3 * p.n_blocks * (p.k + 1) AS DOUBLE)
+       END AS chi2
+FROM p, t""",
+        "kruskal_wallis_events": """
+WITH s AS (
+  SELECT event_type AS source, CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events
+), pv AS (
+  SELECT source, vm, count(*) AS c_sv FROM s GROUP BY 1, 2
+), tv AS (
+  SELECT vm, CAST(sum(c_sv) AS BIGINT) AS c_v FROM pv GROUP BY 1
+), tv2 AS (
+  SELECT vm, c_v,
+         CAST(2 * COALESCE(sum(c_v) OVER (ORDER BY vm
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c_v + 1 AS BIGINT) AS r2
+  FROM tv
+), per AS (
+  SELECT source, CAST(sum(c_sv) AS BIGINT) AS n_g,
+         CAST(sum(c_sv * r2) AS BIGINT) AS rank2_sum
+  FROM pv JOIN tv2 USING (vm) GROUP BY 1
+), g AS (
+  SELECT CAST(sum(c_v) AS BIGINT) AS n_total,
+         CAST(sum(c_v * c_v * c_v - c_v) AS BIGINT) AS tie_cubes
+  FROM tv
+)
+SELECT source, n_g, rank2_sum, n_total, tie_cubes,
+       CAST(rank2_sum AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_rank2
+FROM per, g""",
+        "snaive_mase_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT source,
+         v_micro - lag(v_micro, 24) OVER (PARTITION BY source ORDER BY bucket_start) AS e,
+         v_micro - lag(v_micro, 1) OVER (PARTITION BY source ORDER BY bucket_start) AS d
+  FROM mb
+), g AS (
+  SELECT source, count(*) AS n, CAST(sum(e) AS BIGINT) AS sum_e,
+         CAST(sum(abs(e)) AS BIGINT) AS sae, CAST(sum(abs(d)) AS BIGINT) AS sad
+  FROM l GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n, sum_e, sae, sad,
+       CASE WHEN sad > 0 THEN
+         CAST(sae * (n - 1) AS DOUBLE) / CAST(sad * (n - 24) AS DOUBLE)
+       END AS mase,
+       CASE WHEN sae > 0 THEN
+         CAST(sum_e * (n - 24) AS DOUBLE) / CAST(sae AS DOUBLE)
+       END AS tracking_signal
+FROM g WHERE n > 24""",
+        "holt_damped_events_1h": """
+WITH RECURSIVE th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM th
+), walk(source, idx, ts, y, level, trend) AS (
+  SELECT source, idx, ts, y, y, CAST(0 AS DOUBLE) FROM o WHERE idx = 0
+  UNION ALL
+  SELECT p.source, p.idx, p.ts, p.y,
+         p.y * 0.25 + (w.level + w.trend * 0.875) * 0.75,
+         ((p.y * 0.25 + (w.level + w.trend * 0.875) * 0.75) - w.level) * 0.5
+           + w.trend * 0.4375
+  FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
+)
+SELECT source, ts, y, level, trend, level + trend * 0.875 AS fc1 FROM walk""",
     }

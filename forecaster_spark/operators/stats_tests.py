@@ -1157,3 +1157,514 @@ def arch_lm(
         )
 
     return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def turning_points(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Turning-point randomness test per series (Kendall's rank-correlation
+    book; Brockwell & Davis, Introduction to Time Series, §1.6): count the
+    interior points that are STRICT local extrema — ``v[i-1] < v[i] > v[i+1]``
+    or ``v[i-1] > v[i] < v[i+1]`` (ties break the pattern and never count, so
+    the statistic stays well-defined on quantized signals).  Under iid the
+    expectation is ``2(n-2)/3`` and ``90·Var = 16n - 29``; both are emitted
+    as exact integers (`exp3` = ``2(n-2)``, the numerator over 3; `var90`)
+    so a z-score needs no engine-side sqrt.  ``tp_rate = tp_count/(n-2)``
+    is the one IEEE division — iid series sit near 2/3, smooth/trending
+    series far below.
+
+    Plan shape: one shuffle on the series key, two lag/lead window columns,
+    hash aggregate — whole-stage codegen end to end; O(n) per series.
+
+    Output: (partition, n, tp_count, exp3, var90, tp_rate).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    ).select(
+        "source",
+        "_v",
+        F.lag("_v").over(
+            Window.partitionBy("source").orderBy("_b")
+        ).alias("_p"),
+        F.lead("_v").over(
+            Window.partitionBy("source").orderBy("_b")
+        ).alias("_x"),
+    )
+    is_tp = (
+        F.col("_p").isNotNull()
+        & F.col("_x").isNotNull()
+        & (
+            ((F.col("_p") < F.col("_v")) & (F.col("_v") > F.col("_x")))
+            | ((F.col("_p") > F.col("_v")) & (F.col("_v") < F.col("_x")))
+        )
+    )
+    return (
+        b.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("tp_count"),
+        )
+        .where(F.col("n") >= F.lit(3))
+        .select(
+            "source",
+            "n",
+            "tp_count",
+            (F.lit(2) * (F.col("n") - F.lit(2))).cast("long").alias("exp3"),
+            (F.lit(16) * F.col("n") - F.lit(29)).cast("long").alias("var90"),
+            (
+                F.col("tp_count").cast("double")
+                / (F.col("n") - F.lit(2)).cast("double")
+            ).alias("tp_rate"),
+        )
+    )
+
+
+def cox_stuart(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Cox-Stuart trend test per series (Cox & Stuart 1955): pair the i-th
+    point with the (i + ceil(n/2))-th and count the sign of each pairwise
+    difference — a distribution-free trend screen whose null is a symmetric
+    binomial on the non-tied pairs (the sign-test complement of
+    :func:`mann_kendall`, O(n) instead of O(n^2) pairs).  Convention:
+    ``c = n - n div 2`` (the middle point of an odd series joins no pair),
+    pairs ``i = 1 .. n div 2``; ties are counted (`n_ties`) and excluded
+    from the binomial.  All outputs are exact integers except
+    ``pos_share = pos/(pos+neg)`` — one IEEE division.
+
+    Plan shape: one row_number window + a self-equi-join on
+    (series, shifted position) — shuffles on the composite key, no
+    cartesian anywhere; O(n) rows joined per series.
+
+    Output: (partition, n, n_pairs, pos, neg, n_ties, pos_share).
+    """
+    w = Window.partitionBy("source").orderBy("_b")
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    ).select(
+        "source",
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("_n"),
+    )
+    lo = b.where(F.col("_rn") <= F.expr("_n div 2")).select(
+        "source", F.col("_n").alias("n"), F.col("_rn").alias("_i"), F.col("_v").alias("_va")
+    )
+    hi = b.select(
+        "source",
+        (F.col("_rn") - (F.col("_n") - F.expr("_n div 2"))).alias("_i"),
+        F.col("_v").alias("_vb"),
+    ).where(F.col("_i") >= F.lit(1))
+    j = lo.join(hi, ["source", "_i"])
+    return j.groupBy("source", "n").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("_vb") > F.col("_va"), 1).otherwise(0)).cast("long").alias("pos"),
+        F.sum(F.when(F.col("_vb") < F.col("_va"), 1).otherwise(0)).cast("long").alias("neg"),
+        F.sum(F.when(F.col("_vb") == F.col("_va"), 1).otherwise(0)).cast("long").alias("n_ties"),
+    ).select(
+        "source",
+        "n",
+        "n_pairs",
+        "pos",
+        "neg",
+        "n_ties",
+        F.when(
+            (F.col("pos") + F.col("neg")) > 0,
+            F.col("pos").cast("double") / (F.col("pos") + F.col("neg")).cast("double"),
+        ).alias("pos_share"),
+    )
+
+
+def bartels_rank(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Bartels' rank version of the von Neumann ratio (Bartels, JASA 1982):
+    replace values by their within-series ranks and form
+    ``RVN = sum (R[i+1]-R[i])^2 / sum (R[i] - (n+1)/2)^2`` — a randomness
+    test robust to any monotone marginal (the rank companion of
+    :func:`von_neumann_ratio`; iid ~ 2, trending << 2, oscillating >> 2).
+
+    Tie-safe exact form (the spearman_pairs recipe): DOUBLED average ranks
+    ``r2 = 2*min_rank + tie_count - 1`` are integers; both the numerator and
+    the denominator scale by 4, so ``RVN = nm/den`` is unchanged and is the
+    single IEEE division.  Rank bounds make everything int64-trivial:
+    nm <= n*(2n)^2, den <= n*n^2 (n <= ~10^3 on rolled tiers).
+
+    Plan shape: two windows (rank by value, lead by time) + one hash
+    aggregate — one shuffle on the series key; O(n log n) per series.
+
+    Output: (partition, n, nm_num, d_den, rvn).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    wv = Window.partitionBy("source").orderBy("_v")
+    wt = Window.partitionBy("source", "_v")
+    wo = Window.partitionBy("source").orderBy("_b")
+    r = b.select(
+        "source",
+        "_b",
+        (
+            F.lit(2) * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).cast("long").alias("_r2"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("_n"),
+    ).select(
+        "source",
+        "_n",
+        "_r2",
+        F.lead("_r2").over(wo).alias("_r2n"),
+    )
+    d = F.col("_r2n") - F.col("_r2")
+    c = F.col("_r2") - (F.col("_n") + F.lit(1))
+    out = r.groupBy("source").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum(F.when(F.col("_r2n").isNotNull(), d * d).otherwise(F.lit(0))).cast("long").alias("nm_num"),
+        F.sum(c * c).cast("long").alias("d_den"),
+    )
+    return out.select(
+        "source",
+        "n",
+        "nm_num",
+        "d_den",
+        F.when(
+            F.col("d_den") > 0,
+            F.col("nm_num").cast("double") / F.col("d_den").cast("double"),
+        ).alias("rvn"),
+    )
+
+
+def von_neumann_ratio(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Von Neumann ratio per series (von Neumann 1941): the mean squared
+    successive difference over the variance,
+    ``VN = [sum d^2/(n-1)] / [sum (v - vbar)^2 / n]`` — the classic
+    serial-correlation screen (iid ~ 2, positive autocorrelation < 2,
+    alternation > 2); the value-domain companion of :func:`bartels_rank`.
+
+    Exact form on the whole-unit integer tier signal (the kpss_level
+    feed): scaled deviations ``D_i = n*v_i - sum(v)`` are exactly
+    zero-mean integers, and ``VN = (n^2 * sum d^2) / ((n-1) * sum D^2)``
+    because ``sum (v-vbar)^2 = sum D^2 / n^2``.  Bounds: whole-unit
+    |v| <= ~10^3 and n <= ~10^3 on rolled monthly tiers keep
+    ``n^2*sum(d^2) <= n^3*(2v)^2 ~ 4e15`` and ``(n-1)*sum(D^2) <= n^4*v^2
+    ~ 1e18`` inside int64 (document the ``n^4*v^2 < 2^63`` feed bound —
+    year-long hourly tiers need deci-unit inputs).  One IEEE division.
+
+    Plan shape: lag window + hash aggregate + a broadcast join of the
+    per-series (n, sum) row back onto the series — two passes, one shuffle
+    each, codegen throughout.
+
+    Output: (partition, n, sum_d2, dev2_sum, vn_ratio).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(ts).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    wo = Window.partitionBy("source").orderBy("_b")
+    dcol = F.col("_v") - F.lag("_v").over(wo)
+    diffs = b.select("source", dcol.alias("_d")).where(F.col("_d").isNotNull())
+    d2 = diffs.groupBy("source").agg(F.sum(F.col("_d") * F.col("_d")).cast("long").alias("sum_d2"))
+    ag = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_v").cast("long").alias("_s")
+    )
+    dev = (
+        b.join(F.broadcast(ag), "source")
+        .select("source", "n", (F.col("n") * F.col("_v") - F.col("_s")).alias("_dd"))
+        .groupBy("source", "n")
+        .agg(F.sum(F.col("_dd") * F.col("_dd")).cast("long").alias("dev2_sum"))
+    )
+    out = dev.join(F.broadcast(d2), "source").where(F.col("n") >= F.lit(2))
+    return out.select(
+        "source",
+        "n",
+        "sum_d2",
+        "dev2_sum",
+        F.when(
+            F.col("dev2_sum") > 0,
+            (F.col("n") * F.col("n") * F.col("sum_d2")).cast("double")
+            / ((F.col("n") - F.lit(1)) * F.col("dev2_sum")).cast("double"),
+        ).alias("vn_ratio"),
+    )
+
+
+def grubbs_stat(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviation statistic per series (Grubbs
+    1950): ``G = max|v - vbar| / s`` with the sample (n-1) standard
+    deviation — the single-outlier screen complementing the rolling MAD
+    anomaly operator (global, not windowed; feeds the decision to run
+    :func:`winsorized_mean`-style rectification before model fits).
+
+    Exact-integer core on the whole-unit tier signal: ``maxD =
+    max|n*v - sum(v)|`` and ``sum D^2`` are exact int64 (same feed bound
+    as :func:`von_neumann_ratio`), and because ``s = sqrt(sum D^2 /
+    (n^2 (n-1)))`` while ``max|v-vbar| = maxD/n``, the n's cancel:
+    ``G = maxD / sqrt(sum D^2 / (n-1))``.  The float tail is one division
+    inside one correctly-rounded sqrt then one division — the proven
+    dickey_fuller cross-engine-exact chain (CLAUDE.md: single sqrt on
+    exact operands is bit-reproducible; log/exp/pow stay banned).
+
+    Plan shape: hash aggregate + broadcast join back + hash aggregate —
+    one shuffle on the series key per pass, codegen throughout.
+
+    Output: (partition, n, max_dev_scaled, dev2_sum, grubbs_g).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    ag = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_v").cast("long").alias("_s")
+    )
+    dd = F.col("n") * F.col("_v") - F.col("_s")
+    g = (
+        b.join(F.broadcast(ag), "source")
+        .select("source", "n", dd.alias("_dd"))
+        .groupBy("source", "n")
+        .agg(
+            F.max(F.abs(F.col("_dd"))).cast("long").alias("max_dev_scaled"),
+            F.sum(F.col("_dd") * F.col("_dd")).cast("long").alias("dev2_sum"),
+        )
+        .where(F.col("n") >= F.lit(2))
+    )
+    return g.select(
+        "source",
+        "n",
+        "max_dev_scaled",
+        "dev2_sum",
+        F.when(
+            F.col("dev2_sum") > 0,
+            F.col("max_dev_scaled").cast("double")
+            / F.sqrt(
+                F.col("dev2_sum").cast("double") / (F.col("n") - F.lit(1)).cast("double")
+            ),
+        ).alias("grubbs_g"),
+    )
+
+
+def friedman_blocks(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Friedman blocked-rank test across series (Friedman, JASA 1937):
+    treat each time bucket where ALL k series report as a complete block,
+    rank the k series within the block, and test whether any series is
+    systematically high/low — the nonparametric one-way ANOVA over the
+    shared grid (the k-sample companion of the pairwise
+    :func:`spearman_pairs`).
+
+    Tie-safe exact form: doubled average ranks ``r2 = 2*min_rank +
+    tie_count - 1`` (integers), per-series rank sums ``R2_j = sum r2``;
+    with R_j = R2_j/2 the classic statistic ``chi2 = 12/(n k(k+1)) *
+    sum R_j^2 - 3n(k+1)`` becomes ``3*sum(R2_j^2)/(n*k*(k+1)) -
+    3*n*(k+1)`` — exact BIGINTs, ONE division, one subtraction of an
+    exactly-representable integer double (r2 <= 2k, R2_j <= 2kn,
+    sum R2^2 <= k*(2kn)^2 ~ 1e10 at k~10, n~10^3).  Tie correction is
+    deliberately omitted (documented; ranks are within tiny blocks where
+    quantized ties are rare) — chi2 is the uncorrected statistic.
+
+    Plan shape: per-bucket completeness filter (count window over the
+    bucket key), within-bucket rank windows (k rows each), one hash
+    aggregate per series, then a single-row global aggregate broadcast
+    back — shuffles on (bucket) then (series); no cartesian.
+
+    Output: (partition, n_blocks, k, rank2_sum, chi2) — chi2 repeated
+    per row (global statistic).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    k_row = b.select(F.countDistinct("source").alias("k"))
+    wb = Window.partitionBy("_b")
+    complete = (
+        b.join(F.broadcast(k_row))
+        .withColumn("_bc", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bc") == F.col("k"))
+    )
+    wv = Window.partitionBy("_b").orderBy("_v")
+    wt = Window.partitionBy("_b", "_v")
+    ranked = complete.select(
+        "source",
+        "k",
+        (
+            F.lit(2) * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).cast("long").alias("_r2"),
+    )
+    per = ranked.groupBy("source", "k").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("_r2").cast("long").alias("rank2_sum"),
+    )
+    tot = per.groupBy().agg(
+        F.sum(F.col("rank2_sum") * F.col("rank2_sum")).cast("long").alias("_tot")
+    )
+    out = per.join(F.broadcast(tot))
+    chi2 = (
+        (F.lit(3) * F.col("_tot")).cast("double")
+        / (
+            F.col("n_blocks") * F.col("k") * (F.col("k") + F.lit(1))
+        ).cast("double")
+        - (F.lit(3) * F.col("n_blocks") * (F.col("k") + F.lit(1))).cast("double")
+    )
+    return out.select(
+        "source",
+        "n_blocks",
+        F.col("k").cast("long").alias("k"),
+        "rank2_sum",
+        F.when(F.col("n_blocks") > 0, chi2).alias("chi2"),
+    )
+
+
+def kruskal_wallis_stats(
+    df: DataFrame,
+    value: str = "value",
+    partition: str = "source",
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Kruskal-Wallis sufficient statistics across series (Kruskal &
+    Wallis, JASA 1952): global average ranks of every observation across
+    ALL series, per-series rank sums, and the global tie-cube term — the
+    exact integer pieces of ``H = [12/(N(N+1)) * sum_g n_g (Rbar_g -
+    (N+1)/2)^2] / [1 - sum(t^3-t)/(N^3-N)]``.  H itself mixes per-group
+    divisions (sum of IEEE terms whose order differs cross-engine), so —
+    the permutation_patterns discipline — the contract emits the exact
+    sufficient statistics plus one division (`mean_rank2 = rank2_sum/n_g`,
+    the doubled average rank per series); H assembles driver-side.
+
+    Scale note: global ranks are computed WITHOUT a global sort — counts
+    per distinct quantized value (one shuffle), a running-offset window
+    over the DISTINCT-value table only (bounded by value cardinality, not
+    row count; the ks_two_sample recipe), then doubled average ranks
+    ``r2_v = 2*cum_before_v + c_v + 1`` joined back on the value key.
+    Bounds: r2 <= 2N, rank2_sum <= 2*N*n_g, tie_cubes <= N^3 — int64 for
+    N to ~10^6 rows per run; at larger N feed a rolled tier.
+
+    Output: (partition, n_g, rank2_sum, n_total, tie_cubes, mean_rank2).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.round(F.col(value) * quantum).cast("long").alias("_vm"),
+    )
+    pv = b.groupBy("source", "_vm").agg(F.count(F.lit(1)).alias("_c_sv"))
+    tv = pv.groupBy("_vm").agg(F.sum("_c_sv").cast("long").alias("_c_v"))
+    wv = Window.orderBy("_vm").rowsBetween(Window.unboundedPreceding, -1)
+    tv2 = tv.select(
+        "_vm",
+        "_c_v",
+        (
+            F.lit(2) * F.coalesce(F.sum("_c_v").over(wv), F.lit(0))
+            + F.col("_c_v")
+            + F.lit(1)
+        ).cast("long").alias("_r2"),
+    )
+    joined = pv.join(tv2, "_vm")
+    per = joined.groupBy("source").agg(
+        F.sum("_c_sv").cast("long").alias("n_g"),
+        F.sum(F.col("_c_sv") * F.col("_r2")).cast("long").alias("rank2_sum"),
+    )
+    glob = tv.groupBy().agg(
+        F.sum("_c_v").cast("long").alias("n_total"),
+        F.sum(F.col("_c_v") * F.col("_c_v") * F.col("_c_v") - F.col("_c_v"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    return per.join(F.broadcast(glob)).select(
+        "source",
+        "n_g",
+        "rank2_sum",
+        "n_total",
+        "tie_cubes",
+        (F.col("rank2_sum").cast("double") / F.col("n_g").cast("double")).alias(
+            "mean_rank2"
+        ),
+    )
+
+
+def snaive_mase(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+    season: int = 24,
+) -> DataFrame:
+    """Seasonal-naive MASE and tracking signal per series — the two
+    remaining M-competition QoF metrics beside mse/mae/smape/pinball
+    (Hyndman & Koehler 2006 "Another look at measures of forecast
+    accuracy"; tracking signal after Trigg 1964): with seasonal-naive
+    errors ``e_t = v_t - v_{t-season}`` and naive-1 scale terms
+    ``d_t = v_t - v_{t-1}``,
+
+    - ``MASE = mean|e| / mean|d| = (sae*(n-1)) / (sad*(n-season))``
+    - ``tracking_signal = sum(e)/MAD = (sum_e*(n-season)) / sae``
+
+    Both are single IEEE divisions of exact BIGINT micro-unit sums
+    (|e| <= ~2^31 micro, n <= ~10^3 on rolled tiers -> products <=
+    ~2^52, also exact as doubles).  Sign of sum_e gives persistent
+    over/under-forecast; |TS| > ~4 is the classic re-fit trigger.
+
+    Plan shape: two lag windows + one hash aggregate — one shuffle on
+    the series key, codegen throughout.
+
+    Output: (partition, n, sum_e, sae, sad, mase, tracking_signal).
+    """
+    wo = Window.partitionBy("source").orderBy("_b")
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    ).select(
+        "source",
+        "_v",
+        (F.col("_v") - F.lag("_v", season).over(wo)).alias("_e"),
+        (F.col("_v") - F.lag("_v", 1).over(wo)).alias("_d"),
+    )
+    ag = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_e").cast("long").alias("sum_e"),
+        F.sum(F.abs(F.col("_e"))).cast("long").alias("sae"),
+        F.sum(F.abs(F.col("_d"))).cast("long").alias("sad"),
+    ).where(F.col("n") > F.lit(season))
+    return ag.select(
+        "source",
+        "n",
+        "sum_e",
+        "sae",
+        "sad",
+        F.when(
+            F.col("sad") > 0,
+            (F.col("sae") * (F.col("n") - F.lit(1))).cast("double")
+            / (F.col("sad") * (F.col("n") - F.lit(season))).cast("double"),
+        ).alias("mase"),
+        F.when(
+            F.col("sae") > 0,
+            (F.col("sum_e") * (F.col("n") - F.lit(season))).cast("double")
+            / F.col("sae").cast("double"),
+        ).alias("tracking_signal"),
+    )

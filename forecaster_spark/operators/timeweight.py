@@ -322,6 +322,66 @@ def holt_linear(
     return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)
 
 
+def holt_damped(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    phi: float,
+    value: str = "y",
+    partition: str = "source",
+    order=("ts",),
+) -> DataFrame:
+    """Damped-trend Holt smoothing per source (Gardner & McKenzie 1985) —
+    the M-competition workhorse that fixes plain Holt's chronic
+    over-extrapolation by geometrically damping the trend with φ∈(0,1):
+
+    - ``l_t = y_t·α + (l_{t−1} + φ·b_{t−1})·(1−α)``, seeded ``l_0 = y_0``
+    - ``b_t = (l_t − l_{t−1})·β + b_{t−1}·φ·(1−β)``, seeded ``b_0 = 0``
+    - one-step forecast ``fc1 = l_t + φ·b_t``
+      (h-step heads toward ``l + b·φ(1−φ^h)/(1−φ)``, a finite asymptote)
+
+    Same contract discipline as :func:`holt_linear`: per-source Arrow
+    kernel, fixed-order IEEE chains repeated verbatim by the
+    recursive-CTE oracle, and — the CLAUDE.md smoothing-chain rule — every
+    coefficient (α, 1−α, β, φ·(1−β), φ) passed as a BINARY-EXACT literal
+    on both engines (e.g. α=0.25, β=0.5, φ=0.875 → φ(1−β)=0.4375), never
+    derived arithmetic that could differ by an ulp.  Tier-bounded inputs.
+
+    Output: input columns + ``level``, ``trend``, ``fc1``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    a1, pb1 = 1.0 - alpha, phi * (1.0 - beta)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("fc1", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order)).reset_index(drop=True)
+        ys = pdf[value].tolist()
+        ls, bs, fs = [], [], []
+        l = b = None
+        for y in ys:
+            if l is None:
+                l, b = y, 0.0
+            else:
+                ln = y * alpha + (l + b * phi) * a1
+                b = (ln - l) * beta + b * pb1
+                l = ln
+            ls.append(l)
+            bs.append(b)
+            fs.append(l + b * phi)
+        pdf["level"], pdf["trend"], pdf["fc1"] = ls, bs, fs
+        return pdf
+
+    return df.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
 def time_in_state(
     df: DataFrame,
     state: str = "state",
