@@ -2575,6 +2575,62 @@ def q_holt_damped(spark, sf_dir):
     )
 
 
+def q_dm_test(spark, sf_dir):
+    """Diebold-Mariano equal-accuracy test (h=1, |e| loss) between the
+    persistence and seasonal-naive(24) baselines on the whole-unit hourly
+    signal: DM = S·sqrt(n(n−1))/sqrt(ΣD²) with exactly zero-mean scaled
+    deviations D = n·d−S — one integer product under each sqrt, fixed
+    order, bit-exact (the von_neumann/grubbs chain)."""
+    from forecaster_spark.operators.stats_tests import dm_test
+
+    return dm_test(_hourly_int_series(spark, sf_dir), season=24).select(
+        "source", "n", "sum_d", "dd2_sum", "dm_stat"
+    )
+
+
+def q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank test on the same persistence-vs-seasonal loss
+    differentials — the nonparametric DM companion: doubled tie-averaged
+    ranks keep 2·W+ exact, the tie cube term folds into the row aggregate
+    (Σ_rows(c²−1) = Σ_groups(c³−c)), z = num4·sqrt(3)/sqrt(var48)."""
+    from forecaster_spark.operators.stats_tests import wilcoxon_signed_rank
+
+    return wilcoxon_signed_rank(_hourly_int_series(spark, sf_dir), season=24).select(
+        "source", "n_nz", "w2_plus", "num4", "var48", "z_stat"
+    )
+
+
+def q_pettitt(spark, sf_dir):
+    """Pettitt rank-CUSUM single changepoint per source on the hourly
+    micro tier: doubled ranks make U_t = 2·Σrbar − t(n+1) an exact BIGINT
+    running sum; K and the earliest-argmax change bucket are pure integer
+    picks — the distribution-free complement of binseg_changepoint."""
+    from forecaster_spark.operators.stats_tests import pettitt_changepoint
+
+    return pettitt_changepoint(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source",
+        "n",
+        "t_star",
+        F.col("change_bucket").cast("timestamp_ntz").alias("change_bucket"),
+        "k2_stat",
+    )
+
+
+def q_winkler_score(spark, sf_dir):
+    """Winkler interval score over the split-conformal persistence band
+    (alpha=1/8 → breach penalty 16): per-point scores are exact BIGINTs
+    on the integer tier, one hash aggregate; prices the width the
+    conformal guarantee paid — the M4/M5 interval metric."""
+    from forecaster_spark.operators.conformal import conformal_interval, winkler_score
+
+    band = conformal_interval(
+        _hourly_int_series(spark, sf_dir), hh=6, alpha_num=1, alpha_den=8
+    )
+    return winkler_score(band, alpha_num=1, alpha_den=8).select(
+        "source", "n", "cov_cnt", "sum_winkler", "mean_winkler", "coverage"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2739,6 +2795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis_events": q_kruskal_wallis,
         "snaive_mase_events_1h": q_snaive_mase,
         "holt_damped_events_1h": q_holt_damped,
+        "dm_test_events_1h": q_dm_test,
+        "wilcoxon_signed_rank_events_1h": q_wilcoxon,
+        "pettitt_events_1h": q_pettitt,
+        "winkler_score_events_1h": q_winkler_score,
     }
 
 
@@ -5164,4 +5224,126 @@ WITH RECURSIVE th AS (
   FROM walk w JOIN o p ON p.source = w.source AND p.idx = w.idx + 1
 )
 SELECT source, ts, y, level, trend, level + trend * 0.875 AS fc1 FROM walk""",
+        "dm_test_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), l AS (
+  SELECT source,
+         abs(v - lag(v, 1) OVER (PARTITION BY source ORDER BY b))
+         - abs(v - lag(v, 24) OVER (PARTITION BY source ORDER BY b)) AS d
+  FROM o
+), ag AS (
+  SELECT source, count(*) AS n, CAST(sum(d) AS BIGINT) AS sum_d,
+         CAST(sum(d * d) AS BIGINT) AS q
+  FROM l WHERE d IS NOT NULL GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n, sum_d,
+       CAST(n * n * q - n * sum_d * sum_d AS BIGINT) AS dd2_sum,
+       CASE WHEN n * n * q - n * sum_d * sum_d > 0 THEN
+         CAST(sum_d AS DOUBLE) * sqrt(CAST(n * (n - 1) AS DOUBLE))
+         / sqrt(CAST(n * n * q - n * sum_d * sum_d AS DOUBLE))
+       END AS dm_stat
+FROM ag WHERE n >= 2""",
+        "wilcoxon_signed_rank_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), l AS (
+  SELECT source,
+         abs(v - lag(v, 1) OVER (PARTITION BY source ORDER BY b))
+         - abs(v - lag(v, 24) OVER (PARTITION BY source ORDER BY b)) AS d
+  FROM o
+), dd AS (
+  SELECT source, d FROM l WHERE d IS NOT NULL AND d <> 0
+), r AS (
+  SELECT source, d,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY abs(d))
+              + count(*) OVER (PARTITION BY source, abs(d)) - 1 AS BIGINT) AS r2,
+         CAST(count(*) OVER (PARTITION BY source, abs(d)) AS BIGINT) AS c
+  FROM dd
+), ag AS (
+  SELECT source, count(*) AS n_nz,
+         CAST(sum(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus,
+         CAST(sum(c * c - 1) AS BIGINT) AS tc
+  FROM r GROUP BY 1
+)
+SELECT source, CAST(n_nz AS BIGINT) AS n_nz, w2_plus,
+       CAST(2 * w2_plus - n_nz * (n_nz + 1) AS BIGINT) AS num4,
+       CAST(2 * n_nz * (n_nz + 1) * (2 * n_nz + 1) - tc AS BIGINT) AS var48,
+       CASE WHEN 2 * n_nz * (n_nz + 1) * (2 * n_nz + 1) - tc > 0 THEN
+         CAST(2 * w2_plus - n_nz * (n_nz + 1) AS DOUBLE) * sqrt(CAST(3 AS DOUBLE))
+         / sqrt(CAST(2 * n_nz * (n_nz + 1) * (2 * n_nz + 1) - tc AS DOUBLE))
+       END AS z_stat
+FROM ag WHERE n_nz >= 2""",
+        "pettitt_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT source, bucket_start,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY v_micro)
+              + count(*) OVER (PARTITION BY source, v_micro) - 1 AS BIGINT) AS r2,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM mb
+), u AS (
+  SELECT source, bucket_start, n,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY bucket_start) AS BIGINT) AS t,
+         CAST(sum(r2) OVER (PARTITION BY source ORDER BY bucket_start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rr2
+  FROM r
+), uu AS (
+  SELECT source, bucket_start, n, t, rr2 - t * (n + 1) AS u2
+  FROM u WHERE t < n AND n >= 2
+), pick AS (
+  SELECT source, n, t, bucket_start, abs(u2) AS k2,
+         row_number() OVER (PARTITION BY source ORDER BY abs(u2) DESC, bucket_start ASC) AS pk
+  FROM uu
+)
+SELECT source, n, t AS t_star, bucket_start AS change_bucket,
+       CAST(k2 AS BIGINT) AS k2_stat
+FROM pick WHERE pk = 1""",
+        "winkler_score_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b AS ts, CAST(yd AS BIGINT) AS yv,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx,
+         count(*) OVER (PARTITION BY source) AS n,
+         CAST(lag(yd, 1) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS fc
+  FROM th
+), cal AS (
+  SELECT source, idx, abs(yv - fc) AS r, n - 6 - 1 AS ncal
+  FROM o WHERE idx >= 1 AND idx <= n - 6 - 1
+), rad AS (
+  SELECT source, r AS q
+  FROM (SELECT source, r, ncal,
+               row_number() OVER (PARTITION BY source ORDER BY r, idx) AS rk
+        FROM cal) rr
+  WHERE rk = least(((ncal + 1) * 7 + 7) // 8, ncal)
+), band AS (
+  SELECT o.source, o.yv AS y, o.fc - rad.q AS lo, o.fc + rad.q AS hi,
+         (o.yv >= o.fc - rad.q AND o.yv <= o.fc + rad.q) AS covered
+  FROM o JOIN rad ON rad.source = o.source
+  WHERE o.idx >= o.n - 6
+), ag AS (
+  SELECT source, count(*) AS n,
+         CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS cov_cnt,
+         CAST(sum((hi - lo) + 16 * greatest(lo - y, 0)
+                  + 16 * greatest(y - hi, 0)) AS BIGINT) AS sum_winkler
+  FROM band GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n, cov_cnt, sum_winkler,
+       CAST(sum_winkler AS DOUBLE) / CAST(n AS DOUBLE) AS mean_winkler,
+       CAST(cov_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
+FROM ag""",
     }

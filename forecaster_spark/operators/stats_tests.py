@@ -1668,3 +1668,221 @@ def snaive_mase(
             / F.col("sae").cast("double"),
         ).alias("tracking_signal"),
     )
+
+
+def _paired_loss(
+    df: DataFrame,
+    value: str,
+    partition: str,
+    order: str,
+    season: int,
+) -> DataFrame:
+    """Absolute-error loss differential of the two canonical baselines on
+    an integer series: persistence ``fc1 = v[t-1]`` vs seasonal-naive
+    ``fc2 = v[t-season]``, ``d_t = |e1_t| - |e2_t|`` on the rows where
+    BOTH are defined (t > season).  Exact BIGINTs throughout — the shared
+    feed of :func:`dm_test` and :func:`wilcoxon_signed_rank`."""
+    wo = Window.partitionBy("source").orderBy("_b")
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    ).select(
+        "source",
+        (F.abs(F.col("_v") - F.lag("_v", 1).over(wo))
+         - F.abs(F.col("_v") - F.lag("_v", season).over(wo))).alias("_d"),
+    )
+    return b.where(F.col("_d").isNotNull())
+
+
+def dm_test(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: str = "ts",
+    season: int = 24,
+) -> DataFrame:
+    """Diebold-Mariano equal-predictive-accuracy test (Diebold & Mariano,
+    JBES 1995) at h=1 between the persistence and seasonal-naive
+    baselines, absolute-error loss: with loss differential ``d_t`` and
+    the h=1 variance estimator (no autocovariance terms at one step),
+
+        DM = dbar / sqrt(s2_d / n),  s2_d = sum (d - dbar)^2 / (n-1).
+
+    Exact cross-engine form (the von_neumann scaled-deviation recipe):
+    ``D_i = n*d_i - S`` are exactly zero-mean BIGINTs with
+    ``sum D^2 = n^2*sum(d^2) - n*S^2``, and the statistic collapses to
+
+        DM = S * sqrt(n*(n-1)) / sqrt(sum D^2)
+
+    — one integer product under each sqrt (both correctly rounded), one
+    multiply, one divide: bit-exact on exact inputs (the grubbs /
+    dickey_fuller chain).  Feed WHOLE-unit tier signals: the int64 bound
+    is ``n^3 * d^2 < 2^63`` (hourly monthly tier: 720^3 * 1120^2 ~ 5e14).
+    Negative DM = persistence beats seasonal-naive on this series.
+
+    Plan shape: two lag windows + one hash aggregate, one shuffle on the
+    series key, codegen throughout.
+
+    Output: (partition, n, sum_d, dd2_sum, dm_stat).
+    """
+    d = _paired_loss(df, value, partition, order, season)
+    ag = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_d").cast("long").alias("sum_d"),
+        F.sum(F.col("_d") * F.col("_d")).cast("long").alias("_q"),
+    ).where(F.col("n") >= F.lit(2))
+    dd2 = (
+        F.col("n") * F.col("n") * F.col("_q") - F.col("n") * F.col("sum_d") * F.col("sum_d")
+    ).cast("long")
+    return ag.select(
+        "source",
+        "n",
+        "sum_d",
+        dd2.alias("dd2_sum"),
+        F.when(
+            dd2 > 0,
+            F.col("sum_d").cast("double")
+            * F.sqrt((F.col("n") * (F.col("n") - F.lit(1))).cast("double"))
+            / F.sqrt(dd2.cast("double")),
+        ).alias("dm_stat"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: str = "ts",
+    season: int = 24,
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon, Biometrics 1945) on the same
+    paired loss differentials as :func:`dm_test` — the nonparametric
+    companion robust to heavy-tailed losses: drop zero differentials,
+    rank ``|d|`` with tie-averaged ranks, ``W+ = sum of ranks where
+    d > 0``, and the normal approximation with tie correction
+
+        z = (W+ - n(n+1)/4) / sqrt([n(n+1)(2n+1) - sum(t^3 - t)/2] / 24).
+
+    Exact integer form: DOUBLED tie-averaged ranks ``r2 = 2*rank +
+    ties - 1`` (the bartels/spearman recipe) make ``w2_plus = 2*W+``
+    exact; the tie cube term arrives WITHOUT a second aggregate because
+    each row of a tie group of size c contributes ``c^2 - 1``:
+    ``sum_rows (c^2 - 1) = sum_groups (c^3 - c)``.  Scaled integers
+    ``num4 = 2*w2_plus - n(n+1) = 4*(W+ - mu)`` and ``var48 = 48*sigma^2
+    = 2n(n+1)(2n+1) - tie_cubes`` give
+
+        z = num4 * sqrt(3) / sqrt(var48)
+
+    (sqrt(48)/4 = sqrt(3); each factor correctly rounded, fixed order —
+    bit-exact).  Bounds: w2_plus <= 2n^2, var48 <= ~4n^3 — int64-trivial
+    on rolled tiers.
+
+    Plan shape: two lag windows, a rank window + tie-count window on the
+    same series key, one hash aggregate — one shuffle, codegen.
+
+    Output: (partition, n_nz, w2_plus, num4, var48, z_stat).
+    """
+    d = _paired_loss(df, value, partition, order, season).where(F.col("_d") != 0)
+    wv = Window.partitionBy("source").orderBy(F.abs(F.col("_d")))
+    wt = Window.partitionBy("source", F.abs(F.col("_d")))
+    r = d.select(
+        "source",
+        "_d",
+        (F.lit(2) * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - F.lit(1))
+        .cast("long")
+        .alias("_r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("_c"),
+    )
+    ag = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_nz"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_r2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("w2_plus"),
+        F.sum(F.col("_c") * F.col("_c") - F.lit(1)).cast("long").alias("_tc"),
+    ).where(F.col("n_nz") >= F.lit(2))
+    num4 = (F.lit(2) * F.col("w2_plus") - F.col("n_nz") * (F.col("n_nz") + F.lit(1))).cast("long")
+    var48 = (
+        F.lit(2) * F.col("n_nz") * (F.col("n_nz") + F.lit(1)) * (F.lit(2) * F.col("n_nz") + F.lit(1))
+        - F.col("_tc")
+    ).cast("long")
+    return ag.select(
+        "source",
+        "n_nz",
+        "w2_plus",
+        num4.alias("num4"),
+        var48.alias("var48"),
+        F.when(
+            var48 > 0,
+            num4.cast("double") * F.sqrt(F.lit(3).cast("double")) / F.sqrt(var48.cast("double")),
+        ).alias("z_stat"),
+    )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Pettitt single-changepoint test (Pettitt, JRSS-C 1979): the
+    rank-based CUSUM — with tie-averaged within-series ranks ``rbar_i``,
+
+        U_t = 2 * sum_{i<=t} rbar_i - t*(n+1),   K = max_{1<=t<n} |U_t|,
+
+    and the change point is the earliest argmax.  The distribution-free
+    complement of :func:`binseg_changepoint`'s SSE split (robust to any
+    monotone marginal), and the offline twin of the cusum drift monitor.
+
+    Exact integer form: DOUBLED ranks make ``R2_t = sum 2*rbar`` a BIGINT
+    running sum and ``u2_t = R2_t - t*(n+1) = 2*U_t`` exact; K2 = 2K.
+    Bounds: |u2| <= n^2 — int64-trivial.  Ties in |u2| break to the
+    EARLIEST bucket (deterministic on both engines).
+
+    Plan shape: rank + tie windows over the value order, a running-sum
+    window over the time order, and an argmax row_number window — all on
+    the one series-key partitioning (Exchange reuse, single shuffle).
+
+    Output: (partition, n, t_star, change_bucket, k2_stat).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    wv = Window.partitionBy("source").orderBy("_v")
+    wt = Window.partitionBy("source", "_v")
+    wo = Window.partitionBy("source").orderBy("_b")
+    r = b.select(
+        "source",
+        "_b",
+        (F.lit(2) * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - F.lit(1))
+        .cast("long")
+        .alias("_r2"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("_n"),
+    )
+    u = r.select(
+        "source",
+        "_b",
+        "_n",
+        F.row_number().over(wo).cast("long").alias("_t"),
+        F.sum("_r2").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("_rr2"),
+    ).select(
+        "source",
+        "_b",
+        "_n",
+        "_t",
+        (F.col("_rr2") - F.col("_t") * (F.col("_n") + F.lit(1))).alias("_u2"),
+    ).where((F.col("_t") < F.col("_n")) & (F.col("_n") >= F.lit(2)))
+    pick = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.abs(F.col("_u2")).desc(), F.col("_b").asc())
+    )
+    return u.withColumn("_pk", pick).where(F.col("_pk") == 1).select(
+        "source",
+        F.col("_n").alias("n"),
+        F.col("_t").alias("t_star"),
+        F.col("_b").alias("change_bucket"),
+        F.abs(F.col("_u2")).alias("k2_stat"),
+    )
