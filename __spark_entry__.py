@@ -2631,6 +2631,59 @@ def q_winkler_score(spark, sf_dir):
     )
 
 
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney rank-sum first-half-vs-second-half drift test with
+    Cliff's delta effect size: doubled tie-averaged ranks over the combined
+    sample keep 2·U1 exact; z = num·sqrt(3n(n−1))/sqrt(n1n2)/sqrt(f2) is a
+    fixed factored chain keeping every integer ≤ n³ — the location-shift
+    member of the KS / Pettitt / Mann-Whitney drift triad."""
+    from forecaster_spark.operators.stats_tests import mann_whitney_drift
+
+    return mann_whitney_drift(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "n1", "n2", "u2", "num_z", "f2", "z_stat", "cliffs_delta"
+    )
+
+
+def q_crps_ensemble(spark, sf_dir):
+    """CRPS of the three-member lag ensemble (naive/naive-2/seasonal-naive)
+    on the integer hourly signal: 18·CRPS per point is an exact BIGINT
+    (6Σ|xi−y| − 2Σ|xi−xj|), one division for the mean — the full-
+    distribution scoring rule beside Winkler (interval) and pinball
+    (quantile)."""
+    from forecaster_spark.operators.conformal import crps_ensemble
+
+    return crps_ensemble(_hourly_int_series(spark, sf_dir), lags=(1, 2, 24)).select(
+        "source", "n", "sum_crps18", "mean_crps"
+    )
+
+
+def q_hier_reconcile(spark, sf_dir):
+    """Hierarchical coherence over the tier cascade: direct daily
+    persistence vs bottom-up (sum of hourly persistence forecasts), scored
+    by exact micro-unit SAE plus the coherence gap reconciliation removes —
+    division-free BIGINT arithmetic end-to-end on one series-key shuffle."""
+    from forecaster_spark.operators.hierarchy import bottom_up_daily
+
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    hourly = t.select("source", "bucket_start", "sum_micro")
+    return bottom_up_daily(hourly).select(
+        "source", "n_days", "sae_direct", "sae_bottom_up", "coherence_gap"
+    )
+
+
+def q_sample_entropy(spark, sf_dir):
+    """Sample-entropy match counts (m=2, r=IQR/2) per source on the hourly
+    micro tier: quadrupled-integer quartiles set the tolerance, every
+    template-pair count is exact (8·|diff| ≤ r4), ratio = A/B is the one
+    division — the amplitude-aware complexity screen beside the ordinal
+    patterns and the matrix profile; Arrow O(n²) kernel ≡ DuckDB self-join."""
+    from forecaster_spark.operators.motifs import sample_entropy
+
+    return sample_entropy(_hourly_micro_buckets(spark, sf_dir), m=2).select(
+        "source", "n", "r4", "b_cnt", "a_cnt", "ratio"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2799,6 +2852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wilcoxon_signed_rank_events_1h": q_wilcoxon,
         "pettitt_events_1h": q_pettitt,
         "winkler_score_events_1h": q_winkler_score,
+        "mann_whitney_events_1h": q_mann_whitney,
+        "crps_ensemble_events_1h": q_crps_ensemble,
+        "hier_reconcile_events": q_hier_reconcile,
+        "sample_entropy_events_1h": q_sample_entropy,
     }
 
 
@@ -5346,4 +5403,132 @@ SELECT source, CAST(n AS BIGINT) AS n, cov_cnt, sum_winkler,
        CAST(sum_winkler AS DOUBLE) / CAST(n AS DOUBLE) AS mean_winkler,
        CAST(cov_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
 FROM ag""",
+        "mann_whitney_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT source,
+         (row_number() OVER (PARTITION BY source ORDER BY bucket_start)
+          <= count(*) OVER (PARTITION BY source) // 2) AS g1,
+         CAST(2 * rank() OVER (PARTITION BY source ORDER BY v)
+              + count(*) OVER (PARTITION BY source, v) - 1 AS BIGINT) AS r2,
+         CAST(count(*) OVER (PARTITION BY source, v) AS BIGINT) AS c
+  FROM mb
+), ag AS (
+  SELECT source,
+         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN g1 THEN r2 ELSE 0 END) AS BIGINT) AS rs2,
+         CAST(sum(c * c - 1) AS BIGINT) AS tc
+  FROM r GROUP BY 1
+), st AS (
+  SELECT source, n1, n2,
+         CAST(rs2 - n1 * (n1 + 1) AS BIGINT) AS u2,
+         CAST(rs2 - n1 * (n1 + 1) - n1 * n2 AS BIGINT) AS num_z,
+         CAST(n1 * n2 AS BIGINT) AS f1,
+         CAST((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tc AS BIGINT) AS f2,
+         CAST(n1 + n2 AS BIGINT) AS n
+  FROM ag WHERE n1 >= 1 AND n2 >= 1
+)
+SELECT source, n1, n2, u2, num_z, f2,
+       CASE WHEN f2 > 0 THEN
+         CAST(num_z AS DOUBLE) * sqrt(CAST(3 * n * (n - 1) AS DOUBLE))
+         / sqrt(CAST(f1 AS DOUBLE)) / sqrt(CAST(f2 AS DOUBLE))
+       END AS z_stat,
+       CAST(num_z AS DOUBLE) / CAST(f1 AS DOUBLE) AS cliffs_delta
+FROM st""",
+        "crps_ensemble_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS y,
+         lag(CAST(yd AS BIGINT), 1) OVER (PARTITION BY source ORDER BY b) AS m1,
+         lag(CAST(yd AS BIGINT), 2) OVER (PARTITION BY source ORDER BY b) AS m2,
+         lag(CAST(yd AS BIGINT), 24) OVER (PARTITION BY source ORDER BY b) AS m3
+  FROM th
+), p AS (
+  SELECT source,
+         6 * (abs(m1 - y) + abs(m2 - y) + abs(m3 - y))
+         - 2 * (abs(m1 - m2) + abs(m1 - m3) + abs(m2 - m3)) AS c18
+  FROM o WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m3 IS NOT NULL
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c18) AS BIGINT) AS sum_crps18,
+       CAST(CAST(sum(c18) AS BIGINT) AS DOUBLE)
+       / CAST(18 * count(*) AS DOUBLE) AS mean_crps
+FROM p GROUP BY 1""",
+        "hier_reconcile_events": """
+WITH h0 AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS hb,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), hf AS (
+  SELECT source, hb, s, lag(s, 1) OVER (PARTITION BY source ORDER BY hb) AS f
+  FROM h0
+), d AS (
+  SELECT source, date_trunc('day', hb) AS dday,
+         CAST(sum(s) AS BIGINT) AS actual, CAST(sum(f) AS BIGINT) AS bu,
+         count(*) AS cnt, count(f) AS cntf
+  FROM hf GROUP BY 1, 2
+), dd AS (
+  SELECT source, actual, bu, cnt, cntf,
+         lag(actual, 1) OVER (PARTITION BY source ORDER BY dday) AS direct
+  FROM d
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(actual - direct)) AS BIGINT) AS sae_direct,
+       CAST(sum(abs(actual - bu)) AS BIGINT) AS sae_bottom_up,
+       CAST(sum(abs(direct - bu)) AS BIGINT) AS coherence_gap
+FROM dd WHERE direct IS NOT NULL AND cntf = cnt GROUP BY 1""",
+        "sample_entropy_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM mb
+), q AS (
+  SELECT source, CAST(max(n) AS BIGINT) AS n,
+         CAST(sum(CASE
+               WHEN rk = (3 * (n - 1)) // 4 + 1 THEN v * (4 - (3 * (n - 1)) % 4)
+               WHEN rk = (3 * (n - 1)) // 4 + 2 THEN v * ((3 * (n - 1)) % 4)
+               ELSE 0 END)
+            - sum(CASE
+               WHEN rk = (n - 1) // 4 + 1 THEN v * (4 - (n - 1) % 4)
+               WHEN rk = (n - 1) // 4 + 2 THEN v * ((n - 1) % 4)
+               ELSE 0 END) AS BIGINT) AS r4
+  FROM s WHERE n >= 2 GROUP BY source
+), p AS (
+  SELECT source, row_number() OVER (PARTITION BY source ORDER BY bucket_start) AS t, v
+  FROM mb
+), e AS (
+  SELECT source, t, v,
+         lead(v, 1) OVER (PARTITION BY source ORDER BY t) AS v1,
+         lead(v, 2) OVER (PARTITION BY source ORDER BY t) AS v2
+  FROM p
+), pr AS (
+  SELECT a.source AS source,
+         CAST(count(*) FILTER (WHERE 8 * abs(a.v - b.v) <= q.r4
+                               AND 8 * abs(a.v1 - b.v1) <= q.r4) AS BIGINT) AS b_cnt,
+         CAST(count(*) FILTER (WHERE 8 * abs(a.v - b.v) <= q.r4
+                               AND 8 * abs(a.v1 - b.v1) <= q.r4
+                               AND 8 * abs(a.v2 - b.v2) <= q.r4) AS BIGINT) AS a_cnt
+  FROM e a JOIN e b ON a.source = b.source AND a.t < b.t
+  JOIN q ON q.source = a.source
+  WHERE a.v2 IS NOT NULL AND b.v2 IS NOT NULL
+  GROUP BY 1
+)
+SELECT q.source AS source, q.n AS n, q.r4 AS r4,
+       COALESCE(pr.b_cnt, 0) AS b_cnt, COALESCE(pr.a_cnt, 0) AS a_cnt,
+       CASE WHEN COALESCE(pr.b_cnt, 0) > 0 THEN
+         CAST(pr.a_cnt AS DOUBLE) / CAST(pr.b_cnt AS DOUBLE)
+       END AS ratio
+FROM q LEFT JOIN pr ON pr.source = q.source""",
     }

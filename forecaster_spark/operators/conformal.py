@@ -161,3 +161,67 @@ def winkler_score(
         (F.col("sum_winkler").cast("double") / F.col("n").cast("double")).alias("mean_winkler"),
         (F.col("cov_cnt").cast("double") / F.col("n").cast("double")).alias("coverage"),
     )
+
+
+def crps_ensemble(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    order: str = "ts",
+    lags: tuple[int, int, int] = (1, 2, 24),
+) -> DataFrame:
+    """CRPS of a three-member lag ensemble (naive, naive-2, seasonal-naive)
+    against the observed integer tier signal — the continuous ranked
+    probability score (Gneiting & Raftery, JASA 2007; the M5-Uncertainty /
+    meteorology standard), scoring the WHOLE predictive distribution where
+    Winkler prices one interval and pinball one quantile.
+
+    For an m-member empirical ensemble x_1..x_m the closed form is
+
+        CRPS = (1/m) * sum_i |x_i - y|  -  (1/(2m^2)) * sum_ij |x_i - x_j|.
+
+    Exactness: with m = 3 members that are exact BIGINT lags of the
+    integer tier signal, 18*CRPS = 6*sum_i|x_i - y| - 2*(|x1-x2| +
+    |x1-x3| + |x2-x3|) is an exact BIGINT per point; the per-series mean
+    is the single correctly-rounded division sum18 / (18*n).  (The lag
+    members double as the standard M-competition baselines, so the score
+    also ranks how much ensemble spread buys over any single member.)
+
+    Plan shape: three lag windows on one series-key partitioning
+    (Exchange reuse), rows with any null member dropped, one hash
+    aggregate with map-side partials — one shuffle, codegen end-to-end.
+
+    Output: (partition, n, sum_crps18, mean_crps).
+    """
+    w = Window.partitionBy(partition).orderBy(order)
+    yv = F.col(value).cast("long")
+    m1, m2, m3 = (F.lag(yv, k).over(w) for k in lags)
+    pts = df.select(
+        partition,
+        yv.alias("_y"),
+        m1.alias("_m1"),
+        m2.alias("_m2"),
+        m3.alias("_m3"),
+    ).where(F.col("_m1").isNotNull() & F.col("_m2").isNotNull() & F.col("_m3").isNotNull())
+    a = (
+        F.abs(F.col("_m1") - F.col("_y"))
+        + F.abs(F.col("_m2") - F.col("_y"))
+        + F.abs(F.col("_m3") - F.col("_y"))
+    )
+    bsum = (
+        F.abs(F.col("_m1") - F.col("_m2"))
+        + F.abs(F.col("_m1") - F.col("_m3"))
+        + F.abs(F.col("_m2") - F.col("_m3"))
+    )
+    ag = pts.groupBy(partition).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.lit(6) * a - F.lit(2) * bsum).cast("long").alias("sum_crps18"),
+    )
+    return ag.select(
+        partition,
+        "n",
+        "sum_crps18",
+        (F.col("sum_crps18").cast("double") / (F.lit(18) * F.col("n")).cast("double")).alias(
+            "mean_crps"
+        ),
+    )

@@ -134,3 +134,108 @@ def discords(profile: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("source", "rank", "pos", "mp_sq")
     )
+
+
+def sample_entropy_kernel(v: np.ndarray, m: int = 2) -> tuple[int, int, int]:
+    """Exact SampEn match counts for one integer series.
+
+    Returns (r4, b_cnt, a_cnt): r4 = 4*IQR as an exact integer (quartiles
+    by the standard linear interpolation at (n-1)/4 and 3(n-1)/4, whose
+    quadrupled values are integers — the robust-scaler recipe); b_cnt =
+    #{i<j : max_{k<m} |v[i+k]-v[j+k]| <= IQR/2} (compared as
+    8*|diff| <= r4, all integers); a_cnt = the same with m+1.
+    O(n^2) int64 ops; n is tier-bounded.
+    """
+    v = v.astype(np.int64)
+    n = v.size
+    vs = np.sort(v)
+    def _q4(num: int) -> int:
+        lo, r = divmod(num, 4)
+        hi = min(lo + 1, n - 1)
+        return int(vs[lo]) * (4 - r) + int(vs[hi]) * r
+    r4 = _q4(3 * (n - 1)) - _q4(n - 1)
+    c = 8 * np.abs(v[:, None] - v[None, :]) <= r4
+    if n < m + 2:
+        return r4, 0, 0
+    # Richman-Moorman convention: BOTH counts range over the n-m template
+    # starts 0..n-m-1 (so every length-m template has an (m+1)-extension)
+    sz = n - m
+    bmat = c[:sz, :sz].copy()
+    for k in range(1, m):
+        bmat &= c[k : k + sz, k : k + sz]
+    b_cnt = int(np.triu(bmat, 1).sum())
+    amat = bmat & c[m : m + sz, m : m + sz]
+    a_cnt = int(np.triu(amat, 1).sum())
+    return r4, b_cnt, a_cnt
+
+
+def sample_entropy(
+    buckets: DataFrame,
+    m: int = 2,
+    value_micro: str = "v_micro",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Sample-entropy match counts per series (Richman & Moorman, Am. J.
+    Physiol. 2000) over a rolled tier — the regularity/complexity screen:
+    SampEn = -ln(A/B) where B counts length-m template matches within
+    tolerance r and A counts length-(m+1) matches.  Low A/B (high SampEn)
+    = irregular series; A/B near 1 = highly self-similar.  The
+    complexity companion of the Bandt-Pompe ordinal patterns (which see
+    only ORDER, not amplitude) and the matrix profile (nearest neighbor
+    only; SampEn counts ALL near template pairs).
+
+    Exactness: tolerance r = IQR/2 with quadrupled-integer quartiles
+    (engine-independent of the interpolation's algebraic form), matches
+    compared as 8*|diff| <= r4 — every count is an exact integer; ln is
+    deliberately NOT taken (libm is banned) — the ratio A/B is the single
+    correctly-rounded division, monotone in SampEn.
+
+    Plan shape: one shuffle on the series key into an Arrow kernel;
+    O(n^2) boolean numpy per series, n tier-bounded (~720/month).  The
+    SQL oracle replays the pair counts as a DuckDB self-join.
+
+    Output: (source, n, r4, b_cnt, a_cnt, ratio).
+    """
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("n", LongType()),
+            StructField("r4", LongType()),
+            StructField("b_cnt", LongType()),
+            StructField("a_cnt", LongType()),
+        ]
+    )
+
+    def _per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        v = pdf[value_micro].to_numpy(np.int64)
+        if v.size < 2:
+            return pd.DataFrame(
+                {"source": pdf["source"].iloc[:0], "n": [], "r4": [], "b_cnt": [], "a_cnt": []}
+            )
+        r4, b_cnt, a_cnt = sample_entropy_kernel(v, m)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n": [v.size],
+                "r4": [r4],
+                "b_cnt": [b_cnt],
+                "a_cnt": [a_cnt],
+            }
+        )
+
+    out = (
+        buckets.select("source", order, value_micro)
+        .groupBy("source")
+        .applyInPandas(_per_series, schema)
+    )
+    return out.select(
+        "source",
+        "n",
+        "r4",
+        "b_cnt",
+        "a_cnt",
+        F.when(
+            F.col("b_cnt") > 0, F.col("a_cnt").cast("double") / F.col("b_cnt").cast("double")
+        ).alias("ratio"),
+    )

@@ -1886,3 +1886,82 @@ def pettitt_changepoint(
         F.col("_b").alias("change_bucket"),
         F.abs(F.col("_u2")).alias("k2_stat"),
     )
+
+
+def mann_whitney_drift(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum two-sample test (Mann & Whitney,
+    AMS 1947) of the first half of each series against the second half —
+    the LOCATION-shift drift screen that completes the within-series drift
+    triad: KS (any distributional change), Pettitt (rank-CUSUM change
+    POINT), Mann-Whitney (directional level shift + effect size).  Also
+    emits Cliff's delta (Cliff, Psych. Bull. 1993), the standard
+    nonparametric effect size: delta = 2*U1/(n1*n2) - 1 in [-1, 1].
+
+    Exact integer form: DOUBLED tie-averaged ranks ``r2 = 2*rank + ties -
+    1`` over the COMBINED sample make ``u2 = 2*U1 = sum(r2 | first half) -
+    n1*(n1+1)`` exact; the tie cube term folds into the row aggregate
+    (``sum_rows(c^2 - 1) = sum_groups(c^3 - c)``, the wilcoxon recipe).
+    With ``num = u2 - n1*n2 = 2*(U1 - mu)``, ``f1 = n1*n2`` and ``f2 =
+    (n+1)*n*(n-1) - tie_cubes`` (so Var(U) = f1*f2 / (12*n*(n-1))),
+
+        z = num * sqrt(3*n*(n-1)) / sqrt(f1) / sqrt(f2)
+
+    as a FIXED left-associated chain of correctly-rounded IEEE ops —
+    bit-exact cross-engine (the wilcoxon/grubbs recipe).  The factored
+    form keeps every integer <= n^3 (int64-safe to n ~ 2*10^6 buckets,
+    i.e. two CENTURIES of hourly retention) where the fused product
+    f1*f2 ~ n^5 would overflow past n ~ 10^4.  Cliff's delta = num/f1 is
+    one correctly-rounded division.
+
+    Plan shape: a time row_number + count window, a rank + tie window on
+    the same series key, one hash aggregate — one shuffle, codegen.
+
+    Output: (partition, n1, n2, u2, num_z, f2, z_stat, cliffs_delta).
+    """
+    b = df.select(
+        F.col(partition).alias("source"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    wo = Window.partitionBy("source").orderBy("_b")
+    wv = Window.partitionBy("source").orderBy("_v")
+    wt = Window.partitionBy("source", "_v")
+    r = b.select(
+        "source",
+        (F.row_number().over(wo).cast("long") <= F.expr("count(1) over (partition by source) div 2"))
+        .alias("_g1"),
+        (F.lit(2) * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - F.lit(1))
+        .cast("long")
+        .alias("_r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("_c"),
+    )
+    ag = r.groupBy("source").agg(
+        F.sum(F.col("_g1").cast("long")).cast("long").alias("n1"),
+        F.sum((~F.col("_g1")).cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("_g1"), F.col("_r2")).otherwise(F.lit(0))).cast("long").alias("_rs2"),
+        F.sum(F.col("_c") * F.col("_c") - F.lit(1)).cast("long").alias("_tc"),
+    ).where((F.col("n1") >= F.lit(1)) & (F.col("n2") >= F.lit(1)))
+    n = (F.col("n1") + F.col("n2")).cast("long")
+    u2 = (F.col("_rs2") - F.col("n1") * (F.col("n1") + F.lit(1))).cast("long")
+    f1 = (F.col("n1") * F.col("n2")).cast("long")
+    f2 = ((n + F.lit(1)) * n * (n - F.lit(1)) - F.col("_tc")).cast("long")
+    num = (u2 - f1).cast("long")
+    sq3 = F.sqrt((F.lit(3) * n * (n - F.lit(1))).cast("double"))
+    return ag.select(
+        "source",
+        "n1",
+        "n2",
+        u2.alias("u2"),
+        num.alias("num_z"),
+        f2.alias("f2"),
+        F.when(
+            f2 > 0,
+            num.cast("double") * sq3 / F.sqrt(f1.cast("double")) / F.sqrt(f2.cast("double")),
+        ).alias("z_stat"),
+        (num.cast("double") / f1.cast("double")).alias("cliffs_delta"),
+    )
