@@ -2684,6 +2684,32 @@ def q_sample_entropy(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (chars/token, subword tokens/word)
+    from exact BIGINT codepoint/word/segment sums — the compression-quality
+    numbers that skew mixture weights at pretraining scale; row-local
+    counting + one tiny hash aggregate."""
+    from forecaster_spark.operators.textops import tokenizer_fertility
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs).select(
+        "lang", "n_docs", "sum_chars", "sum_ws", "sum_bpe", "chars_per_tok", "toks_per_word"
+    )
+
+
+def q_packing_waste(spark, sf_dir):
+    """Padding-vs-truncation budget report at context length 512: exact
+    ceil-division sequence counts, pad and truncation token totals per
+    source — the waste the greedy packer removes; one corpus-linear scan +
+    one hash aggregate."""
+    from forecaster_spark.operators.packing import packing_waste
+
+    docs = read_table(spark, sf_dir, "documents")
+    return packing_waste(docs, seq_len=512).select(
+        "source", "n_docs", "sum_tok", "n_seqs", "pad_tokens", "trunc_tokens", "pad_rate"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2856,6 +2882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crps_ensemble_events_1h": q_crps_ensemble,
         "hier_reconcile_events": q_hier_reconcile,
         "sample_entropy_events_1h": q_sample_entropy,
+        "tokenizer_fertility_documents": q_tokenizer_fertility,
+        "packing_waste_documents": q_packing_waste,
     }
 
 
@@ -5531,4 +5559,48 @@ SELECT q.source AS source, q.n AS n, q.r4 AS r4,
          CAST(pr.a_cnt AS DOUBLE) / CAST(pr.b_cnt AS DOUBLE)
        END AS ratio
 FROM q LEFT JOIN pr ON pr.source = q.source""",
+        "tokenizer_fertility_documents": f"""
+WITH c AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nw,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS nb
+  FROM documents
+), ag AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS sum_chars,
+         CAST(sum(nw) AS BIGINT) AS sum_ws,
+         CAST(sum(nb) AS BIGINT) AS sum_bpe
+  FROM c GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, sum_chars, sum_ws, sum_bpe,
+       CASE WHEN sum_bpe > 0 THEN CAST(sum_chars AS DOUBLE) / CAST(sum_bpe AS DOUBLE)
+       END AS chars_per_tok,
+       CASE WHEN sum_ws > 0 THEN CAST(sum_bpe AS DOUBLE) / CAST(sum_ws AS DOUBLE)
+       END AS toks_per_word
+FROM ag""",
+        "packing_waste_documents": f"""
+WITH c AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n
+  FROM documents
+), d AS (
+  SELECT source, n,
+         (n + 511) // 512 AS ns,
+         greatest(n - 512, 0) AS tr
+  FROM c
+), ag AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS sum_tok,
+         CAST(sum(ns) AS BIGINT) AS n_seqs,
+         CAST(sum(ns * 512 - n) AS BIGINT) AS pad_tokens,
+         CAST(sum(tr) AS BIGINT) AS trunc_tokens
+  FROM d GROUP BY 1
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, sum_tok, n_seqs, pad_tokens,
+       trunc_tokens,
+       CASE WHEN n_seqs > 0 THEN
+         CAST(pad_tokens AS DOUBLE) / CAST(n_seqs * 512 AS DOUBLE)
+       END AS pad_rate
+FROM ag""",
     }

@@ -25,7 +25,10 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from forecaster_spark.operators.textops import BPE_ISH
 
 
 def pack_sequences(
@@ -165,4 +168,56 @@ def chunk_tokens(
         "chunk_start",
         F.size("_chunk").cast("long").alias("chunk_len"),
         token_checksum_fast(F.col("_chunk")).alias("chunk_checksum"),
+    )
+
+
+def packing_waste(df: DataFrame, seq_len: int = 512, text_col: str = "text") -> DataFrame:
+    """Padding-vs-truncation waste report at a fixed context length — the
+    budget sheet a pretraining run reads before choosing doc-per-example
+    packing: per source, how many length-``seq_len`` sequences the corpus
+    needs if every document is split-and-padded (``ceil(n/L)`` sequences,
+    ``ceil(n/L)*L - n`` pad tokens) vs how many tokens truncate-to-one-
+    sequence would discard (``max(n - L, 0)``).  The greedy bin packer
+    (:func:`pack_sequences`) is the cure; this measures the disease.
+
+    Exactness: token counts are the BPE-ish regex proxy (certified by the
+    token_counts contract query); ceil-division is ``(n + L - 1) div L``
+    on BIGINTs — empty documents contribute zero sequences on both
+    engines; ``pad_rate = pad_tokens / (n_seqs*L)`` is the single
+    division.
+
+    Plan shape: row-local codegen arithmetic + one hash aggregate with
+    map-side partials on the source key.  Corpus-linear, one tiny shuffle.
+
+    Output: (source, n_docs, sum_tok, n_seqs, pad_tokens, trunc_tokens,
+    pad_rate).
+    """
+    ntok = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)).cast("long")
+    d = df.select(
+        "source",
+        ntok.alias("_n"),
+    ).select(
+        "source",
+        "_n",
+        F.expr(f"(_n + {seq_len - 1}) div {seq_len}").alias("_ns"),
+        F.greatest(F.col("_n") - F.lit(seq_len), F.lit(0)).cast("long").alias("_tr"),
+    )
+    ag = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("long").alias("sum_tok"),
+        F.sum("_ns").cast("long").alias("n_seqs"),
+        F.sum(F.col("_ns") * F.lit(seq_len) - F.col("_n")).cast("long").alias("pad_tokens"),
+        F.sum("_tr").cast("long").alias("trunc_tokens"),
+    )
+    return ag.select(
+        "source",
+        "n_docs",
+        "sum_tok",
+        "n_seqs",
+        "pad_tokens",
+        "trunc_tokens",
+        F.when(
+            F.col("n_seqs") > 0,
+            F.col("pad_tokens").cast("double") / (F.col("n_seqs") * F.lit(seq_len)).cast("double"),
+        ).alias("pad_rate"),
     )

@@ -622,3 +622,47 @@ SELECT doc_id,
        regexp_replace(regexp_replace(no_email, '{ipv4}', '<IP>', 'g'),
                       '{phone}', '<PHONE>', 'g') AS redacted
 FROM e"""
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language tokenizer fertility profile — the compression-quality
+    numbers every tokenizer report publishes (chars per token and subword
+    tokens per word, cf. the SentencePiece / multilingual-fertility
+    literature): languages a tokenizer segments poorly cost more sequence
+    budget per character, which directly skews mixture weights at
+    pretraining scale.
+
+    Uses the engine's two token counters (whitespace words + the BPE-ish
+    regex proxy): per language, exact BIGINT sums of codepoints, words and
+    subword segments; ``chars_per_tok = sum_chars / sum_bpe`` and
+    ``toks_per_word = sum_bpe / sum_ws`` are the only divisions (each a
+    single correctly-rounded IEEE op, cross-engine bit-exact).
+
+    Plan shape: row-local codegen counting (no explode — the regex counts
+    come from ``regexp_extract_all`` sizes), one hash aggregate with
+    map-side partials on the tiny language key.  Corpus-linear, zero
+    shuffle beyond the final 10-ish-row aggregate.
+
+    Output: (lang, n_docs, sum_chars, sum_ws, sum_bpe, chars_per_tok,
+    toks_per_word).
+    """
+    c = with_token_counts(df, text_col)
+    ag = c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.col(text_col)).cast("long")).cast("long").alias("sum_chars"),
+        F.sum(F.col("n_tokens_ws").cast("long")).cast("long").alias("sum_ws"),
+        F.sum(F.col("n_tokens_bpe").cast("long")).cast("long").alias("sum_bpe"),
+    )
+    return ag.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_ws",
+        "sum_bpe",
+        F.when(
+            F.col("sum_bpe") > 0, F.col("sum_chars").cast("double") / F.col("sum_bpe").cast("double")
+        ).alias("chars_per_tok"),
+        F.when(
+            F.col("sum_ws") > 0, F.col("sum_bpe").cast("double") / F.col("sum_ws").cast("double")
+        ).alias("toks_per_word"),
+    )
