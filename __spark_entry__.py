@@ -2710,6 +2710,20 @@ def q_packing_waste(spark, sf_dir):
     )
 
 
+def q_data_loader(spark, sf_dir):
+    """Reference C10 ``Data_Loader`` (Util/data_loader.py:5-19) as a
+    distributed batch manifest: W1 lagged matrix over the whole series,
+    sklearn chronological 80/20 split (test = ceil(n/5) tail rows),
+    contiguous batch_size-64 batches per split, and a per-batch polynomial
+    checksum over the flattened milli-quantized (lag3, lag2, lag1, y) rows
+    — the reference token-invariant fold, so a checksum match certifies
+    bit-exact batch content AND order (the tensor step itself is
+    ``loader.training_batches``, numpy-parity-pinned in pytest)."""
+    from forecaster_spark.operators.loader import data_loader_manifest
+
+    return data_loader_manifest(_ev(spark, sf_dir), value="y", p=3, batch_size=64, order=_ORD)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2826,6 +2840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_diversity_documents": q_simpson_diversity,
         "croston_purchase_events": q_croston,
         "tokens_checksum_documents": q_tokens_checksum,
+        "data_loader_batches_events": q_data_loader,
         "burstiness_events": q_burstiness,
         "theil_sen_events_1h": q_theil_sen,
         "repetition_signals_documents": q_repetition_signals,
@@ -4504,6 +4519,7 @@ FROM (
         "hll_distinct_users_events_1h": xhash_sql.hll_registers_sql(),
         "cmsketch_words_documents": _cm_sketch_oracle(),
         "tokens_checksum_documents": xhash_sql.tokens_checksum_sql(),
+        "data_loader_batches_events": xhash_sql.data_loader_sql(),
         "chunk_tokens_documents": xhash_sql.chunk_tokens_sql(),
         "ngram_novelty_documents": xhash_sql.ngram_novelty_sql(),
         "matrix_profile_events_1h": """

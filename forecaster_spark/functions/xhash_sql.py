@@ -465,3 +465,59 @@ top AS (SELECT * FROM agg ORDER BY n_docs DESC, sh ASC LIMIT {top_n})
 SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, sh ASC) AS BIGINT) AS rnk,
        {to_int64("sh")} AS span_hash, n_docs, first_doc, last_doc
 FROM top"""
+
+
+def data_loader_sql(
+    p: int = 3,
+    batch_size: int = 64,
+    quantum: int = 1000,
+    series_sql: str = "SELECT event_type AS source, ts, value AS y, event_id FROM events",
+) -> str:
+    """Oracle for ``loader.data_loader_manifest`` (reference
+    Util/data_loader.py:5-19): replay the W1 first-value-padded lag matrix
+    over the whole series, the sklearn chronological 80/20 split
+    (``n_test = (n+4)//5``, test = tail), contiguous batch assignment, and
+    fold each batch's flattened (lag_p..lag_1, y) milli-quantized tokens
+    through the reference polynomial ``Σ tok_j·31^(L−1−j) mod 2^64`` in
+    HUGEINT. tok < 2^31 and each batch holds ≤ batch_size·(p+1) tokens, so
+    terms < 2^95 and per-batch sums < 2^103 — inside HUGEINT with no limb
+    splitting (same bound argument as ``tokens_checksum_sql``)."""
+    width = p + 1
+    pows = "[" + ", ".join(
+        f"CAST({pow(31, k, 1 << 64)} AS HUGEINT)" for k in range(batch_size * width)
+    ) + "]"
+    lag_cols = ",\n         ".join(
+        f"coalesce(lag(tok,{k}) OVER w, first_value(tok) OVER w) AS l{k}"
+        for k in range(p, 0, -1)
+    )
+    terms = "\n       + ".join(
+        f"CAST(b.l{p - c} AS HUGEINT) * ({pows})[c.n_rows*{width} - (b.pib*{width} + {c})]"
+        for c in range(p)
+    ) + f"\n       + CAST(b.tok AS HUGEINT) * ({pows})[c.n_rows*{width} - (b.pib*{width} + {p})]"
+    lag_names = ", ".join(f"l{k}" for k in range(p, 0, -1))
+    return f"""
+WITH series AS ({series_sql}),
+q AS (
+  SELECT source, ts, event_id,
+         ((CAST(floor(y*{quantum}) AS BIGINT) % 2147483648) + 2147483648) % 2147483648 AS tok
+  FROM series),
+l AS (
+  SELECT source, ts, event_id, tok,
+         {lag_cols},
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM q WINDOW w AS (PARTITION BY source ORDER BY ts, event_id)),
+s AS (SELECT *, CASE WHEN rn <= n - ((n+4)//5) THEN 'train' ELSE 'test' END AS split FROM l),
+pp AS (SELECT *, row_number() OVER (PARTITION BY source, split ORDER BY ts, event_id) - 1 AS pos FROM s),
+b AS (SELECT source, split, pos // {batch_size} AS batch_id, pos % {batch_size} AS pib,
+             {lag_names}, tok FROM pp),
+cnt AS (SELECT source, split, batch_id, count(*) AS n_rows FROM b GROUP BY 1, 2, 3),
+term AS (
+  SELECT b.source, b.split, b.batch_id,
+         {terms} AS v
+  FROM b JOIN cnt c USING (source, split, batch_id)),
+chk AS (SELECT source, split, batch_id, sum(v) % {W} AS c FROM term GROUP BY 1, 2, 3)
+SELECT k.source, k.split, CAST(k.batch_id AS BIGINT) AS batch_id,
+       CAST(k.n_rows AS BIGINT) AS n_rows, {to_int64("c")} AS xy_checksum
+FROM cnt k JOIN chk USING (source, split, batch_id)
+ORDER BY source, split, batch_id"""
