@@ -490,6 +490,18 @@ def q_arx_forecast(spark, sf_dir):
     return forecast_long(_hourly_int_series(spark, sf_dir), hh=4, p=2, spec=1, skip=2, solver="exact")
 
 
+def q_arx_ridge_forecast(spark, sf_dir):
+    """Ridge-ARX(p=2) in-sample recursive forecast: the exact-Cramer OLS
+    path with an L2 penalty λ=10000 (quantized-y² units) on the
+    non-intercept normal-equation diagonal — the regularization a
+    collinear-lag design needs at training-pipeline scale, still certified
+    bit-for-bit by the generated HUGEINT SQL oracle (exact_sql.arx_ridge_sql)."""
+    return forecast_long(
+        _hourly_int_series(spark, sf_dir),
+        hh=4, p=2, spec=1, skip=2, solver="exact_ridge", ridge_lam=10000,
+    )
+
+
 def q_arx_direct_forecast(spark, sf_dir):
     """ARX_D direct multi-horizon (one regression per horizon — C2/A3),
     exact solver against the zero-tail lead targets (W3)."""
@@ -2771,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_ivf_embeddings": q_cosine_topk_ivf,
         "embedding_neardup_pairs_embeddings": q_embedding_neardup,
         "arx_forecast_events_1h": q_arx_forecast,
+        "arx_ridge_forecast_events_1h": q_arx_ridge_forecast,
         "arx_direct_forecast_events_1h": q_arx_direct_forecast,
         "ar_yw_forecast_events_1h": q_ar_yw_forecast,
         "arx_std_scaler_forecast_events_1h": q_arx_std_scaler_forecast,
@@ -3269,6 +3282,7 @@ SELECT a.doc_id AS doc_id,
 FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         # exact-solver forecast pipelines (models/exact_sql.py mirrors)
         "arx_forecast_events_1h": exact_sql.arx_recursive_sql(),
+        "arx_ridge_forecast_events_1h": exact_sql.arx_ridge_sql(10000),
         "arx_direct_forecast_events_1h": exact_sql.arx_direct_sql(),
         "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
         "arx_std_scaler_forecast_events_1h": exact_sql.arx_std_scaler_quantized_sql(),

@@ -77,12 +77,15 @@ def _det4(m: list[list[str]]) -> str:
     return "(0 " + " ".join(terms) + ")"
 
 
-def _cramer3(c: list[str], suffix: str = "") -> str:
+def _cramer3(c: list[str], suffix: str = "", lam: int = 0) -> str:
     """SELECT items solving A·b = c for A = X1ᵀX1 with X1 = [1, l2, l1]
     (sums columns n, s2, s1, s22, s21, s11 in scope) — aliases
     b0/b1/b2{suffix} with b1 multiplying l2 and b2 multiplying l1, mirroring
-    the reference's farthest-lag-first column order."""
-    A = [["n", "s2", "s1"], ["s2", "s22", "s21"], ["s1", "s21", "s11"]]
+    the reference's farthest-lag-first column order. ``lam`` > 0 adds the
+    ridge penalty to the non-intercept diagonal (ref.ridge_fit_exact)."""
+    s22 = f"(s22 + {int(lam)})" if lam else "s22"
+    s11 = f"(s11 + {int(lam)})" if lam else "s11"
+    A = [["n", "s2", "s1"], ["s2", s22, "s21"], ["s1", "s21", s11]]
     items = [f"{_det3(A)} AS dd{suffix}"]
     for j in range(3):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
@@ -113,6 +116,33 @@ _NORMAL_SUMS = """
   CAST(sum(l2) AS HUGEINT) AS s2, CAST(sum(l1) AS HUGEINT) AS s1,
   CAST(sum(l2*l2) AS HUGEINT) AS s22, CAST(sum(l2*l1) AS HUGEINT) AS s21,
   CAST(sum(l1*l1) AS HUGEINT) AS s11"""
+
+
+def arx_ridge_sql(lam: int) -> str:
+    """Ridge-ARX(p=2, spec=1) in-sample recursive forecast: identical
+    dataflow to :func:`arx_recursive_sql` with the L2 penalty ``lam`` on the
+    non-intercept normal-equation diagonal (``ref.ridge_fit_exact`` —
+    intercept unpenalized). Determinant magnitude: λ only adds to already
+    positive diagonal entries, so the ``n·Σy²``-scale HUGEINT bounds of the
+    OLS path carry over unchanged."""
+    return f"""
+WITH {_SERIES},
+sums AS (
+  SELECT source,{_NORMAL_SUMS},
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(y*l2) AS HUGEINT) AS sy2, CAST(sum(y*l1) AS HUGEINT) AS sy1
+  FROM lagged GROUP BY source
+),
+params AS (SELECT source, {_cramer3(["sy", "sy2", "sy1"], lam=lam)} FROM sums),
+fc1 AS (
+  SELECT g.source, g.t, g.l1, g.l2, p.b0, p.b1, p.b2,
+         greatest(p.b0 + g.l2*p.b1 + g.l1*p.b2, 0.0) AS f1
+  FROM lagged g JOIN params p USING (source) WHERE g.t >= {SKIP}
+),
+fc2 AS (SELECT *, greatest(b0 + l1*b1 + f1*b2, 0.0) AS f2 FROM fc1),
+fc3 AS (SELECT *, greatest(b0 + f1*b1 + f2*b2, 0.0) AS f3 FROM fc2),
+fc4 AS (SELECT *, greatest(b0 + f2*b1 + f3*b2, 0.0) AS f4 FROM fc3)
+{_OUT}"""
 
 
 def arx_recursive_sql(rectify: bool = True) -> str:

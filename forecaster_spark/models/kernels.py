@@ -48,6 +48,7 @@ def _build(pdf: pd.DataFrame, order: str, y: str, exo_cols, cfg) -> RefARX:
         scaler=cfg.get("scaler"),
         yw_method=cfg.get("yw_method", "mle"),
         solver=cfg.get("solver", "pinv"),
+        ridge_lam=cfg.get("ridge_lam", 0),
         symb_funcs=cfg.get("symb_funcs"),
         exo_symb_funcs=cfg.get("exo_symb_funcs"),
     )

@@ -46,6 +46,7 @@ class RefARX:
         scaler: str | None = None,
         yw_method: str = "mle",
         solver: str = "pinv",
+        ridge_lam: int = 0,
         symb_funcs: tuple | list | None = None,
         exo_symb_funcs: tuple | list | None = None,
     ):
@@ -65,8 +66,15 @@ class RefARX:
         # cross-engine (DuckDB oracle-able); requires integer-valued inputs
         # and no scalers. "pinv" (default): BLAS least squares.
         self.solver = solver
-        if solver == "exact" and scaler is not None:
+        # "exact_ridge": exact solver with L2 penalty λ = ridge_lam on the
+        # non-intercept normal-equation diagonal (ref.ridge_fit_exact);
+        # shares every fixed-order predict/diagnose path with "exact"
+        self._exact = solver in ("exact", "exact_ridge")
+        self.ridge_lam = int(ridge_lam)
+        if self._exact and scaler is not None:
             raise ValueError("exact solver does not compose with scalers")
+        if solver == "exact_ridge" and mode != "recursive":
+            raise ValueError("exact_ridge is implemented for the recursive ARX path")
         self.n = len(y)
         self.tr_size = int((1.0 - self.TE_RATIO) * self.n)
         self.te_size = self.n - self.tr_size
@@ -122,7 +130,7 @@ class RefARX:
         """Train on (y_, X_) windows (defaults: full series). arx.py:203-226,
         arx_d.py:185-213, ar_yw.py:71-94. For direct mode y_ is the lead
         matrix window."""
-        exact = self.solver == "exact"
+        exact = self._exact
         if self.mode == "ar_yw":
             yw = self.y if y_ is None else y_
             if self.yw_method == "sm_ols":
@@ -139,7 +147,10 @@ class RefARX:
         else:
             yw = self.y if y_ is None else y_
             Xw = self.X if X_ is None else X_
-            self.params = (ref.ols_fit_exact if exact else ref.ols_fit)(Xw, yw)
+            if self.solver == "exact_ridge":
+                self.params = ref.ridge_fit_exact(Xw, yw, self.ridge_lam)
+            else:
+                self.params = (ref.ols_fit_exact if exact else ref.ols_fit)(Xw, yw)
         return self.params
 
     # -- forecasting -------------------------------------------------------
@@ -148,7 +159,7 @@ class RefARX:
         *scaled* space (matching the reference's internal y_fcast)."""
         t_st = self.skip if t_start == -1 else t_start
         t_en = self.n if t_end == -1 else t_end
-        ordered = self.solver == "exact"
+        ordered = self._exact
         if self.mode == "ar_yw":
             yf = np.empty((t_en - t_st, self.hh))
             for t in range(t_st, t_en):
@@ -213,7 +224,7 @@ class RefARX:
                 yp = self.inverse_y(yf[: ll - h, h])
                 out.append({"h": h + 1, **ref.diagnose(yt, yp)})
         else:
-            diag = ref.diagnose_exact if self.solver == "exact" else ref.diagnose
+            diag = ref.diagnose_exact if self._exact else ref.diagnose
             y_true = self.y[self.tr_size:] if tnt else self.y[self.skip:]
             y_true = self.inverse_y(y_true.copy())
             ll = len(y_true)

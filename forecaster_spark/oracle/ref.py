@@ -363,6 +363,43 @@ def ols_fit_multi_exact(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
     return np.column_stack([ols_fit_exact(X, Y[:, h]) for h in range(Y.shape[1])])
 
 
+def ridge_fit_exact(X: np.ndarray, y: np.ndarray, lam: int) -> np.ndarray:
+    """Ridge (L2-regularized) OLS with intercept for integer-valued (X, y):
+    exact integer normal equations ``(X1ᵀX1 + λ·diag(0,1,…,1))·b = X1ᵀy``
+    (intercept unpenalized — the textbook convention) solved by the same
+    Cramer + HUGEINT-cast rounding as :func:`ols_fit_exact`, so the SQL
+    oracle reproduces every coefficient bit-for-bit. λ is an integer in the
+    quantized-y² unit system (the design is integer-valued by contract).
+    λ > 0 makes the penalized block strictly positive-definite, so the
+    dd = 0 fallback only ever fires on an empty window; it is kept for
+    branch parity with the OLS path. Engine-side use: collinear lag windows
+    (near-constant series) get shrunk, finite coefficients instead of the
+    huge cancelling pairs plain Cramer OLS produces."""
+    X1 = np.column_stack((np.ones(len(X)), np.asarray(X, dtype=float)))
+    cols = _as_int_cols(X1)
+    yv = _as_int_cols(np.asarray(y, dtype=float).reshape(-1, 1))[0]
+    k1 = len(cols)
+    lam = int(lam)
+    A = [
+        [
+            sum(a * b for a, b in zip(cols[i], cols[j])) + (lam if i == j and i > 0 else 0)
+            for j in range(k1)
+        ]
+        for i in range(k1)
+    ]
+    c = [sum(a * b for a, b in zip(cols[i], yv)) for i in range(k1)]
+    det = _int_det(A)
+    if det == 0:
+        out = np.zeros(k1)
+        out[0] = hugeint_to_double(c[0]) / hugeint_to_double(A[0][0])
+        return out
+    out = np.empty(k1)
+    for j in range(k1):
+        Aj = [[c[i] if jj == j else A[i][jj] for jj in range(k1)] for i in range(k1)]
+        out[j] = hugeint_to_double(_int_det(Aj)) / hugeint_to_double(det)
+    return out
+
+
 def feature_scores_exact(X: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Per-feature squared Pearson correlation with the target — the
     engine's torch-free analogue of the reference's attention-heat-map
