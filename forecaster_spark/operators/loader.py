@@ -78,8 +78,13 @@ def _batched(
             F.lit("test")
         ),
     )
-    ws = Window.partitionBy(partition, "split").orderBy(*[F.col(c) for c in order])
-    pos = F.row_number().over(ws) - 1
+    # in-split position derived arithmetically from the whole-series row
+    # number (train is the contiguous head, test the contiguous tail), so
+    # no second window pass/sort is needed — one shuffle for the series
+    # window, one for the batch groupBy
+    pos = F.when(
+        F.col("split") == "train", F.col("_rn") - 1
+    ).otherwise(F.col("_rn") - 1 - (F.col("_n") - n_test))
     b = (
         b.withColumn("_pos", pos)
         .withColumn("batch_id", F.expr(f"_pos div {batch_size}"))
