@@ -2722,6 +2722,17 @@ def q_packing_waste(spark, sf_dir):
     )
 
 
+def q_bigram_fluency(spark, sf_dir):
+    """Per-document fluency under the corpus's own MLE bigram LM (mean
+    conditional bigram probability, ppm-floored — the log-free,
+    cross-engine-exact stand-in for the KenLM perplexity filter): the
+    model-based quality signal next to the heuristic ones; counts are two
+    hash aggregates + two shuffle joins, everything corpus-linear."""
+    from forecaster_spark.operators.textops import bigram_fluency
+
+    return bigram_fluency(read_table(spark, sf_dir, "documents"))
+
+
 def q_data_loader(spark, sf_dir):
     """Reference C10 ``Data_Loader`` (Util/data_loader.py:5-19) as a
     distributed batch manifest: W1 lagged matrix over the whole series,
@@ -2854,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston_purchase_events": q_croston,
         "tokens_checksum_documents": q_tokens_checksum,
         "data_loader_batches_events": q_data_loader,
+        "bigram_fluency_documents": q_bigram_fluency,
         "burstiness_events": q_burstiness,
         "theil_sen_events_1h": q_theil_sen,
         "repetition_signals_documents": q_repetition_signals,
@@ -4534,6 +4546,7 @@ FROM (
         "cmsketch_words_documents": _cm_sketch_oracle(),
         "tokens_checksum_documents": xhash_sql.tokens_checksum_sql(),
         "data_loader_batches_events": xhash_sql.data_loader_sql(),
+        "bigram_fluency_documents": xhash_sql.bigram_fluency_sql(),
         "chunk_tokens_documents": xhash_sql.chunk_tokens_sql(),
         "ngram_novelty_documents": xhash_sql.ngram_novelty_sql(),
         "matrix_profile_events_1h": """

@@ -521,3 +521,34 @@ SELECT k.source, k.split, CAST(k.batch_id AS BIGINT) AS batch_id,
        CAST(k.n_rows AS BIGINT) AS n_rows, {to_int64("c")} AS xy_checksum
 FROM cnt k JOIN chk USING (source, split, batch_id)
 ORDER BY source, split, batch_id"""
+
+
+def bigram_fluency_sql(
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``textops.bigram_fluency``: re-derive the deterministic
+    tokens, pair adjacent positions into bigram keys ``a·2^31 + b``, count
+    corpus bigrams / prefixes, and floor each conditional probability at
+    ppm with the SAME association as the kernel
+    (``floor((1000000.0 · c_ab) / c_a)`` — multiply first, one division);
+    per-doc terms are exact integers summed order-free, mean is one IEEE
+    division. Docs with < 2 tokens are excluded on both engines."""
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+tk AS (SELECT doc_id, wpos, h % 2147483648 AS tok FROM wh),
+bg AS (
+  SELECT t1.doc_id, t1.tok * 2147483648 + t2.tok AS key, t1.tok AS a
+  FROM tk t1 JOIN tk t2 ON t2.doc_id = t1.doc_id AND t2.wpos = t1.wpos + 1
+),
+db AS (SELECT doc_id, key, a, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+cab AS (SELECT key, count(*) AS cab FROM bg GROUP BY 1),
+cpre AS (SELECT a, count(*) AS ca FROM bg GROUP BY 1),
+term AS (
+  SELECT d.doc_id, d.m,
+         CAST(floor((1000000.0 * CAST(c.cab AS DOUBLE)) / CAST(p.ca AS DOUBLE)) AS BIGINT) AS t
+  FROM db d JOIN cab c USING (key) JOIN cpre p USING (a)
+)
+SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * t) AS BIGINT) AS flu_sum_ppm,
+       CAST(sum(m * t) AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS fluency_ppm
+FROM term GROUP BY doc_id"""

@@ -666,3 +666,73 @@ def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("sum_ws") > 0, F.col("sum_bpe").cast("double") / F.col("sum_ws").cast("double")
         ).alias("toks_per_word"),
     )
+
+
+def bigram_fluency(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fluency under the corpus's own MLE bigram language
+    model: mean over the document's bigrams of P(b|a) = c(a,b) / c(a,·) —
+    the model-based complement of the heuristic quality signals
+    (boilerplate scores high: its bigrams are corpus-frequent; garbled
+    text scores near zero). The classic KenLM-perplexity filter uses mean
+    LOG-prob; ``log`` is not bit-reproducible cross-engine, so the engine
+    scores mean probability in ppm — rank-usable the same way and exact.
+
+    Exactness: each conditional probability is ONE correctly-rounded
+    division of exact integer counts, floored at ppm
+    (``floor((1e6·c_ab)/c_a)``, exact while c(a,b) < 2^53/10^6 ≈ 9·10^9 —
+    beyond that, sample the LM counts); per-doc terms are then exact
+    integers summed order-free (no float-order hazard), and the mean is a
+    single IEEE division. Tokens are the north-rule deterministic word
+    hashes (:func:`text_tokens`), so the DuckDB oracle re-derives the
+    identical bigram keys.
+
+    Plan shape: bigrams come from ``arrays_zip`` of two narrow array
+    slices (no per-doc window, no shuffle), deduped per (doc, bigram) with
+    a multiplicity BEFORE the count joins; corpus bigram/prefix counts are
+    two hash aggregates; the two count joins are shuffle hash joins on the
+    bigram/prefix keys (hot prefixes skew → AQE skew-join splits them).
+    Everything is linear in corpus size; no driver-side state.
+
+    Output: (doc_id, n_bigrams, flu_sum_ppm, fluency_ppm)."""
+    t = text_tokens(df, text_col, id_col).where(F.col("n_tok") >= 2)
+    b = (
+        t.withColumn("_pre", F.expr("slice(tokens, 1, n_tok - 1)"))
+        .withColumn("_suc", F.expr("slice(tokens, 2, n_tok - 1)"))
+        .select(id_col, F.explode(F.arrays_zip("_pre", "_suc")).alias("bg"))
+        .select(
+            id_col,
+            (
+                F.col("bg._pre").cast("long") * F.lit(1 << 31).cast("long")
+                + F.col("bg._suc").cast("long")
+            ).alias("key"),
+        )
+    )
+    db = b.groupBy(id_col, "key").agg(F.count(F.lit(1)).alias("m"))
+    cab = b.groupBy("key").agg(F.count(F.lit(1)).alias("cab"))
+    ca = (
+        b.withColumn("a", F.expr(f"key div {1 << 31}"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    term = (
+        db.withColumn("a", F.expr(f"key div {1 << 31}"))
+        .join(cab, "key")
+        .join(ca, "a")
+        .withColumn(
+            "t",
+            F.floor(
+                (F.lit(1000000.0) * F.col("cab").cast("double"))
+                / F.col("ca").cast("double")
+            ),
+        )
+    )
+    out = term.groupBy(id_col).agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("t")).cast("long").alias("flu_sum_ppm"),
+    )
+    return out.withColumn(
+        "fluency_ppm",
+        F.col("flu_sum_ppm").cast("double") / F.col("n_bigrams").cast("double"),
+    )

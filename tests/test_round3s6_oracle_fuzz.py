@@ -94,3 +94,51 @@ def test_data_loader_oracle_matches_python_replay(milli_vals):
     for source, split, batch_id, n_rows, chk in got:
         e_n, e_chk = exp[(split, batch_id)]
         assert (n_rows, chk) == (e_n, e_chk), (split, batch_id)
+
+
+def _fluency_replay(texts):
+    """Pure-Python replay of bigram_fluency over (doc_id, text) pairs."""
+    from forecaster_spark.functions import xhash
+
+    toks = {}
+    for did, tx in texts:
+        words = tx.lower().split(" ")  # fixture texts use single spaces only
+        toks[did] = [int(h % (1 << 31)) for h in xhash.word_hash_flat(words)]
+    cab, ca = {}, {}
+    for did, ts in toks.items():
+        for a, b in zip(ts, ts[1:]):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+            ca[a] = ca.get(a, 0) + 1
+    out = {}
+    for did, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        terms = [
+            math.floor((1000000.0 * cab[(a, b)]) / ca[a]) for a, b in zip(ts, ts[1:])
+        ]
+        s = sum(terms)
+        out[did] = (len(terms), s, s / len(terms))
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bigram_fluency_oracle_matches_python_replay(texts):
+    docs = pd.DataFrame(
+        {"doc_id": [f"d-{i:09d}" for i in range(len(texts))], "text": texts}
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = con.execute(ORACLES["bigram_fluency_documents"]).fetchall()
+    exp = _fluency_replay(zip(docs["doc_id"], docs["text"]))
+    assert len(got) == len(exp)
+    for did, n, s, mean in got:
+        e_n, e_s, e_mean = exp[did]
+        assert (n, s) == (e_n, e_s)
+        assert mean == e_mean
