@@ -2363,6 +2363,20 @@ def q_duplicated_spans(spark, sf_dir):
     )
 
 
+def q_span_removal(spark, sf_dir):
+    """Exact-substring dedup APPLIED (Lee et al. 2021 second half): every
+    word position covered by any occurrence of a top-20 duplicated span is
+    removed; surviving text certified by value via the reference polynomial
+    token checksum per doc. Ledger bounded (top-N) and shipped in the
+    kernel closure — one corpus-linear Arrow map, zero extra shuffles."""
+    from forecaster_spark.operators.dedup import remove_duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, top_n=20).select(
+        "doc_id", "n_words", "n_removed", "clean_checksum"
+    )
+
+
 def q_granger_pairs(spark, sf_dir):
     """Lag-1 Granger-causality screen over all ordered source pairs of
     the hourly tier: restricted-vs-full exact-Cramer OLS (2x2/3x3 integer
@@ -2779,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits_events": q_benford_digits,
         "pinball_qof_events_1h": q_pinball_qof,
         "duplicated_spans_documents": q_duplicated_spans,
+        "span_removal_documents": q_span_removal,
         "granger_pairs_events_1h": q_granger_pairs,
         "dickey_fuller_events_1h": q_dickey_fuller,
         "kpss_level_events_1h": q_kpss_level,
@@ -4050,6 +4065,7 @@ SELECT source, tau_num, tau_den, count(*) AS n,
        (1000 * CAST(sum(dl) AS BIGINT)) // (count(*) * tau_den) AS mean_milli
 FROM l GROUP BY 1, 2, 3""",
         "duplicated_spans_documents": xhash_sql.duplicated_spans_sql(top_n=20),
+        "span_removal_documents": xhash_sql.span_removal_sql(top_n=20),
         "granger_pairs_events_1h": exact_sql.granger_sql(),
         "ar_order_select_events_1h": exact_sql.ar_order_select_sql(),
         "ljung_box_events": """

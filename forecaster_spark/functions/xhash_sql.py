@@ -467,6 +467,68 @@ SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, sh ASC) AS BIGINT) AS rnk,
 FROM top"""
 
 
+def span_removal_sql(
+    top_n: int = 20,
+    max_tok: int = 1024,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``dedup.remove_duplicated_spans``: rebuild the
+    duplicated-span ledger (distinct word-3-gram hashes per doc, n_docs ≥ 2,
+    deterministic top-N), mark every word position covered by ANY
+    occurrence of a flagged span (all window starts, not the per-doc
+    distinct view; short docs' whole-doc shingle covers all their words),
+    and fold the reference polynomial checksum over the surviving words in
+    order — HUGEINT end-to-end, fully-removed docs coalesce to checksum 0.
+    """
+    c2 = (C * C) % W
+    pows = "[" + ", ".join(
+        f"CAST({pow(31, j, 1 << 64)} AS HUGEINT)" for j in range(max_tok)
+    ) + "]"
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+led AS (
+  SELECT doc_id, wpos, h AS h0_, lead(h, 1) OVER w AS h1_, lead(h, 2) OVER w AS h2_,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM wh WINDOW w AS (PARTITION BY doc_id ORDER BY wpos)
+),
+gall AS (
+  SELECT doc_id, wpos, 3 AS span_len,
+         (h0_ + {umul_c("h1_", C)} + {umul_c("h2_", c2)}) % {W} AS g0
+  FROM led WHERE m >= 3 AND h2_ IS NOT NULL
+  UNION ALL
+  SELECT doc_id, wpos, m AS span_len,
+         (h0_ + coalesce({umul_c("h1_", C)}, 0)) % {W} AS g0
+  FROM led WHERE m < 3 AND wpos = 0
+),
+gsm AS (SELECT doc_id, wpos, span_len, {splitmix_cols("g0", "sh")} FROM gall),
+shd AS (SELECT DISTINCT doc_id, sh FROM gsm),
+agg AS (SELECT sh, count(*) AS n_docs FROM shd GROUP BY 1 HAVING count(*) >= 2),
+flag AS (SELECT sh FROM agg ORDER BY n_docs DESC, sh ASC LIMIT {top_n}),
+cov0 AS (
+  SELECT g.doc_id, g.wpos + unnest(range(g.span_len)) AS cpos
+  FROM gsm g JOIN flag f USING (sh)
+),
+cov AS (SELECT DISTINCT doc_id, cpos FROM cov0),
+ln AS (SELECT doc_id, count(*) AS n_words FROM wh GROUP BY 1),
+kept AS (
+  SELECT w.doc_id, w.wpos, w.h % 2147483648 AS tok
+  FROM wh w LEFT JOIN cov c ON c.doc_id = w.doc_id AND c.cpos = w.wpos
+  WHERE c.doc_id IS NULL
+),
+krk AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wpos) AS r,
+         count(*) OVER (PARTITION BY doc_id) AS nk
+  FROM kept
+),
+term AS (SELECT doc_id, nk, tok * ({pows})[nk - r + 1] AS v FROM krk),
+chk AS (SELECT doc_id, max(nk) AS nk, sum(v) % {W} AS c FROM term GROUP BY 1)
+SELECT l.doc_id, CAST(l.n_words AS BIGINT) AS n_words,
+       CAST(l.n_words - coalesce(k.nk, 0) AS BIGINT) AS n_removed,
+       coalesce({to_int64("k.c")}, 0) AS clean_checksum
+FROM ln l LEFT JOIN chk k USING (doc_id)"""
+
+
 def data_loader_sql(
     p: int = 3,
     batch_size: int = 64,

@@ -785,3 +785,127 @@ def duplicated_spans(
     top = agg.orderBy(F.col("n_docs").desc(), uns.asc()).limit(top_n)
     w = Window.orderBy(F.col("n_docs").desc(), uns.asc())
     return top.select(F.row_number().over(w).alias("rnk"), "*")
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY the duplicated-span ledger — the second half of Lee et al.
+    2021 exact-substring dedup (their pass REMOVES the repeated spans from
+    the training text; :func:`duplicated_spans` only inventories them).
+    Every word position covered by any occurrence of a flagged k-gram span
+    (all occurrences, not just the ledger's distinct-per-doc view) is
+    dropped; the surviving words are certified by value via the reference
+    polynomial token checksum ``Σ tok_i·31^(m'−1−i) mod 2^64`` over the
+    kept words in order (tok = word hash mod 2^31 — the same token
+    derivation the north-rule corpus invariant uses).
+
+    Plan shape (100-TB lens): the ledger is the deterministic top-``top_n``
+    boilerplate table — bounded by construction, collected once (top_n
+    rows) and shipped inside the kernel closure; the removal itself is then
+    ONE corpus-linear Arrow map over the documents with ZERO extra shuffles
+    (no join-back of flag lists).  Coverage marking, membership test and
+    the checksum fold are all flat-stream numpy (diff-array interval
+    union + cumsum; no per-row Python).
+
+    Output: (doc_id, n_words, n_removed, clean_checksum) — n_removed = 0
+    and checksum over all words for untouched docs; checksum 0 when every
+    word is removed.  NULL text propagates NULLs.
+    """
+    ledger = duplicated_spans(docs, text_col=text_col, k=k, top_n=top_n, id_col=id_col)
+    flagged = np.array(
+        [r.span_hash for r in ledger.select("span_hash").collect()], dtype=np.int64
+    ).view(np.uint64)
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_removed", T.LongType()),
+            T.StructField("clean_checksum", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def scrub(words_s: pd.Series) -> pd.DataFrame:
+        rows = words_s.to_numpy()
+        n = len(rows)
+        n_words = np.zeros(n, np.int64)
+        n_removed = np.zeros(n, np.int64)
+        checks = np.zeros(n, np.int64)
+        isnull = np.zeros(n, bool)
+        flat_words: list[str] = []
+        lens = np.zeros(n, np.int64)
+        for i, ws in enumerate(rows):
+            if ws is None:
+                isnull[i] = True
+            else:
+                flat_words.extend(ws)
+                lens[i] = len(ws)
+        flat = xhash.word_hash_flat(flat_words)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        nf = len(flat)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # full k-windows over the flat stream (same rolling combine as
+        # word_shingles, WITHOUT the distinct — removal must cover every
+        # occurrence), then short-doc (0 < m < k) whole-doc shingles
+        powers = xhash.pow_table(k)
+        g = np.zeros(max(nf - (k - 1), 0), dtype=np.uint64)
+        for j in range(k):
+            g += flat[j : nf - (k - 1) + j] * powers[j]
+        g = _splitmix(g)
+        off = np.arange(len(g), dtype=np.int64) - starts[row_of[: len(g)]]
+        valid = off <= (lens[row_of[: len(g)]] - k)
+        # interval-union coverage via a diff array over flat positions
+        cov = np.zeros(nf + 1, np.int64)
+        hit_starts = np.flatnonzero(valid & np.isin(g, flagged))
+        np.add.at(cov, hit_starts, 1)
+        np.add.at(cov, hit_starts + k, -1)
+        short = np.flatnonzero((lens > 0) & (lens < k))
+        if len(short):
+            pos = np.arange(nf, dtype=np.int64) - starts[row_of]
+            contrib = flat * powers[np.minimum(pos, k - 1)]
+            csum0 = np.concatenate(([np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)))
+            acc = _splitmix((csum0[ends[short]] - csum0[starts[short]]).astype(np.uint64))
+            shit = short[np.isin(acc, flagged)]
+            np.add.at(cov, starts[shit], 1)
+            np.add.at(cov, ends[shit], -1)
+        covered = np.cumsum(cov[:-1]) > 0
+        kept = ~covered
+        # reference polynomial checksum over the kept words, per row:
+        # exponent of the i-th kept word (0-based within its row) is
+        # (kept_in_row − 1 − i); uint64 cumsum diffs wrap mod 2^64 exactly
+        kept_idx = np.flatnonzero(kept)
+        krow = row_of[kept_idx]
+        kcnt = np.bincount(krow, minlength=n).astype(np.int64)
+        kstart = np.concatenate(([0], np.cumsum(kcnt)))
+        rank = np.arange(len(kept_idx), dtype=np.int64) - kstart[krow]
+        expo = kcnt[krow] - 1 - rank
+        max_e = int(expo.max()) + 1 if len(expo) else 1
+        pow31 = np.array([pow(31, j, 1 << 64) for j in range(max_e)], dtype=np.uint64)
+        toks = flat[kept_idx] & np.uint64((1 << 31) - 1)
+        term = toks * pow31[expo]
+        csum = np.concatenate(([np.uint64(0)], np.cumsum(term, dtype=np.uint64)))
+        sums = (csum[kstart[1:]] - csum[kstart[:-1]]).astype(np.uint64)
+        n_words = lens
+        n_removed = lens - kcnt
+        checks = sums.view(np.int64)
+        out = pd.DataFrame(
+            {"n_words": n_words, "n_removed": n_removed, "clean_checksum": checks}
+        )
+        for c in out.columns:
+            out[c] = out[c].astype(object)
+            out.loc[isnull, c] = None
+        return out
+
+    res = docs.withColumn("_scrub", scrub(_lower_words(text_col)))
+    return res.select(
+        id_col,
+        F.col("_scrub.n_words").alias("n_words"),
+        F.col("_scrub.n_removed").alias("n_removed"),
+        F.col("_scrub.clean_checksum").alias("clean_checksum"),
+    )

@@ -573,3 +573,80 @@ class TestDemandClass:
         assert got["n_nz"] == n and got["span"] == span
         assert got["adi_milli"] == (1000 * span) // n
         assert got["cv2"] == float(n * sd2 - sd * sd) / float(sd * sd)
+
+
+class TestSpanRemoval:
+    @staticmethod
+    def _checksum(words: list[str]) -> int:
+        from forecaster_spark.functions import xhash
+
+        toks = [int(h) & ((1 << 31) - 1) for h in xhash.word_hash_flat(words)]
+        m = len(toks)
+        v = sum(t * pow(31, m - 1 - i, 1 << 64) for i, t in enumerate(toks)) % (1 << 64)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def test_planted_boilerplate_removed(self, spark):
+        from forecaster_spark.operators.dedup import remove_duplicated_spans
+
+        boiler = "all rights reserved by the example corporation"
+        docs = [
+            (i, f"u{i}a u{i}b u{i}c u{i}d" + (" " + boiler if i % 2 == 0 else ""))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = remove_duplicated_spans(df, top_n=20).toPandas().set_index("doc_id")
+        for i in range(20):
+            r = got.loc[i]
+            if i % 2 == 0:
+                # the 5 pure-boilerplate 3-grams cover all 7 boiler words;
+                # prefix-spanning 3-grams contain a unique word, unflagged
+                assert r["n_words"] == 11 and r["n_removed"] == 7
+                assert r["clean_checksum"] == self._checksum(
+                    [f"u{i}a", f"u{i}b", f"u{i}c", f"u{i}d"]
+                )
+            else:
+                assert r["n_words"] == 4 and r["n_removed"] == 0
+                assert r["clean_checksum"] == self._checksum(
+                    [f"u{i}a", f"u{i}b", f"u{i}c", f"u{i}d"]
+                )
+
+    def test_fully_removed_doc_checksum_zero(self, spark):
+        from forecaster_spark.operators.dedup import remove_duplicated_spans
+
+        boiler = "terms of service apply here"
+        docs = [(0, boiler), (1, boiler), (2, "totally unique words only")]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = remove_duplicated_spans(df, top_n=20).toPandas().set_index("doc_id")
+        assert got.loc[0, "n_removed"] == 5 and got.loc[0, "clean_checksum"] == 0
+        assert got.loc[1, "n_removed"] == 5 and got.loc[1, "clean_checksum"] == 0
+        assert got.loc[2, "n_removed"] == 0
+        assert got.loc[2, "clean_checksum"] == self._checksum(
+            ["totally", "unique", "words", "only"]
+        )
+
+    def test_short_doc_whole_shingle_removed(self, spark):
+        from forecaster_spark.operators.dedup import remove_duplicated_spans
+
+        docs = [(0, "aa bb"), (1, "aa bb"), (2, "cc dd")]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = remove_duplicated_spans(df, top_n=20).toPandas().set_index("doc_id")
+        assert got.loc[0, "n_removed"] == 2 and got.loc[0, "clean_checksum"] == 0
+        assert got.loc[1, "n_removed"] == 2 and got.loc[1, "clean_checksum"] == 0
+        assert got.loc[2, "n_removed"] == 0
+        assert got.loc[2, "clean_checksum"] == self._checksum(["cc", "dd"])
+
+    def test_repeated_occurrences_all_covered(self, spark):
+        from forecaster_spark.operators.dedup import remove_duplicated_spans
+
+        # the flagged 3-gram occurs TWICE in doc 0 (ledger is distinct
+        # per doc; removal must cover every occurrence)
+        docs = [
+            (0, "x1 one two three x2 x3 one two three x4"),
+            (1, "one two three y1 y2 y3"),
+        ]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = remove_duplicated_spans(df, top_n=20).toPandas().set_index("doc_id")
+        assert got.loc[0, "n_removed"] == 6
+        assert got.loc[0, "clean_checksum"] == self._checksum(["x1", "x2", "x3", "x4"])
+        assert got.loc[1, "n_removed"] == 3
+        assert got.loc[1, "clean_checksum"] == self._checksum(["y1", "y2", "y3"])
