@@ -502,6 +502,19 @@ def q_arx_ridge_forecast(spark, sf_dir):
     )
 
 
+def q_arma_hr_forecast(spark, sf_dir):
+    """ARMA(1,1) in-sample recursive forecast by Hannan–Rissanen two-stage
+    exact-Cramer OLS — the engine's first moving-average-family model (the
+    reference's AR/ARX stack, arx.py/ar_yw.py, fits pure lag designs with no
+    MA term; HR reaches one through OLS only, so it composes with the
+    integer-Cramer + fixed-order-predict machinery). Innovations are fed
+    back fixed-point (eq = floor(e·8), exact on both engines); certified
+    bit-for-bit by the generated HUGEINT SQL oracle (exact_sql.arma_hr_sql)."""
+    from forecaster_spark.models.kernels import arma_hr_forecast
+
+    return arma_hr_forecast(_hourly_int_series(spark, sf_dir), hh=4, skip=2, q_scale=8)
+
+
 def q_arx_direct_forecast(spark, sf_dir):
     """ARX_D direct multi-horizon (one regression per horizon — C2/A3),
     exact solver against the zero-tail lead targets (W3)."""
@@ -2810,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs_embeddings": q_embedding_neardup,
         "arx_forecast_events_1h": q_arx_forecast,
         "arx_ridge_forecast_events_1h": q_arx_ridge_forecast,
+        "arma_hr_forecast_events_1h": q_arma_hr_forecast,
         "arx_direct_forecast_events_1h": q_arx_direct_forecast,
         "ar_yw_forecast_events_1h": q_ar_yw_forecast,
         "arx_std_scaler_forecast_events_1h": q_arx_std_scaler_forecast,
@@ -3310,6 +3324,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         # exact-solver forecast pipelines (models/exact_sql.py mirrors)
         "arx_forecast_events_1h": exact_sql.arx_recursive_sql(),
         "arx_ridge_forecast_events_1h": exact_sql.arx_ridge_sql(10000),
+        "arma_hr_forecast_events_1h": exact_sql.arma_hr_sql(8),
         "arx_direct_forecast_events_1h": exact_sql.arx_direct_sql(),
         "ar_yw_forecast_events_1h": exact_sql.ar_yw_sql(),
         "arx_std_scaler_forecast_events_1h": exact_sql.arx_std_scaler_quantized_sql(),

@@ -145,6 +145,60 @@ fc4 AS (SELECT *, greatest(b0 + f2*b1 + f3*b2, 0.0) AS f4 FROM fc3)
 {_OUT}"""
 
 
+def arma_hr_sql(q_scale: int = 8) -> str:
+    """ARMA(1,1) in-sample recursive forecast by Hannan–Rissanen two-stage
+    exact-Cramer OLS (ref.arma11_hr_forecast): stage-1 long-AR(2) on the
+    z[0]-padded lags (reusing the ARX normal-equation sums), residuals by
+    the fixed left-assoc chain, innovations quantized eq = floor(e·q_scale)
+    with q_scale a power of two (exact multiply + exact floor on both
+    engines), stage-2 OLS of y on [y lag-1, eq lag-1], h ≥ 2 forges the y
+    lag and drops the MA term (future innovations are zero — the zero term
+    is omitted on BOTH engines rather than multiplied, avoiding ±0.0
+    hazards). HUGEINT bounds: eq ≤ q_scale·|e| stays y-scale for q_scale=8,
+    so the 3×3 determinants keep the n·Σy²-cubed envelope of the OLS path."""
+    s2_sums = """
+  CAST(count(*) AS HUGEINT) AS n,
+  CAST(sum(l1) AS HUGEINT) AS s2, CAST(sum(m1) AS HUGEINT) AS s1,
+  CAST(sum(l1*l1) AS HUGEINT) AS s22, CAST(sum(l1*m1) AS HUGEINT) AS s21,
+  CAST(sum(m1*m1) AS HUGEINT) AS s11,
+  CAST(sum(y) AS HUGEINT) AS sy,
+  CAST(sum(y*l1) AS HUGEINT) AS syl, CAST(sum(y*m1) AS HUGEINT) AS sym"""
+    return f"""
+WITH {_SERIES},
+s1sums AS (
+  SELECT source,{_NORMAL_SUMS},
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(y*l2) AS HUGEINT) AS sy2, CAST(sum(y*l1) AS HUGEINT) AS sy1
+  FROM lagged GROUP BY source
+),
+pa AS (SELECT source, {_cramer3(["sy", "sy2", "sy1"], suffix="a")} FROM s1sums),
+res AS (
+  SELECT g.source, g.t, g.y, g.l1,
+         CAST(floor((CAST(g.y AS DOUBLE)
+                     - ((p.b0a + g.l2*p.b1a) + g.l1*p.b2a)) * {float(q_scale)})
+              AS BIGINT) AS eq
+  FROM lagged g JOIN pa p USING (source)
+),
+r2 AS (
+  -- _cramer3 slot naming: the "2" slot carries the y lag, the "1" slot the
+  -- quantized-innovation lag, so b1b lands on l1 and b2b on m1
+  SELECT source, t, y, l1,
+         coalesce(lag(eq, 1) OVER w, first_value(eq) OVER w) AS m1
+  FROM res WINDOW w AS (PARTITION BY source ORDER BY t)
+),
+s2sums AS (SELECT source,{s2_sums} FROM r2 GROUP BY source),
+pb AS (SELECT source, {_cramer3(["sy", "syl", "sym"], suffix="b")} FROM s2sums),
+fc1 AS (
+  SELECT g.source, g.t, p.b0b, p.b1b,
+         greatest((p.b0b + g.l1*p.b1b) + g.m1*p.b2b, 0.0) AS f1
+  FROM r2 g JOIN pb p USING (source) WHERE g.t >= {SKIP}
+),
+fc2 AS (SELECT *, greatest(b0b + f1*b1b, 0.0) AS f2 FROM fc1),
+fc3 AS (SELECT *, greatest(b0b + f2*b1b, 0.0) AS f3 FROM fc2),
+fc4 AS (SELECT *, greatest(b0b + f3*b1b, 0.0) AS f4 FROM fc3)
+{_OUT}"""
+
+
 def arx_recursive_sql(rectify: bool = True) -> str:
     """ARX(p=2, spec=1) in-sample recursive forecast with forge:
     h=1 from [l2, l1]; h=2 from [l1, f1]; h=3 from [f1, f2]; h=4 from

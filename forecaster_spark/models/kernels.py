@@ -97,6 +97,42 @@ def forecast_long(
     )
 
 
+def arma_hr_forecast(
+    df: DataFrame,
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    hh: int = 4,
+    skip: int = 2,
+    q_scale: int = 8,
+) -> DataFrame:
+    """Distributed in-sample ARMA(1,1) forecast via Hannan–Rissanen two-stage
+    exact-Cramer OLS (``oracle.ref.arma11_hr_forecast``) — the engine's MA-
+    family extension of the reference's AR/ARX stack (which has no MA term;
+    arx.py fits pure lag designs). Same kernel shape and scale posture as
+    :func:`forecast_long`: one Arrow batch per source, series bounded by the
+    rollup tier feeding it. Output long-format (source, t, h, y_hat)."""
+    from forecaster_spark.oracle import ref
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        yv = pdf[y].to_numpy(dtype=float)
+        yf = ref.arma11_hr_forecast(yv, hh=hh, skip=skip, q_scale=q_scale)
+        n = yf.shape[0]
+        return pd.DataFrame(
+            {
+                "source": pdf[partition].iloc[0],
+                "t": np.repeat(np.arange(skip, skip + n), hh),
+                "h": np.tile(np.arange(1, hh + 1), n),
+                "y_hat": yf.ravel(),
+            }
+        )
+
+    return df.groupBy(partition).applyInPandas(
+        kernel, schema=f"{partition} string, t long, h int, y_hat double"
+    )
+
+
 def fit_params(
     df: DataFrame,
     partition: str = "source",

@@ -506,6 +506,64 @@ def ar_autoreg_ols_fit_exact(y: np.ndarray, p: int) -> np.ndarray:
     return ols_fit_exact(lags, y[rows])
 
 
+def arma11_hr_fit_exact(
+    y: np.ndarray, q_scale: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ARMA(1,1) by Hannan–Rissanen two-stage least squares, exact path —
+    the engine's first moving-average-family model (the reference's AR/ARX
+    stack has no MA term; HR is the classical OLS-only route to one, so it
+    composes with the integer-Cramer machinery).
+
+    Stage 1: long-AR(2) OLS on the z[0]-padded lag matrix (the reference's
+    lag convention, Util/build_matrix.py:131-159), fixed left-to-right
+    prediction chain → residuals e_t. Stage 2: the innovations are fed back
+    as a *fixed-point* regressor eq_t = floor(e_t·q_scale) with q_scale a
+    power of two (the multiply is exact, the floor is exact, so both engines
+    quantize identically — the quantized-certification pattern); OLS of y on
+    [y_{t−1}, eq_{t−1}] (both z[0]-padded) gives the ARMA coefficients.
+
+    Returns (stage1 params a0,a1,a2 — a1 on lag-2, a2 on lag-1;
+             stage2 params b0,b1,b2 — b1 on y lag-1, b2 on eq lag-1;
+             eq — the quantized innovation series, integral floats)."""
+    yv = np.asarray(y, dtype=float)
+    L = lag_matrix(yv, 2)  # columns [lag2, lag1], z[0]-padded
+    a = ols_fit_exact(L, yv)
+    yp = np.full(len(yv), a[0])
+    for j in range(2):
+        yp = yp + L[:, j] * a[j + 1]
+    e = yv - yp
+    eq = np.floor(e * float(q_scale))
+    m1 = np.concatenate(([eq[0]], eq[:-1]))
+    b = ols_fit_exact(np.column_stack((L[:, 1], m1)), yv)
+    return a, b, eq
+
+
+def arma11_hr_forecast(
+    y: np.ndarray, hh: int, skip: int = 2, q_scale: int = 8
+) -> np.ndarray:
+    """In-sample multi-horizon recursive ARMA(1,1)-HR forecast with rectify
+    (rows t = skip..n−1, columns h = 1..hh). h=1 predicts from the observed
+    lag pair (y_{t−1}, eq_{t−1}); h ≥ 2 forges the y lag with the previous
+    horizon's forecast and sets future innovations to zero (the MA term
+    vanishes — standard ARMA forecasting convention), so the chain is
+    f_h = max(b0 + f_{h−1}·b1, 0) with no explicit zero term (skipping it
+    keeps the float chain identical on both engines, ±0.0 hazards avoided).
+    """
+    _, b, eq = arma11_hr_fit_exact(y, q_scale)
+    yv = np.asarray(y, dtype=float)
+    n = len(yv)
+    l1 = np.concatenate(([yv[0]], yv[:-1]))
+    m1 = np.concatenate(([eq[0]], eq[:-1]))
+    rows = np.arange(skip, n)
+    out = np.empty((n - skip, hh))
+    prev = np.maximum((b[0] + l1[rows] * b[1]) + m1[rows] * b[2], 0.0)
+    out[:, 0] = prev
+    for h in range(1, hh):
+        prev = np.maximum(b[0] + prev * b[1], 0.0)
+        out[:, h] = prev
+    return out
+
+
 def ar_dynamic_forecast(
     y: np.ndarray, params: np.ndarray, t: int, hh: int, ordered: bool = False
 ) -> np.ndarray:
