@@ -2558,6 +2558,18 @@ def q_grubbs(spark, sf_dir):
     )
 
 
+def q_gesd_outliers(spark, sf_dir):
+    """Generalized ESD multi-outlier screen (Rosner): three rounds of the
+    Grubbs statistic, each removing the most-deviant point first — the
+    masking-proof extension of q_grubbs (a second spike hides behind the
+    first's inflated s). Exact scaled-deviation integers per round; the
+    removal tie-break (|dd| DESC, v DESC, t) is replayed by the oracle's
+    unrolled three-stage anti-join chain."""
+    from forecaster_spark.operators.stats_tests import gesd_outliers
+
+    return gesd_outliers(_hourly_int_series(spark, sf_dir), rounds=3)
+
+
 def q_friedman(spark, sf_dir):
     """Friedman blocked-rank test across sources on the complete hourly
     buckets: doubled within-block ranks, per-source exact rank sums, and
@@ -2939,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bartels_rank_events_1h": q_bartels_rank,
         "von_neumann_events_1h": q_von_neumann,
         "grubbs_events_1h": q_grubbs,
+        "gesd_outliers_events_1h": q_gesd_outliers,
         "friedman_events_1h": q_friedman,
         "kruskal_wallis_events": q_kruskal_wallis,
         "snaive_mase_events_1h": q_snaive_mase,
@@ -2985,6 +2998,54 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
+
+
+def _gesd_oracle(rounds: int = 3) -> str:
+    """Unrolled GESD rounds: each round recomputes the exact scaled
+    deviations over the survivors, emits the Grubbs statistic, and
+    anti-joins out the (ad DESC, v DESC, t) argmax before the next."""
+    ctes = ["""th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o1 AS (
+  SELECT source, CAST(yd AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+)"""]
+    outs = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""a{r} AS (
+  SELECT source, count(*) AS n, CAST(sum(v) AS BIGINT) AS s FROM o{r} GROUP BY 1
+), d{r} AS (
+  SELECT o.source, o.t, o.v, a.n,
+         abs(a.n*o.v - a.s) AS ad, (a.n*o.v - a.s)*(a.n*o.v - a.s) AS sq
+  FROM o{r} o JOIN a{r} a USING (source)
+), g{r} AS (
+  SELECT source, max(n) AS n, CAST(max(ad) AS BIGINT) AS maxdev,
+         CAST(sum(sq) AS BIGINT) AS dev2
+  FROM d{r} GROUP BY 1
+), p{r} AS (
+  SELECT source, t, v FROM (
+    SELECT source, t, v,
+           row_number() OVER (PARTITION BY source ORDER BY ad DESC, v DESC, t) AS rn
+    FROM d{r}
+  ) q WHERE rn = 1
+)""")
+        if r < rounds:
+            ctes.append(f"""o{r + 1} AS (
+  SELECT o.source, o.t, o.v
+  FROM o{r} o LEFT JOIN p{r} p ON p.source = o.source AND p.t = o.t
+  WHERE p.t IS NULL
+)""")
+        outs.append(f"""SELECT g.source, {r} AS round, CAST(g.n AS BIGINT) AS n,
+       p.t AS removed_t, p.v AS removed_v,
+       g.maxdev AS max_dev_scaled, g.dev2 AS dev2_sum,
+       CASE WHEN g.dev2 > 0 THEN
+         CAST(g.maxdev AS DOUBLE) / sqrt(CAST(g.dev2 AS DOUBLE) / CAST(g.n - 1 AS DOUBLE))
+       END AS r_stat
+FROM g{r} g JOIN p{r} p USING (source) WHERE g.n >= 2""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
 
 
 def _stratified_sample_oracle() -> str:
@@ -5264,6 +5325,7 @@ SELECT dev.source, CAST(dev.n AS BIGINT) AS n, d.sum_d2, dev.dev2_sum,
        END AS vn_ratio
 FROM dev JOIN d ON d.source = dev.source
 WHERE dev.n >= 2""",
+        "gesd_outliers_events_1h": _gesd_oracle(3),
         "grubbs_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -1466,6 +1466,103 @@ def grubbs_stat(
     )
 
 
+def gesd_outliers(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    rounds: int = 3,
+) -> DataFrame:
+    """Generalized ESD multi-outlier screen (Rosner 1983): iterate the
+    Grubbs maximum-studentized-deviation statistic ``rounds`` times, each
+    round removing the most-deviant point before recomputing — the
+    multi-outlier extension of :func:`grubbs_stat` (which masks secondary
+    outliers: one huge spike inflates s and hides the second spike).
+
+    Exact-integer core per round r over the remaining n_r points: with
+    dd_i = n_r·v_i − Σv (integers), the statistic is
+    ``R_r = max|dd| / sqrt(Σdd² / (n_r − 1))`` (the grubbs_stat n-cancel
+    identity), one division inside one correctly-rounded sqrt then one
+    division — cross-engine bit-exact. The removed point is the row
+    maximizing (|dd|, v, −t) — deterministic tie-break mirrored by the SQL
+    oracle's ``ORDER BY ad DESC, v DESC, t``. Critical-value comparison
+    (t-quantile λ_r) is left to the caller — quantiles of the t
+    distribution need incomplete-beta, not SQL-expressible; the screen
+    emits the ranked statistics.
+
+    Plan shape: one shuffle on the series key into a per-series Arrow
+    kernel; the loop runs over the tier-bounded array driver-free (int64
+    numpy sums — dd² ≤ (n·v)² with Σ under 2⁶³ at tier scale). Output one
+    row per (series, round): (partition, round, n, removed_t, removed_v,
+    max_dev_scaled, dev2_sum, r_stat).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("round", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("removed_t", T.LongType()),
+            T.StructField("removed_v", T.LongType()),
+            T.StructField("max_dev_scaled", T.LongType()),
+            T.StructField("dev2_sum", T.LongType()),
+            T.StructField("r_stat", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    b = df.select(
+        F.col(partition).alias(partition),
+        F.col(ts).alias("_ts"),
+        F.col(value).cast("long").alias("_v"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts")
+        v = pdf["_v"].to_numpy(dtype=np.int64)
+        t = np.arange(len(v), dtype=np.int64)
+        out = []
+        for r in range(1, rounds + 1):
+            n = len(v)
+            if n < 2:
+                break
+            s = int(v.sum())
+            dd = n * v - s
+            ad = np.abs(dd)
+            dev2 = int((dd * dd).sum())
+            # argmax by (|dd| DESC, v DESC, t ASC)
+            pick = int(np.lexsort((t, -v, -ad))[0])
+            r_stat = (
+                float(int(ad[pick])) / math.sqrt(float(dev2) / float(n - 1))
+                if dev2 > 0
+                else None
+            )
+            out.append(
+                (
+                    pdf[partition].iat[0],
+                    r,
+                    n,
+                    int(t[pick]),
+                    int(v[pick]),
+                    int(ad[pick]),
+                    dev2,
+                    r_stat,
+                )
+            )
+            keep = np.ones(n, dtype=bool)
+            keep[pick] = False
+            v, t = v[keep], t[keep]
+        return pd.DataFrame(out, columns=cols)
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
 def friedman_blocks(
     df: DataFrame,
     value: str = "v_micro",

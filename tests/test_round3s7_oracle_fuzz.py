@@ -76,6 +76,75 @@ def test_arma_hr_constant_series_degenerate():
     assert np.allclose(yf, 7.0)
 
 
+def _gesd_replay(vals, rounds=3):
+    """Pure-Python GESD replay: exact scaled deviations, (|dd|, v, −t)
+    argmax removal, Grubbs-identity statistic."""
+    v = list(map(int, vals))
+    t = list(range(len(v)))
+    out = []
+    for r in range(1, rounds + 1):
+        n = len(v)
+        if n < 2:
+            break
+        s = sum(v)
+        dd = [n * x - s for x in v]
+        ad = [abs(d) for d in dd]
+        dev2 = sum(d * d for d in dd)
+        pick = min(range(n), key=lambda i: (-ad[i], -v[i], t[i]))
+        r_stat = (
+            float(ad[pick]) / math.sqrt(float(dev2) / float(n - 1)) if dev2 > 0 else None
+        )
+        out.append((r, n, t[pick], v[pick], ad[pick], dev2, r_stat))
+        del v[pick], t[pick]
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(4, 40), st.randoms(use_true_random=False))
+def test_gesd_sql_oracle_matches_python_replay(n_hours, rnd):
+    rows = [
+        {
+            "event_type": "s0",
+            "ts": _T0 + timedelta(hours=i),
+            "value": float(rnd.randint(0, 300)),
+            "event_id": i,
+            "user_id": 1,
+        }
+        for i in range(n_hours)
+    ]
+    events = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.register("events", events)
+    got = (
+        con.execute(ORACLES["gesd_outliers_events_1h"]).df()
+        .sort_values("round")
+        .reset_index(drop=True)
+    )
+    exp = _gesd_replay([r["value"] for r in rows])
+    assert len(got) == len(exp)
+    for i, (r, n, rt, rv, md, d2, rs) in enumerate(exp):
+        row = got.iloc[i]
+        assert (row["round"], row["n"], row["removed_t"], row["removed_v"]) == (r, n, rt, rv)
+        assert (row["max_dev_scaled"], row["dev2_sum"]) == (md, d2)
+        if rs is None:
+            assert pd.isna(row["r_stat"])
+        else:
+            assert row["r_stat"] == rs
+
+
+def test_gesd_unmasks_second_outlier():
+    """Two equal spikes in an otherwise-flat series: round 1 removes one,
+    round 2's statistic on the survivors still towers over round 3's —
+    the masking scenario the single-round Grubbs misses."""
+    y = np.array([10.0] * 20 + [200.0, 200.0] + [10.0] * 20)
+    res = _gesd_replay(y.astype(int).tolist())
+    assert res[0][3] == 200 and res[1][3] == 200  # both spikes removed
+    # unmasking: round-2 statistic GROWS once the first spike stops
+    # inflating s (the single-round Grubbs would have stopped at res[0])
+    assert res[1][6] > res[0][6]
+    assert res[2][6] is None  # survivors are constant: dev2 = 0
+
+
 @settings(max_examples=25, deadline=None)
 @given(st.integers(6, 30), st.integers(1, 3), st.randoms(use_true_random=False))
 def test_arma_hr_sql_oracle_matches_ref(n_hours, n_sources, rnd):
