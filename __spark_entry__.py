@@ -277,6 +277,20 @@ def q_contamination(spark, sf_dir):
     return contamination_flags(docs, bench, k=3)
 
 
+def q_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: per TRAIN doc, distinct word 3-shingles
+    shared with ANY test-split doc (the 98/1/1 hash split's own holdout) —
+    contamination_flags' sibling where the benchmark is the pipeline's own
+    eval split; catches near-duplicates straddling the split before
+    training. Holdout shingles distinct+broadcast, train side probed with
+    a semi-join — corpus-linear. leaked fires at >= 3 shared shingles
+    (single shared 3-shingles are common phrases, not leakage)."""
+    from forecaster_spark.operators.dedup import split_leakage
+
+    docs = read_table(spark, sf_dir, "documents")
+    return split_leakage(docs, k=3, min_shared=3)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic hash-based train/val/test split (98/1/1): bucket =
     splitmix64(id·(2·seed+1)) mod 1e6 — stable under any row order,
@@ -2810,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs_documents": q_simhash_neardup,
         "pack_sequences_documents": q_pack_sequences,
         "hash_split_documents": q_hash_split,
+        "split_leakage_documents": q_split_leakage,
         "temperature_mixture_documents": q_temperature_mixture,
         "quality_funnel_documents": q_quality_funnel,
         "pii_redact_documents": q_pii_redact,
@@ -4374,6 +4389,7 @@ SELECT source, digit, cnt, n, obs_ppm, exp_ppm, obs_ppm - exp_ppm AS dev_ppm,
        CAST(sum(abs(obs_ppm - exp_ppm)) OVER (PARTITION BY source) AS BIGINT) AS tvd_ppm
 FROM h""",
         "contamination_flags_documents": xhash_sql.contamination_sql(),
+        "split_leakage_documents": xhash_sql.split_leakage_sql(min_shared=3),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form
         # arithmetic in the asset index, so every parsed-from-payload fact

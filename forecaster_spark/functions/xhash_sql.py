@@ -185,6 +185,31 @@ SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
 FROM ({doc_source_sql}) d LEFT JOIN hits h USING (doc_id)"""
 
 
+def split_leakage_sql(
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+    holdout: str = "test",
+    min_shared: int = 1,
+) -> str:
+    """Oracle for ``dedup.split_leakage``: hash_split labels (default
+    98/1/1 seed-42 spec, inlined via the sampling mirror), one shingling
+    pass, train docs counted against the holdout's distinct shingles."""
+    from forecaster_spark.operators.sampling import hash_split_sql
+
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+{shingle_ctes()},
+spl AS ({hash_split_sql()}),
+tsh AS (SELECT DISTINCT sh FROM shd JOIN spl USING (doc_id) WHERE split = '{holdout}'),
+tr AS (SELECT shd.doc_id, sh FROM shd JOIN spl USING (doc_id) WHERE split = 'train'),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+shr AS (SELECT doc_id, count(*) AS n_shared
+        FROM tr WHERE sh IN (SELECT sh FROM tsh) GROUP BY 1)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(s.n_shared, 0) AS n_shared,
+       coalesce(s.n_shared, 0) >= {int(min_shared)} AS leaked
+FROM tot t LEFT JOIN shr s USING (doc_id)"""
+
+
 def minhash_lsh_pairs_sql(
     num_perm: int = 32,
     bands: int = 8,

@@ -378,6 +378,73 @@ def contamination_flags(
     )
 
 
+def split_leakage(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    splits: list[tuple[str, float]] | None = None,
+    seed: int = 42,
+    holdout: str = "test",
+    broadcast_holdout: bool = True,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/test leakage audit: for every TRAIN document, count the word
+    k-shingles it shares with ANY held-out-split document — the sibling of
+    :func:`contamination_flags` where the "benchmark" is the pipeline's own
+    eval split. Near-duplicates straddling a random split silently leak
+    eval content into training; this measures it BEFORE training, per doc.
+
+    Dataflow: one :func:`hash_split` labeling (row-local splitmix bucket),
+    one shingling pass over the corpus, holdout shingles distinct-ed and
+    (by default) broadcast, train side probed with a left-semi join +
+    count — corpus-linear, no text shuffle. ``broadcast_holdout=False``
+    switches the probe to a shuffle semi-join for deployments where the
+    holdout rate × corpus size outgrows the broadcast threshold (the
+    holdout is rate-bounded at 1% by the default split spec, but 1% of
+    100 TB is not broadcastable).
+
+    Output: (id_col, n_shingles, n_shared, leaked) for train docs —
+    n_shared counts the doc's distinct shingles seen anywhere in the
+    holdout (shingle arrays are already per-doc distinct); ``leaked`` fires
+    at ``n_shared >= min_shared`` (raise it for small k, where single
+    shared shingles are common phrases, not leakage)."""
+    from forecaster_spark.operators.sampling import hash_split
+
+    labeled = hash_split(
+        corpus.select(id_col, text_col), id_col=id_col, splits=splits, seed=seed
+    )
+    sh = word_shingles(labeled, text_col, k).select(
+        id_col, "split", F.explode("shingles").alias("sh")
+    )
+    hold = (
+        sh.where(F.col("split") == holdout)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_holdout:
+        hold = F.broadcast(hold)
+    # one aggregation pass: left-join the hit flag, count total + hits
+    # together (a semi-join + separate totals agg would re-evaluate the
+    # shingle kernel over the train side a second time)
+    train = sh.where(F.col("split") == "train")
+    return (
+        train.join(hold, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") >= F.lit(int(min_shared))).alias("leaked"),
+        )
+    )
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

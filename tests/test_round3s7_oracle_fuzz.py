@@ -76,6 +76,40 @@ def test_arma_hr_constant_series_degenerate():
     assert np.allclose(yf, 7.0)
 
 
+def test_split_leakage_flags_planted_straddling_duplicate():
+    """A document duplicated across the train and test splits must be
+    flagged leaked with n_shared == its shingle count; unrelated train
+    docs must stay at 0. Split membership is found by replaying the
+    hash_split bucketing, so the planted ids genuinely straddle."""
+    from forecaster_spark.functions import xhash
+
+    ids = np.arange(0, 4000, dtype=np.int64)
+    buckets = xhash.splitmix64(ids.view(np.uint64) * np.uint64(85)) % np.uint64(1_000_000)
+    b = buckets.view(np.int64)
+    test_id = int(ids[b >= 990_000][0])
+    train_ids = [int(i) for i in ids[b < 980_000][:3]]
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": test_id, "text": dup_text},
+        {"doc_id": train_ids[0], "text": dup_text},
+        {"doc_id": train_ids[1], "text": "one two three four five six seven"},
+        {"doc_id": train_ids[2], "text": "red orange yellow green blue indigo"},
+    ]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    got = (
+        con.execute(ORACLES["split_leakage_documents"]).df()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert test_id not in got.index  # holdout docs are not emitted
+    dup = got.loc[train_ids[0]]
+    assert dup["n_shared"] == dup["n_shingles"] == 8  # 10 words -> 8 3-shingles
+    assert bool(dup["leaked"])
+    for tid in train_ids[1:]:
+        assert got.loc[tid]["n_shared"] == 0 and not bool(got.loc[tid]["leaked"])
+
+
 def _gesd_replay(vals, rounds=3):
     """Pure-Python GESD replay: exact scaled deviations, (|dd|, v, −t)
     argmax removal, Grubbs-identity statistic."""
