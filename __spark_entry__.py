@@ -40,6 +40,8 @@ from forecaster_spark.operators.similarity import (
     cosine_topk_ivf_sql,
     cosine_topk_lsh,
     cosine_topk_lsh_sql,
+    cosine_topk_sq8,
+    cosine_topk_sq8_sql,
     embedding_neardup_pairs_sql,
 )
 from forecaster_spark.operators.textops import (
@@ -479,6 +481,16 @@ def q_cosine_topk_ivf(spark, sf_dir):
     return cosine_topk_ivf(
         emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4, exact=True
     ).select("query_id", "neighbor_id", "rank")
+
+
+def q_cosine_topk_sq8(spark, sf_dir):
+    """Int8 scalar-quantized ANN (the memory-compression path: 4× smaller
+    corpus, integer GEMM scoring). Quantization is floor/clamp on a
+    power-of-two scale and scoring is an integer dot — both replay exactly
+    in SQL, so the driver certifies the dot VALUES, not just ranks."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8)
+    return cosine_topk_sq8(emb, queries_df, k=10)
 
 
 # -- model kernels / codec (non-SQL-expressible → rows-only checks) ----------
@@ -2847,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
         "cosine_topk_ivf_embeddings": q_cosine_topk_ivf,
+        "cosine_topk_sq8_embeddings": q_cosine_topk_sq8,
         "embedding_neardup_pairs_embeddings": q_embedding_neardup,
         "arx_forecast_events_1h": q_arx_forecast,
         "arx_ridge_forecast_events_1h": q_arx_ridge_forecast,
@@ -4075,6 +4088,7 @@ FROM events GROUP BY 1""",
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),
         "cosine_topk_ivf_embeddings": cosine_topk_ivf_sql(dim=64, k=10, n_centroids=16, n_probe=4),
+        "cosine_topk_sq8_embeddings": cosine_topk_sq8_sql(k=10, n_queries=8),
         "embedding_neardup_pairs_embeddings": embedding_neardup_pairs_sql(
             dim=64, threshold=0.2, n_planes=10, seed=42
         ),

@@ -484,3 +484,91 @@ def embedding_neardup_pairs(
     return pairs.withColumn("cosine", cos).where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+def sq8_quantize_np(M: np.ndarray, scale_bits: int = 7) -> np.ndarray:
+    """Symmetric int8 scalar quantization: ``clamp(floor(x * 2^scale_bits),
+    -2^scale_bits, 2^scale_bits - 1)`` on float64 inputs. Every step is
+    cross-engine bit-exact: float32→float64 widening is lossless, the
+    power-of-two multiply only shifts the exponent, and floor/clamp are
+    integer-exact — unlike any float dot product, the resulting codes (and
+    their integer dot products) replay identically in SQL."""
+    s = float(1 << scale_bits)
+    lo, hi = -(1 << scale_bits), (1 << scale_bits) - 1
+    return np.clip(np.floor(M.astype(np.float64) * s), lo, hi).astype(np.int64)
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 7,
+) -> DataFrame:
+    """Int8 scalar-quantized top-k: the memory-compression ANN path. At
+    100-TB scale the quantized corpus is 4× smaller than float32 (8× vs
+    float64) and the scoring kernel is a pure integer GEMM — SIMD-friendly
+    and, because integer arithmetic is associative, EXACTLY reproducible
+    on any engine (the driver oracle certifies the dot values themselves,
+    not just ranks, which no float scorer can offer).
+
+    Dataflow: queries (small by contract) are quantized driver-side and
+    closed over as one (n_q, dim) int matrix — parameter-server style like
+    the IVF centroids; the corpus is scanned ONCE through an Arrow kernel
+    doing a single (batch, dim) @ (dim, n_q) integer matmul; per-query
+    ranking is the same window as the brute baseline. Corpus work is
+    linear, no all-pairs, no shuffle before the (tiny) top-k stage.
+
+    For unit-norm embeddings the integer dot is a monotone-ish proxy for
+    cosine (quantization noise bounded by ~d·2^{-scale_bits}); the pytest
+    pins recall@k against the exact float baseline."""
+    qrows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[0])
+    qids = [int(r[0]) for r in qrows]
+    QM = sq8_quantize_np(np.stack([np.asarray(r[1]) for r in qrows]), scale_bits).T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def dots(vs: pd.Series) -> pd.Series:
+        C = sq8_quantize_np(np.stack(vs.to_numpy()), scale_bits)
+        return pd.Series(list(C @ QM))
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), dots(F.col(vec_col)).alias("ds"))
+        .select("neighbor_id", F.posexplode("ds").alias("qi", "dot_q"))
+        .withColumn("query_id", qid_arr[F.col("qi")].cast("long"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
+def cosine_topk_sq8_sql(k: int = 10, n_queries: int = 8, scale_bits: int = 7) -> str:
+    """DuckDB oracle for :func:`cosine_topk_sq8`: the same quantization
+    (double-cast, power-of-two multiply, floor, clamp) and the same integer
+    dot, written as SQL list lambdas. Value-exact on ``dot_q`` — integer
+    arithmetic has no association drift."""
+    s = 1 << scale_bits
+    qz = (
+        f"list_transform(embedding, x -> CAST(greatest({-s}.0, least({s - 1}.0, "
+        f"floor(CAST(x AS DOUBLE) * {s}.0))) AS BIGINT))"
+    )
+    return f"""
+WITH qz AS (
+  SELECT vec_id AS query_id, {qz} AS qq
+  FROM embeddings WHERE vec_id < {n_queries}
+), cz AS (
+  SELECT vec_id AS neighbor_id, {qz} AS cq FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * cq[i])) AS BIGINT) AS dot_q
+  FROM cz, qz WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, dot_q,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}"""

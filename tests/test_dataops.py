@@ -268,6 +268,30 @@ def test_cosine_topk_ivf_recall(spark, emb):
     )
 
 
+def test_cosine_topk_sq8(spark, emb):
+    from forecaster_spark.operators.similarity import cosine_topk_sq8, sq8_quantize_np
+
+    q = emb.where(F.col("vec_id") < 5)
+    out = cosine_topk_sq8(emb, q, k=3, scale_bits=7).toPandas()
+    assert (out.groupby("query_id").size() == 3).all()
+    # exact numpy oracle on the integer dots (quantization + integer GEMM
+    # are both deterministic — values must match bit-for-bit)
+    pdf = emb.toPandas().sort_values("vec_id")
+    C = sq8_quantize_np(np.stack(pdf.embedding.to_numpy()), 7)
+    D = C @ C[:5].T
+    for r in out.itertuples():
+        assert r.dot_q == D[int(r.neighbor_id), int(r.query_id)]
+    # quantization noise is bounded → rank-1 recall vs the exact float
+    # baseline stays high on a 40-vector corpus
+    brute = cosine_topk_brute(emb, q, k=3).toPandas()
+    b1 = brute[brute["rank"] == 1].set_index("query_id").neighbor_id
+    a1 = out[out["rank"] == 1].set_index("query_id").neighbor_id
+    hits = sum(a1.get(qid, -1) == b1[qid] for qid in b1.index)
+    assert hits >= 3
+    # codes are clamped to the int8 range
+    assert np.abs(C).max() <= 128
+
+
 def test_embedding_neardup(spark, emb):
     out = embedding_neardup_pairs(emb, dim=16, threshold=0.95, n_planes=4).toPandas()
     assert (0, 1) in set(zip(out.id_a, out.id_b))
