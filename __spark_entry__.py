@@ -2812,6 +2812,19 @@ def q_data_loader(spark, sf_dir):
     return data_loader_manifest(_ev(spark, sf_dir), value="y", p=3, batch_size=64, order=_ORD)
 
 
+def q_trending_tokens(spark, sf_dir):
+    """Trending tokens across deterministic crawl snapshots (d = doc_id %
+    8): words ranked by the EXACT OLS slope numerator of their
+    count-vs-snapshot series (missing snapshots are implicit zeros, the
+    grid never materializes) — top-15 rising + top-15 falling, word-asc
+    tie-break; slope = one IEEE division of exact BIGINTs."""
+    from forecaster_spark.operators.textops import trending_tokens
+
+    return trending_tokens(
+        read_table(spark, sf_dir, "documents"), snapshots=8, min_total=5, k=15
+    ).select("direction", "w", "n_total", "slope_num", "slope")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -2956,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_qof_events_1h": q_seasonal_naive_qof,
         "max_drawdown_events": q_max_drawdown,
         "vocab_stats_documents": q_vocab_stats,
+        "trending_tokens_documents": q_trending_tokens,
         "chunk_tokens_documents": q_chunk_tokens,
         "ngram_novelty_documents": q_ngram_novelty,
         "spearman_pairs_events_1h": q_spearman_pairs,
@@ -4891,6 +4905,30 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(max(dd) AS BIGINT) AS max_dd_micro,
        CAST(max(dd) AS DOUBLE) / 1000000.0 AS max_dd
 FROM p GROUP BY source""",
+        "trending_tokens_documents": """
+WITH w AS (
+  SELECT doc_id % 8 AS d,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), ps AS (
+  SELECT w, d, count(*) AS c FROM w GROUP BY 1, 2
+), pw AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS n_total,
+         CAST(8 * sum(d * c) - 28 * sum(c) AS BIGINT) AS slope_num
+  FROM ps GROUP BY w
+  HAVING sum(c) >= 5
+), r AS (
+  SELECT 'rising' AS direction, w, n_total, slope_num
+  FROM pw ORDER BY slope_num DESC, w ASC LIMIT 15
+), f AS (
+  SELECT 'falling' AS direction, w, n_total, slope_num
+  FROM pw ORDER BY slope_num ASC, w ASC LIMIT 15
+), u AS (
+  SELECT * FROM r UNION ALL SELECT * FROM f
+)
+SELECT direction, w, n_total, slope_num,
+       CAST(slope_num AS DOUBLE) / 336.0 AS slope
+FROM u""",
         "vocab_stats_documents": """
 WITH w AS (
   SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w

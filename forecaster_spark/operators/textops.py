@@ -736,3 +736,80 @@ def bigram_fluency(
         "fluency_ppm",
         F.col("flu_sum_ppm").cast("double") / F.col("n_bigrams").cast("double"),
     )
+
+
+def trending_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    snapshots: int = 8,
+    min_total: int = 5,
+    k: int = 15,
+) -> DataFrame:
+    """Trending tokens across crawl snapshots: assign each document to a
+    deterministic snapshot ``d = doc_id % snapshots`` (the arithmetic
+    stand-in for a crawl date — order/cluster-size invariant), count each
+    word per snapshot, and rank words by the EXACT OLS slope of their
+    count-vs-snapshot series — the crawl-drift monitor a training-data
+    pipeline runs between dumps (a token whose frequency ramps across
+    snapshots is an emerging topic / template; one that collapses is a
+    de-listed boilerplate source).
+
+    Exact integer core: over the fixed grid d = 0..D-1 with missing
+    snapshots contributing c_d = 0, the slope numerator
+    ``num = D*sum(d*c_d) - (sum d)*(sum c_d)`` needs only the OBSERVED
+    (word, snapshot) rows — zero days add zero to both sums, so the
+    D-complete grid never materializes (the Croston trick on the token
+    axis). The denominator ``den = D*sum(d^2) - (sum d)^2`` is a positive
+    constant, so ranking by ``num`` IS ranking by slope; the reported
+    ``slope`` is the single IEEE division num/den of exact BIGINTs
+    (cross-engine bit-exact). Bound: num <= D^2 * total_count < 2^53 for
+    any real corpus shard at D = 8.
+
+    Plan shape (100-TB lens): explode -> two-phase hash aggregate on
+    (word, snapshot) with map-side partials (stopword heavy hitters
+    collapse per-mapper, the vocab_stats argument) -> per-word hash
+    aggregate -> min_total filter -> two TakeOrderedAndProject top-k
+    limits (rising: num DESC, falling: num ASC; word-asc tie-break) --
+    no window over the full vocabulary, no join.
+
+    Output: (direction, w, n_total, slope_num, slope) -- k rows each for
+    'rising' and 'falling'.
+    """
+    D = int(snapshots)
+    sum_d = D * (D - 1) // 2
+    sum_d2 = (D - 1) * D * (2 * D - 1) // 6
+    den = D * sum_d2 - sum_d * sum_d
+    words = df.select(
+        (F.col(id_col) % D).cast("long").alias("d"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    per_snap = words.groupBy("w", "d").agg(F.count(F.lit(1)).alias("c"))
+    per_word = (
+        per_snap.groupBy("w")
+        .agg(
+            F.sum("c").cast("long").alias("n_total"),
+            F.sum(F.col("d") * F.col("c")).cast("long").alias("dc"),
+        )
+        .where(F.col("n_total") >= min_total)
+        .select(
+            "w",
+            "n_total",
+            (F.lit(D) * F.col("dc") - F.lit(sum_d) * F.col("n_total"))
+            .cast("long")
+            .alias("slope_num"),
+        )
+    )
+    rising = (
+        per_word.orderBy(F.col("slope_num").desc(), F.col("w").asc())
+        .limit(k)
+        .select(F.lit("rising").alias("direction"), "w", "n_total", "slope_num")
+    )
+    falling = (
+        per_word.orderBy(F.col("slope_num").asc(), F.col("w").asc())
+        .limit(k)
+        .select(F.lit("falling").alias("direction"), "w", "n_total", "slope_num")
+    )
+    return rising.unionAll(falling).withColumn(
+        "slope", F.col("slope_num").cast("double") / F.lit(float(den))
+    )

@@ -790,3 +790,42 @@ def test_pii_redact_matches_duckdb_oracle_on_adversarial_text(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_trending_tokens_planted_trend(spark):
+    """A token whose per-snapshot count ramps linearly must top the rising
+    list with the exact polyfit slope; a collapsing token must top the
+    falling list; a flat token must sit at slope 0."""
+    import numpy as np
+
+    from forecaster_spark.operators.textops import trending_tokens
+
+    rows = []
+    doc_id = 0
+    # 8 snapshots d = doc_id % 8; place counts by constructing docs per d
+    for d in range(8):
+        # 'up' appears 2*d times, 'down' 14-2*d times, 'flat' 3 times
+        text = " ".join(["up"] * (2 * d) + ["down"] * (14 - 2 * d) + ["flat"] * 3)
+        # one doc per snapshot with doc_id ≡ d (mod 8)
+        rows.append((d, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = trending_tokens(df, snapshots=8, min_total=5, k=3).toPandas()
+    rising = out[out.direction == "rising"].reset_index(drop=True)
+    falling = out[out.direction == "falling"].reset_index(drop=True)
+    assert rising.w.iloc[0] == "up" and falling.w.iloc[0] == "down"
+    # exact slope vs numpy polyfit on the planted series
+    d = np.arange(8)
+    for w, series in (("up", 2 * d), ("down", 14 - 2 * d), ("flat", np.full(8, 3))):
+        want = np.polyfit(d, series, 1)[0]
+        got = out[out.w == w].slope.iloc[0]
+        assert abs(got - want) < 1e-12, (w, got, want)
+    flat = out[out.w == "flat"]
+    assert (flat.slope_num == 0).all()
+    # implicit-zero handling: a token present only in snapshot 7
+    df2 = spark.createDataFrame(
+        [(7, "spike " * 6)], "doc_id long, text string"
+    )
+    out2 = trending_tokens(df2, snapshots=8, min_total=5, k=2).toPandas()
+    spike = out2[(out2.w == "spike") & (out2.direction == "rising")]
+    # counts: c_7 = 6, others 0 -> num = 8*42 - 28*6 = 168, slope = 0.5
+    assert spike.slope_num.iloc[0] == 168 and spike.slope.iloc[0] == 0.5
