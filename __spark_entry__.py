@@ -2812,6 +2812,20 @@ def q_data_loader(spark, sf_dir):
     return data_loader_manifest(_ev(spark, sf_dir), value="y", p=3, batch_size=64, order=_ORD)
 
 
+def q_bloom_contamination(spark, sf_dir):
+    """Benchmark decontamination through a 4096-bit bloom filter (two
+    bit-mask probes per splitmix64 word-3-shingle hash; the bit array is
+    a constant inlined into a row-local probe — ZERO joins, O(512 bytes)
+    per executor where contamination_flags broadcasts the shingle set).
+    Flags replay exactly cross-engine, INCLUDING false positives (the
+    filter is sized small so some exist; the pytest pins one)."""
+    from forecaster_spark.operators.dedup import bloom_contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    return bloom_contamination(docs, bench, k=3, m_bits=4096)
+
+
 def q_trending_tokens(spark, sf_dir):
     """Trending tokens across deterministic crawl snapshots (d = doc_id %
     8): words ranked by the EXACT OLS slope numerator of their
@@ -2868,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arch_lm_events_1h": q_arch_lm,
         "demand_class_events": q_demand_class,
         "contamination_flags_documents": q_contamination,
+        "bloom_contamination_documents": q_bloom_contamination,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
@@ -4417,6 +4432,7 @@ SELECT source, digit, cnt, n, obs_ppm, exp_ppm, obs_ppm - exp_ppm AS dev_ppm,
        CAST(sum(abs(obs_ppm - exp_ppm)) OVER (PARTITION BY source) AS BIGINT) AS tvd_ppm
 FROM h""",
         "contamination_flags_documents": xhash_sql.contamination_sql(),
+        "bloom_contamination_documents": xhash_sql.bloom_contamination_sql(),
         "split_leakage_documents": xhash_sql.split_leakage_sql(min_shared=3),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form

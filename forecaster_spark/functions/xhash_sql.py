@@ -639,3 +639,42 @@ SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
        CAST(sum(m * t) AS BIGINT) AS flu_sum_ppm,
        CAST(sum(m * t) AS DOUBLE) / CAST(sum(m) AS DOUBLE) AS fluency_ppm
 FROM term GROUP BY doc_id"""
+
+
+def bloom_contamination_sql(
+    bench_filter: str = "doc_id < 20",
+    m_bits: int = 4096,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``dedup.bloom_contamination``: replay the two bit-probe
+    positions per shingle (low log2(m) bits / bits 32.. of the uint64
+    splitmix hash — ``sh % m`` and ``(sh >> 32) % m`` on the HUGEINT,
+    identical bit patterns to the kernel's masks on the signed long) and
+    test membership against the UNION of positions the bench set lights —
+    set-semantics-equal to the engine's bit_or'd word array, so flags
+    (including bloom false positives) match exactly."""
+    assert m_bits & (m_bits - 1) == 0
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+{shingle_ctes()},
+bp AS (
+  SELECT DISTINCT p FROM (
+    SELECT sh % {m_bits} AS p FROM shd WHERE {bench_filter}
+    UNION ALL
+    SELECT (sh // 4294967296) % {m_bits} AS p FROM shd WHERE {bench_filter}
+  )
+),
+cp AS (SELECT doc_id, sh % {m_bits} AS p1, (sh // 4294967296) % {m_bits} AS p2
+       FROM shd),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN p1 IN (SELECT p FROM bp)
+                        AND p2 IN (SELECT p FROM bp) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM cp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_shingles, 0) AS n_shingles,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS flagged
+FROM ({doc_source_sql}) d LEFT JOIN hits h USING (doc_id)"""

@@ -976,3 +976,94 @@ def remove_duplicated_spans(
         F.col("_scrub.n_removed").alias("n_removed"),
         F.col("_scrub.clean_checksum").alias("clean_checksum"),
     )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER instead of the
+    broadcast shingle set (:func:`contamination_flags`): the bench side is
+    folded into an ``m_bits``-bit array (two probes per shingle — the low
+    12 bits and bits 32..43 of the already-uniform splitmix64 shingle
+    hash), and the corpus side tests membership against the CONSTANT bit
+    array — O(m_bits) bytes per executor regardless of eval-set size,
+    where the semi-join variant broadcasts every distinct bench shingle.
+    At 100 TB the eval suite is still small, but a PRIVATE holdout of a
+    few GB of shingles stops being broadcastable; the bloom keeps the
+    probe row-local at a false-positive cost of
+    ``(1 - e^(-2n/m))^2`` (~2% at n=500 shingles, m=4096 — sized so the
+    pytest pins a real FP example; production uses m >> n).
+
+    Determinism: the bit array is a pure function of the bench shingle
+    SET (bit_or is order/partition invariant), probes are bit-mask
+    arithmetic on the signed long hash (low bits of the two's-complement
+    pattern == low bits of the uint64 the SQL mirror computes), so flags
+    replay exactly cross-engine — including false positives.
+
+    Plan shape: bench shingled once -> two tiny aggregates (<= 64 rows)
+    collected driver-side (the sketch IS driver-state, parameter-server
+    style like the IVF centroids) -> inlined as a literal array into a
+    row-local corpus probe: one shingling pass, one hash aggregate per
+    doc, ZERO joins.
+
+    Output: (id_col, n_shingles, n_hits, flagged).
+    """
+    assert m_bits % 64 == 0
+    n_words = m_bits // 64
+    p_mask = m_bits - 1
+    p1_sql = f"(sh & {p_mask})"
+    p2_sql = f"(shiftrightunsigned(sh, 32) & {p_mask})"
+
+    bsh = word_shingles(bench, text_col, k).select(F.explode("shingles").alias("sh"))
+    pos = bsh.select(F.expr(p1_sql).alias("p")).unionAll(
+        bsh.select(F.expr(p2_sql).alias("p"))
+    )
+    word_rows = (
+        pos.select(
+            F.expr("shiftright(p, 6)").alias("wi"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").alias("bit"),
+        )
+        .groupBy("wi")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in word_rows:
+        words[int(r["wi"])] = int(r["word"])
+    arr_sql = "array(" + ", ".join(f"CAST({w} AS BIGINT)" for w in words) + ")"
+
+    def bit_set_sql(ps: str) -> str:
+        return (
+            f"((shiftrightunsigned(element_at({arr_sql},"
+            f" CAST(shiftright({ps}, 6) AS INT) + 1),"
+            f" CAST(({ps}) & 63 AS INT)) & 1) = 1)"
+        )
+
+    csh = word_shingles(corpus, text_col, k).select(
+        id_col, F.explode("shingles").alias("sh")
+    )
+    probed = csh.select(
+        id_col,
+        F.expr(
+            f"CAST({bit_set_sql(p1_sql)} AND {bit_set_sql(p2_sql)} AS INT)"
+        ).alias("hit"),
+    )
+    agg = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("hit").cast("long").alias("n_hits"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

@@ -829,3 +829,35 @@ def test_trending_tokens_planted_trend(spark):
     spike = out2[(out2.w == "spike") & (out2.direction == "rising")]
     # counts: c_7 = 6, others 0 -> num = 8*42 - 28*6 = 168, slope = 0.5
     assert spike.slope_num.iloc[0] == 168 and spike.slope.iloc[0] == 0.5
+
+
+def test_bloom_contamination_superset_and_false_positive(spark):
+    """The bloom flag set must be a SUPERSET of the exact semi-join flags
+    (no false negatives — every bench shingle lights its own bits), and at
+    the deliberately small m=4096 on the sf0.01 corpus some uncontaminated
+    doc must false-positive (the FP the oracle replays bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from forecaster_spark.operators.dedup import (
+        bloom_contamination,
+        contamination_flags,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 20)
+    exact = {
+        r.doc_id
+        for r in contamination_flags(docs, bench, k=3).where("contaminated").collect()
+    }
+    bloom = bloom_contamination(docs, bench, k=3, m_bits=4096)
+    flagged = {r.doc_id for r in bloom.where("flagged").collect()}
+    assert exact <= flagged, exact - flagged  # zero false negatives
+    fps = flagged - exact
+    assert fps, "expected at least one false positive at m=4096"
+    # per-doc hit counts are bounded by shingle counts
+    bad = bloom.where("n_hits > n_shingles").count()
+    assert bad == 0
+    # a huge filter approaches the exact answer (FP rate ~ (n/m)^2 -> 0)
+    wide = bloom_contamination(docs, bench, k=3, m_bits=1 << 17)
+    flagged_w = {r.doc_id for r in wide.where("flagged").collect()}
+    assert exact <= flagged_w and len(flagged_w - exact) < len(fps)
