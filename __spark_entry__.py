@@ -2812,6 +2812,18 @@ def q_data_loader(spark, sf_dir):
     return data_loader_manifest(_ev(spark, sf_dir), value="y", p=3, batch_size=64, order=_ORD)
 
 
+def q_shesd_outliers(spark, sf_dir):
+    """Seasonal-Hybrid ESD (Twitter AnomalyDetection): generalized ESD
+    iterated on floor(resid) of the robust seasonal decomposition of the
+    hourly tier — seasonality/trend removed before the outlier search, so
+    the daily cycle can neither mask nor fake anomalies. Composition of
+    two certified pieces; the oracle replays decompose + 3 unrolled GESD
+    rounds."""
+    from forecaster_spark.operators.stats_tests import shesd_outliers
+
+    return shesd_outliers(_hourly_int_series(spark, sf_dir), rounds=3)
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Benchmark decontamination through a 4096-bit bloom filter (two
     bit-mask probes per splitmix64 word-3-shingle hash; the bit array is
@@ -3009,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "von_neumann_events_1h": q_von_neumann,
         "grubbs_events_1h": q_grubbs,
         "gesd_outliers_events_1h": q_gesd_outliers,
+        "shesd_outliers_events_1h": q_shesd_outliers,
         "friedman_events_1h": q_friedman,
         "kruskal_wallis_events": q_kruskal_wallis,
         "snaive_mase_events_1h": q_snaive_mase,
@@ -3057,11 +3070,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 
-def _gesd_oracle(rounds: int = 3) -> str:
+def _gesd_oracle(rounds: int = 3, head: str | None = None) -> str:
     """Unrolled GESD rounds: each round recomputes the exact scaled
     deviations over the survivors, emits the Grubbs statistic, and
-    anti-joins out the (ad DESC, v DESC, t) argmax before the next."""
-    ctes = ["""th AS (
+    anti-joins out the (ad DESC, v DESC, t) argmax before the next.
+    ``head`` overrides the feeder CTE chain; it must end with a CTE
+    ``o1(source, v, t)`` (v BIGINT, t the 0-based series position)."""
+    if head is None:
+        head = """th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,
          floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
   FROM events GROUP BY 1, 2
@@ -3069,7 +3085,8 @@ def _gesd_oracle(rounds: int = 3) -> str:
   SELECT source, CAST(yd AS BIGINT) AS v,
          row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
   FROM th
-)"""]
+)"""
+    ctes = [head]
     outs = []
     for r in range(1, rounds + 1):
         ctes.append(f"""a{r} AS (
@@ -3103,6 +3120,41 @@ def _gesd_oracle(rounds: int = 3) -> str:
        END AS r_stat
 FROM g{r} g JOIN p{r} p USING (source) WHERE g.n >= 2""")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs)
+
+
+# S-H-ESD feeder for _gesd_oracle: hourly tier -> robust decompose (the
+# _DECOMP_ORACLE chain on the hourly grid, ts-only ordering) -> o1 carries
+# floor(resid) as the GESD input. MATERIALIZED: the unrolled rounds
+# reference o1 repeatedly; inlining would re-run the median window per round.
+_SHESD_HEAD = """th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT source, b AS ts, CAST(yd AS BIGINT) * 2000000 AS y2 FROM th
+), t AS (
+  SELECT source, ts, y2,
+         CAST(quantile_cont(y2, 0.5) OVER (
+           PARTITION BY source ORDER BY ts
+           ROWS BETWEEN 48 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS t2
+  FROM s
+), d AS (
+  SELECT source, ts, y2 - t2 AS d2, CAST(hour(ts) AS BIGINT) AS hod FROM t
+), se AS (
+  SELECT source, hod, CAST(sum(d2) AS BIGINT) AS sd, count(*) AS n
+  FROM d GROUP BY 1, 2
+), sm AS (
+  SELECT source, hod, CAST((sd - ((sd % n + n) % n)) // n AS BIGINT) AS s2
+  FROM se
+), base AS MATERIALIZED (
+  SELECT d.source, d.ts, d.d2 - sm.s2 AS r2
+  FROM d JOIN sm ON d.source = sm.source AND d.hod = sm.hod
+), o1 AS (
+  SELECT source, CAST(floor(r2 / 2000000.0) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY ts) - 1 AS t
+  FROM base
+)"""
 
 
 def _stratified_sample_oracle() -> str:
@@ -5410,6 +5462,7 @@ SELECT dev.source, CAST(dev.n AS BIGINT) AS n, d.sum_d2, dev.dev2_sum,
 FROM dev JOIN d ON d.source = dev.source
 WHERE dev.n >= 2""",
         "gesd_outliers_events_1h": _gesd_oracle(3),
+        "shesd_outliers_events_1h": _gesd_oracle(3, head=_SHESD_HEAD),
         "grubbs_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

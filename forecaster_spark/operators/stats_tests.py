@@ -2062,3 +2062,47 @@ def mann_whitney_drift(
         ).alias("z_stat"),
         (num.cast("double") / f1.cast("double")).alias("cliffs_delta"),
     )
+
+
+def shesd_outliers(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    order: tuple | None = None,
+    rounds: int = 3,
+    window: int = 49,
+) -> DataFrame:
+    """Seasonal-Hybrid ESD anomaly screen (Twitter AnomalyDetection,
+    Hochenbaum-Vallis-Kejariwal 2017): run the generalized ESD iteration
+    on the RESIDUAL of the robust seasonal decomposition instead of the
+    raw series — a daily cycle or trend ramp stops masquerading as (or
+    masking) point anomalies, which is exactly the failure mode of
+    :func:`gesd_outliers` on seasonal telemetry.
+
+    Composition of two certified pieces: ``seasonal_decompose`` (median
+    trend + hour-of-day seasonal fold, residual exact in half-micro
+    units) feeds ``gesd_outliers`` on ``floor(resid)`` — unit-floor
+    quantization keeps every GESD integer (n·v sums, squared deviations)
+    far inside int64 at tier scale (the raw half-micro residuals would
+    overflow dev2 = Σ(n·v − Σv)² past 2^63 on long series). The floor is
+    cross-engine robust: a nonzero residual fraction is ≥ 1/2e6, nine
+    orders above double rounding error, so the boundary can't flip.
+
+    Plan shape: one shuffle on the series key into the decompose kernel,
+    one more into the GESD kernel — both tier-bounded Arrow kernels; no
+    joins, no windows over raw data. Output = gesd_outliers schema with
+    removed_v in floored residual units.
+    """
+    from forecaster_spark.operators.timeweight import seasonal_decompose
+
+    order = tuple(order) if order is not None else (ts,)
+    dec = seasonal_decompose(
+        df, value=value, partition=partition, ts=ts, order=order, window=window
+    )
+    b = dec.select(
+        F.col(partition),
+        F.col(ts).alias("_sts"),
+        F.floor("resid").cast("long").alias("_rv"),
+    )
+    return gesd_outliers(b, value="_rv", partition=partition, ts="_sts", rounds=rounds)

@@ -339,3 +339,35 @@ def test_winsorized_mean_clamps_outliers(spark):
     assert out["win_mean"] == (float(sum(want)) / float(n)) / 1_000_000.0
     # the outliers are fully clamped: mean within the inlier hull
     assert 1.0 <= out["win_mean"] <= 18.0
+
+
+def test_shesd_unmasks_seasonal_anomaly(spark):
+    """On a strongly seasonal hourly series with ONE planted negative
+    spike at the daily PEAK hour, raw GESD round 1 picks a seasonal peak
+    (the cycle dwarfs the anomaly's deviation from the global mean),
+    while S-H-ESD round 1 removes exactly the planted point — the
+    decomposition unmasks it."""
+    from forecaster_spark.operators.stats_tests import gesd_outliers, shesd_outliers
+
+    n = 24 * 12
+    base = [500 + (i % 24 - 12) ** 2 for i in range(n)]  # daily bowl, peak at h=0
+    anom_at = 24 * 6  # peak hour of day 6
+    vals = list(base)
+    vals[anom_at] -= 170  # |dev from mean| ~ 26 raw (invisible), ~150 residual
+    rows = [
+        (
+            "s1",
+            (pd.Timestamp("2025-01-01") + pd.Timedelta(hours=i)).to_pydatetime(),
+            float(v),
+        )
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, y double")
+
+    raw = gesd_outliers(df, value="y", partition="source", ts="ts", rounds=1).collect()
+    assert raw[0]["removed_t"] != anom_at  # seasonality masks it
+    assert raw[0]["removed_v"] == 644  # a plain seasonal peak wins instead
+
+    sh = shesd_outliers(df, rounds=1).collect()
+    assert sh[0]["removed_t"] == anom_at
+    assert sh[0]["removed_v"] <= -140  # ~ the planted spike in residual units
