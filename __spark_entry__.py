@@ -2812,6 +2812,17 @@ def q_data_loader(spark, sf_dir):
     return data_loader_manifest(_ev(spark, sf_dir), value="y", p=3, batch_size=64, order=_ORD)
 
 
+def q_segmented_trend(spark, sf_dir):
+    """Piecewise-linear trend with one BinSeg knot (Prophet-style
+    segmented trend): split at the exact floored-SSE-cost argmin, then an
+    exact-Cramer OLS line per side (HUGEINT normal equations, one
+    cast-mimic division per coefficient) — level+slope before/after the
+    break on the hourly tier."""
+    from forecaster_spark.operators.stats_tests import segmented_trend
+
+    return segmented_trend(_hourly_int_series(spark, sf_dir))
+
+
 def q_shesd_outliers(spark, sf_dir):
     """Seasonal-Hybrid ESD (Twitter AnomalyDetection): generalized ESD
     iterated on floor(resid) of the robust seasonal decomposition of the
@@ -3022,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grubbs_events_1h": q_grubbs,
         "gesd_outliers_events_1h": q_gesd_outliers,
         "shesd_outliers_events_1h": q_shesd_outliers,
+        "segmented_trend_events_1h": q_segmented_trend,
         "friedman_events_1h": q_friedman,
         "kruskal_wallis_events": q_kruskal_wallis,
         "snaive_mase_events_1h": q_snaive_mase,
@@ -5463,6 +5475,60 @@ FROM dev JOIN d ON d.source = dev.source
 WHERE dev.n >= 2""",
         "gesd_outliers_events_1h": _gesd_oracle(3),
         "shesd_outliers_events_1h": _gesd_oracle(3, head=_SHESD_HEAD),
+        "segmented_trend_events_1h": """
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, CAST(yd AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+), pre AS (
+  SELECT source, t, v,
+         CAST(sum(v) OVER w AS BIGINT) AS bi,
+         CAST(sum(v * v) OVER w AS BIGINT) AS ai,
+         CAST(sum(v) OVER ws AS BIGINT) AS bn,
+         CAST(sum(v * v) OVER ws AS BIGINT) AS an,
+         CAST(count(*) OVER ws AS BIGINT) AS n
+  FROM o
+  WINDOW w AS (PARTITION BY source ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY source)
+), cost AS (
+  SELECT source, t + 1 AS i, n,
+         CAST(floor(
+           (CAST(ai AS DOUBLE) - CAST(bi AS DOUBLE) * CAST(bi AS DOUBLE) / CAST(t + 1 AS DOUBLE))
+           + (CAST(an - ai AS DOUBLE)
+              - CAST(bn - bi AS DOUBLE) * CAST(bn - bi AS DOUBLE) / CAST(n - t - 1 AS DOUBLE))
+         ) AS BIGINT) AS cq
+  FROM pre WHERE t + 1 < n
+), sp AS (
+  SELECT source, min(i) AS split_i, max(n) AS n FROM (
+    SELECT source, i, n, cq, min(cq) OVER (PARTITION BY source) AS mn FROM cost
+  ) q WHERE cq = mn GROUP BY source
+), seg AS (
+  SELECT o.source, sp.n, sp.split_i,
+         CASE WHEN o.t < sp.split_i THEN 'left' ELSE 'right' END AS seg,
+         CASE WHEN o.t < sp.split_i THEN o.t ELSE o.t - sp.split_i END AS x,
+         o.v
+  FROM o JOIN sp USING (source)
+), s2 AS (
+  SELECT source, n, split_i, seg,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(v) AS HUGEINT) AS sy,
+         CAST(sum(x * v) AS HUGEINT) AS sxy
+  FROM seg GROUP BY 1, 2, 3, 4
+)
+SELECT source, n, split_i, seg, m,
+       CASE WHEN m * sxx - sx * sx > 0 THEN
+         CAST(m * sxy - sx * sy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN m * sxx - sx * sx > 0 THEN
+         CAST(sxx * sy - sx * sxy AS DOUBLE) / CAST(m * sxx - sx * sx AS DOUBLE)
+       END AS intercept
+FROM s2 WHERE n >= 2""",
         "grubbs_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

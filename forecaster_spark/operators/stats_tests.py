@@ -2106,3 +2106,100 @@ def shesd_outliers(
         F.floor("resid").cast("long").alias("_rv"),
     )
     return gesd_outliers(b, value="_rv", partition=partition, ts="_sts", rounds=rounds)
+
+
+def segmented_trend(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Piecewise-linear trend with one knot (the Prophet-style segmented
+    trend, ruptures BinSeg + per-segment OLS): find the binary-segmentation
+    split minimizing within-segment SSE (the :func:`binseg_changepoint`
+    cost on the integer series, unit quanta), then fit an EXACT-Cramer OLS
+    line per side on the local index x = 0..m−1 — level + slope before and
+    after the break, the two-regime complement of the single global trend
+    feature (reference P1, modeling/forecasting/arx.py trend spec).
+
+    Exactness: the split cost is the pinned float chain
+    ``(ai − bi²/i) + (ar − br²/r)`` of BIGINT→DOUBLE casts (each correctly
+    rounded), floored; argmin tie-breaks to the smallest index. Segment
+    fits use Python-int normal equations (no int64 overflow at any SF) and
+    divide ONCE per coefficient through the HUGEINT→DOUBLE cast mimic
+    (oracle/ref.py hugeint_to_double), so slope/intercept match the SQL
+    oracle's ``CAST(hugeint AS DOUBLE)`` divisions bit-for-bit; a
+    single-point segment emits NULLs (det = 0).
+
+    Plan shape: ONE shuffle on the series key into a per-series Arrow
+    kernel (tier-bounded input, the model-kernel contract) — the split
+    search and both fits share the same numpy prefix sums; no windows, no
+    join-back. Output: (partition, n, split_i, seg, m, slope, intercept),
+    two rows per series with n ≥ 2.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("n", T.LongType()),
+            T.StructField("split_i", T.LongType()),
+            T.StructField("seg", T.StringType()),
+            T.StructField("m", T.LongType()),
+            T.StructField("slope", T.DoubleType()),
+            T.StructField("intercept", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+    b = df.select(
+        F.col(partition),
+        F.col(ts).alias("_ts"),
+        F.col(value).cast("long").alias("_v"),
+    )
+
+    def _ols(v: np.ndarray) -> tuple[float | None, float | None]:
+        m = len(v)
+        sx = m * (m - 1) // 2
+        sxx = (m - 1) * m * (2 * m - 1) // 6
+        sy = int(v.sum())
+        sxy = int((np.arange(m, dtype=np.int64) * v).sum())
+        det = m * sxx - sx * sx
+        if det == 0:
+            return None, None
+        slope = h2d(m * sxy - sx * sy) / h2d(det)
+        intercept = h2d(sxx * sy - sx * sxy) / h2d(det)
+        return slope, intercept
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts")
+        v = pdf["_v"].to_numpy(dtype=np.int64)
+        n = len(v)
+        if n < 2:
+            return pd.DataFrame([], columns=cols)
+        bi = np.cumsum(v)
+        ai = np.cumsum(v * v)
+        bn, an = bi[-1], ai[-1]
+        i = np.arange(1, n, dtype=np.int64)
+        bi, ai = bi[:-1], ai[:-1]
+        i_d = i.astype(np.float64)
+        r_d = (n - i).astype(np.float64)
+        cost = (
+            ai.astype(np.float64) - bi.astype(np.float64) * bi.astype(np.float64) / i_d
+        ) + (
+            (an - ai).astype(np.float64)
+            - (bn - bi).astype(np.float64) * (bn - bi).astype(np.float64) / r_d
+        )
+        split = 1 + int(np.argmin(np.floor(cost)))  # first min == smallest i
+        src = pdf[partition].iat[0]
+        out = []
+        for seg, vs in (("left", v[:split]), ("right", v[split:])):
+            slope, intercept = _ols(vs)
+            out.append((src, n, split, seg, len(vs), slope, intercept))
+        return pd.DataFrame(out, columns=cols)
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)

@@ -371,3 +371,36 @@ def test_shesd_unmasks_seasonal_anomaly(spark):
     sh = shesd_outliers(df, rounds=1).collect()
     assert sh[0]["removed_t"] == anom_at
     assert sh[0]["removed_v"] <= -140  # ~ the planted spike in residual units
+
+
+def test_segmented_trend_planted_knot(spark):
+    """Two planted linear regimes with a level/slope break: the split must
+    land on the true knot and each segment's slope/intercept must equal
+    numpy polyfit on that segment (the exact-Cramer solution) to float
+    precision."""
+    from forecaster_spark.operators.stats_tests import segmented_trend
+
+    knot = 40
+    vals = [100 + 2 * i + (3 if i % 7 == 0 else 0) for i in range(knot)] + [
+        500 - 3 * j + (3 if (knot + j) % 7 == 0 else 0) for j in range(35)
+    ]
+    rows = [
+        (
+            "s1",
+            (pd.Timestamp("2025-01-01") + pd.Timedelta(hours=i)).to_pydatetime(),
+            float(v),
+        )
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, y double")
+    out = {r["seg"]: r for r in segmented_trend(df).collect()}
+    assert out["left"]["split_i"] == knot and out["left"]["n"] == len(vals)
+    for seg, vs in (("left", vals[:knot]), ("right", vals[knot:])):
+        want_s, want_i = np.polyfit(np.arange(len(vs)), vs, 1)
+        assert abs(out[seg]["slope"] - want_s) < 1e-9
+        assert abs(out[seg]["intercept"] - want_i) < 1e-9
+        assert out[seg]["m"] == len(vs)
+    # single-point segment -> NULL fit, not a crash
+    df2 = spark.createDataFrame(rows[:2], "source string, ts timestamp, y double")
+    out2 = {r["seg"]: r for r in segmented_trend(df2).collect()}
+    assert out2["left"]["slope"] is None and out2["left"]["m"] == 1
