@@ -2070,6 +2070,20 @@ def q_seasonal_naive_qof(spark, sf_dir):
     )
 
 
+def q_ensemble_qof(spark, sf_dir):
+    """Equal-weight forecast combination (Bates-Granger): mean of
+    persistence / MA(3) / seasonal-naive one-step baselines scored vs
+    each component on the identical conditional sample — 9-scaled centi
+    errors keep everything exact BIGINT; regret9 <= 0 marks series where
+    combining beat the best single model."""
+    from forecaster_spark.operators.timeweight import ensemble_qof
+
+    return ensemble_qof(_hourly_micro_buckets(spark, sf_dir)).select(
+        "source", "m", "sae9_ens", "sae9_persist", "sae9_ma3",
+        "sae9_snaive", "regret9", "mae_ens", "mae_best_single"
+    )
+
+
 def q_max_drawdown(spark, sf_dir):
     """Maximum drawdown per source over raw events: exact micro-unit
     running-peak-minus-value max (path-dependent worst decline)."""
@@ -3034,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gesd_outliers_events_1h": q_gesd_outliers,
         "shesd_outliers_events_1h": q_shesd_outliers,
         "segmented_trend_events_1h": q_segmented_trend,
+        "ensemble_qof_events_1h": q_ensemble_qof,
         "friedman_events_1h": q_friedman,
         "kruskal_wallis_events": q_kruskal_wallis,
         "snaive_mase_events_1h": q_snaive_mase,
@@ -4950,6 +4965,39 @@ SELECT source, CAST(pattern_id AS BIGINT) AS pattern_id, CAST(cnt AS BIGINT) AS 
        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_windows,
        CAST((1000000 * cnt) // (sum(cnt) OVER (PARTITION BY source)) AS BIGINT) AS share_ppm
 FROM c""",
+        "ensemble_qof_events_1h": """
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+), cb AS (
+  SELECT source, bucket_start, v_micro // 10000 AS vc FROM mb
+), l AS (
+  SELECT source, vc AS y,
+         lag(vc, 1) OVER w AS l1, lag(vc, 2) OVER w AS l2,
+         lag(vc, 3) OVER w AS l3, lag(vc, 24) OVER w AS ls
+  FROM cb WINDOW w AS (PARTITION BY source ORDER BY bucket_start)
+), e AS (
+  SELECT source,
+         9 * y - (4 * l1 + l2 + l3 + 3 * ls) AS e_ens,
+         9 * (y - l1) AS e_p,
+         9 * y - 3 * (l1 + l2 + l3) AS e_m,
+         9 * (y - ls) AS e_s
+  FROM l WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL AND ls IS NOT NULL
+), a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(abs(e_ens)) AS BIGINT) AS sae9_ens,
+         CAST(sum(abs(e_p)) AS BIGINT) AS sae9_persist,
+         CAST(sum(abs(e_m)) AS BIGINT) AS sae9_ma3,
+         CAST(sum(abs(e_s)) AS BIGINT) AS sae9_snaive
+  FROM e GROUP BY source
+)
+SELECT source, m, sae9_ens, sae9_persist, sae9_ma3, sae9_snaive,
+       CAST(sae9_ens - least(sae9_persist, sae9_ma3, sae9_snaive) AS BIGINT) AS regret9,
+       CAST(sae9_ens AS DOUBLE) / CAST(m AS DOUBLE) / 9.0 / 100.0 AS mae_ens,
+       CAST(least(sae9_persist, sae9_ma3, sae9_snaive) AS DOUBLE)
+         / CAST(m AS DOUBLE) / 9.0 / 100.0 AS mae_best_single
+FROM a""",
         "seasonal_naive_qof_events_1h": """
 WITH mb AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,

@@ -1977,3 +1977,97 @@ def demand_class(
             )
         ),
     )
+
+
+def ensemble_qof(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+    season: int = 24,
+) -> DataFrame:
+    """Equal-weight forecast-combination QoF (Bates & Granger 1969; the
+    M-competition's "combining beats components" result): score the mean
+    of three one-step baselines — persistence y[t−1], moving-average
+    MA(3), seasonal-naive y[t−season] — against each component, per
+    series, with EXACT integers throughout: the combined error is kept in
+    9-scaled centi units, ``e9 = 9y − (4·l1 + l2 + l3 + 3·l_s)`` (the
+    ×9 clears both the /3 ensemble mean and the /3 inside MA(3)), and the
+    component errors are scaled by the same 9 so all four SAE columns are
+    directly comparable BIGINTs. ``regret9`` = combined SAE minus the
+    best single model's — ≤ 0 means the combination won outright (the
+    M4 diversification gain); the average-loss bound guarantees it never
+    exceeds the WORST component.
+
+    One window (four lags on one (series, order) sort) + one hash
+    aggregate riding the same shuffle; conditioning on rows where ALL
+    lags exist keeps every model scored on the identical sample (the
+    ar_order_select nested-sample rule). Emitted doubles are fixed
+    left-assoc chains ``((sae9/m)/9)/100`` mirrored in SQL.
+
+    Output: (partition, m, sae9_ens, sae9_persist, sae9_ma3, sae9_snaive,
+    regret9, mae_ens, mae_best_single).
+    """
+    vc = F.expr(f"{value} div 10000")
+    w = Window.partitionBy(partition).orderBy(order)
+    b = (
+        df.select(
+            F.col(partition).alias("source"),
+            vc.alias("_y"),
+            F.lag(vc, 1).over(w).alias("_l1"),
+            F.lag(vc, 2).over(w).alias("_l2"),
+            F.lag(vc, 3).over(w).alias("_l3"),
+            F.lag(vc, season).over(w).alias("_ls"),
+        )
+        .where(
+            F.col("_l1").isNotNull()
+            & F.col("_l2").isNotNull()
+            & F.col("_l3").isNotNull()
+            & F.col("_ls").isNotNull()
+        )
+        .select(
+            "source",
+            (
+                F.lit(9) * F.col("_y")
+                - (
+                    F.lit(4) * F.col("_l1")
+                    + F.col("_l2")
+                    + F.col("_l3")
+                    + F.lit(3) * F.col("_ls")
+                )
+            ).alias("_e_ens"),
+            (F.lit(9) * (F.col("_y") - F.col("_l1"))).alias("_e_p"),
+            (
+                F.lit(9) * F.col("_y")
+                - F.lit(3) * (F.col("_l1") + F.col("_l2") + F.col("_l3"))
+            ).alias("_e_m"),
+            (F.lit(9) * (F.col("_y") - F.col("_ls"))).alias("_e_s"),
+        )
+    )
+    agg = b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.abs(F.col("_e_ens"))).cast("long").alias("sae9_ens"),
+        F.sum(F.abs(F.col("_e_p"))).cast("long").alias("sae9_persist"),
+        F.sum(F.abs(F.col("_e_m"))).cast("long").alias("sae9_ma3"),
+        F.sum(F.abs(F.col("_e_s"))).cast("long").alias("sae9_snaive"),
+    )
+    best = F.least("sae9_persist", "sae9_ma3", "sae9_snaive")
+    return agg.select(
+        F.col("source").alias(partition),
+        "m",
+        "sae9_ens",
+        "sae9_persist",
+        "sae9_ma3",
+        "sae9_snaive",
+        (F.col("sae9_ens") - best).cast("long").alias("regret9"),
+        (
+            (F.col("sae9_ens").cast("double") / F.col("m").cast("double"))
+            / F.lit(9.0)
+            / F.lit(100.0)
+        ).alias("mae_ens"),
+        (
+            (best.cast("double") / F.col("m").cast("double"))
+            / F.lit(9.0)
+            / F.lit(100.0)
+        ).alias("mae_best_single"),
+    )

@@ -404,3 +404,34 @@ def test_segmented_trend_planted_knot(spark):
     df2 = spark.createDataFrame(rows[:2], "source string, ts timestamp, y double")
     out2 = {r["seg"]: r for r in segmented_trend(df2).collect()}
     assert out2["left"]["slope"] is None and out2["left"]["m"] == 1
+
+
+def test_ensemble_qof_exact_vs_python(spark):
+    """Ensemble QoF on a handcrafted series must equal a plain-python
+    replay (9-scaled integers), and the combined SAE can never exceed the
+    WORST component (averaging bound)."""
+    from forecaster_spark.operators.timeweight import ensemble_qof
+
+    vals = [100, 140, 90, 200, 150, 150, 160, 90, 210, 130, 120, 180,
+            100, 140, 95, 205, 150, 155, 165, 85, 215, 135, 125, 185,
+            102, 138, 92, 198, 152, 148]
+    df = _series_df(spark, {"s1": [v * 10000 for v in vals]})
+    out = ensemble_qof(df).collect()[0]
+    # python replay in centi units (v_micro // 10000 = v * 10000 // 10000)
+    vc = vals
+    se, sp, sm, ss = 0, 0, 0, 0
+    m = 0
+    for t in range(len(vc)):
+        if t < 24:
+            continue
+        y, l1, l2, l3, ls = vc[t], vc[t - 1], vc[t - 2], vc[t - 3], vc[t - 24]
+        se += abs(9 * y - (4 * l1 + l2 + l3 + 3 * ls))
+        sp += abs(9 * (y - l1))
+        sm += abs(9 * y - 3 * (l1 + l2 + l3))
+        ss += abs(9 * (y - ls))
+        m += 1
+    assert (out["m"], out["sae9_ens"], out["sae9_persist"],
+            out["sae9_ma3"], out["sae9_snaive"]) == (m, se, sp, sm, ss)
+    assert out["regret9"] == se - min(sp, sm, ss)
+    assert out["sae9_ens"] <= max(sp, sm, ss)  # averaging bound
+    assert abs(out["mae_ens"] - se / m / 9.0 / 100.0) == 0.0
