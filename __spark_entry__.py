@@ -2826,6 +2826,19 @@ def q_data_loader(spark, sf_dir):
     return data_loader_manifest(_ev(spark, sf_dir), value="y", p=3, batch_size=64, order=_ORD)
 
 
+def q_isotonic_fit(spark, sf_dir):
+    """Isotonic regression per source on the hourly tier (PAVA, sklearn
+    IsotonicRegression semantics): the unique least-squares nondecreasing
+    fit as exact integer blocks — merge decisions by cross-multiplied
+    BIGINTs, fit = one IEEE division per block. Oracle = a recursive-CTE
+    state machine replaying the push/merge stack walk."""
+    from forecaster_spark.operators.timeweight import isotonic_fit
+
+    return isotonic_fit(_hourly_int_series(spark, sf_dir)).select(
+        "source", "block_i", "start_t", "m", "sum_v", "fit"
+    )
+
+
 def q_segmented_trend(spark, sf_dir):
     """Piecewise-linear trend with one BinSeg knot (Prophet-style
     segmented trend): split at the exact floored-SSE-cost argmin, then an
@@ -3049,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shesd_outliers_events_1h": q_shesd_outliers,
         "segmented_trend_events_1h": q_segmented_trend,
         "ensemble_qof_events_1h": q_ensemble_qof,
+        "isotonic_fit_events_1h": q_isotonic_fit,
         "friedman_events_1h": q_friedman,
         "kruskal_wallis_events": q_kruskal_wallis,
         "snaive_mase_events_1h": q_snaive_mase,
@@ -5523,6 +5537,57 @@ FROM dev JOIN d ON d.source = dev.source
 WHERE dev.n >= 2""",
         "gesd_outliers_events_1h": _gesd_oracle(3),
         "shesd_outliers_events_1h": _gesd_oracle(3, head=_SHESD_HEAD),
+        "isotonic_fit_events_1h": """
+WITH RECURSIVE th AS MATERIALIZED (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS MATERIALIZED (
+  SELECT source, CAST(yd AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+), ag AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1
+), walk AS (
+  -- state machine: one recursion step = ONE stack action (merge top two
+  -- blocks on strict mean violation, else push the next point)
+  SELECT o.source, 1 AS step, CAST(1 AS BIGINT) AS i,
+         [o.v] AS sums, [CAST(1 AS BIGINT)] AS cnts, ag.n
+  FROM o JOIN ag USING (source) WHERE o.t = 0
+  UNION ALL
+  SELECT source, step + 1,
+         CASE WHEN viol THEN i ELSE i + 1 END AS i,
+         CASE WHEN viol THEN list_append(sums[:k-2], sums[k-1] + sums[k])
+              ELSE list_append(sums, nv) END AS sums,
+         CASE WHEN viol THEN list_append(cnts[:k-2], cnts[k-1] + cnts[k])
+              ELSE list_append(cnts, CAST(1 AS BIGINT)) END AS cnts,
+         n
+  FROM (
+    SELECT w.source, w.step, w.i, w.sums, w.cnts, w.n,
+           len(w.sums) AS k, o2.v AS nv,
+           (len(w.sums) >= 2 AND
+            w.sums[len(w.sums)-1] * w.cnts[len(w.sums)]
+              > w.sums[len(w.sums)] * w.cnts[len(w.sums)-1]) AS viol
+    FROM walk w LEFT JOIN o o2 ON o2.source = w.source AND o2.t = w.i
+  ) s
+  WHERE viol OR i < n
+), fin AS (
+  SELECT source, sums, cnts FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY step DESC) AS rn
+    FROM walk
+  ) q WHERE rn = 1
+), blk AS (
+  SELECT source, unnest(range(len(sums))) AS bz, sums, cnts FROM fin
+), b2 AS (
+  SELECT source, CAST(bz + 1 AS BIGINT) AS block_i,
+         sums[bz+1] AS sum_v, cnts[bz+1] AS m
+  FROM blk
+)
+SELECT source, block_i,
+       CAST(sum(m) OVER (PARTITION BY source ORDER BY block_i) - m AS BIGINT) AS start_t,
+       CAST(m AS BIGINT) AS m, CAST(sum_v AS BIGINT) AS sum_v,
+       CAST(sum_v AS DOUBLE) / CAST(m AS DOUBLE) AS fit
+FROM b2""",
         "segmented_trend_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -2071,3 +2071,79 @@ def ensemble_qof(
             / F.lit(100.0)
         ).alias("mae_best_single"),
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+) -> DataFrame:
+    """Isotonic (monotone nondecreasing) regression per series by Pool
+    Adjacent Violators (Barlow et al. 1972; sklearn ``IsotonicRegression``
+    semantics with x = time order, unit weights): the unique least-squares
+    nondecreasing fit. PAVA maintains a stack of blocks (sum, count); each
+    new point pushes a singleton block, then adjacent blocks merge while
+    the previous block's mean EXCEEDS the top's (strict violation —
+    equal-mean neighbors stay separate blocks, a convention the oracle
+    replays exactly; fitted values are identical either way). Every
+    point's fit is its block mean sum/count — EXACT integers compared by
+    cross-multiplication (``sum_prev·cnt_top > sum_top·cnt_prev``), so no
+    float enters the merge decision, and the emitted ``fit`` is one
+    correctly-rounded IEEE division of small exact integers.
+
+    Use cases on telemetry: monotone calibration of a quality score
+    against observed pass rates, enforcing cumulative-counter monotonicity
+    after counter-reset repair, and monotone trend extraction with
+    level-exact plateaus (where OLS smears a step).
+
+    Plan shape: one shuffle on the series key into a per-series Arrow
+    kernel; the stack walk is O(n) amortized (each point is pushed and
+    merged at most once) over the tier-bounded series — the same
+    sequential-chain contract as EWMA/Holt, with an O(2n)-step
+    recursive-CTE state machine as the SQL mirror. Output one row per
+    BLOCK: (partition, block_i 1-based, start_t, m, sum_v, fit).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            part_field,
+            T.StructField("block_i", T.LongType()),
+            T.StructField("start_t", T.LongType()),
+            T.StructField("m", T.LongType()),
+            T.StructField("sum_v", T.LongType()),
+            T.StructField("fit", T.DoubleType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+    b = df.select(
+        F.col(partition),
+        F.col(ts).alias("_ts"),
+        F.col(value).cast("long").alias("_v"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts")
+        v = pdf["_v"].to_numpy(dtype=np.int64)
+        sums: list[int] = []
+        cnts: list[int] = []
+        for x in v:
+            s, c = int(x), 1
+            while sums and sums[-1] * c > s * cnts[-1]:
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        src = pdf[partition].iat[0]
+        out = []
+        start = 0
+        for bi, (s, c) in enumerate(zip(sums, cnts), start=1):
+            out.append((src, bi, start, c, s, float(s) / float(c)))
+            start += c
+        return pd.DataFrame(out, columns=cols)
+
+    return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)

@@ -435,3 +435,60 @@ def test_ensemble_qof_exact_vs_python(spark):
     assert out["regret9"] == se - min(sp, sm, ss)
     assert out["sae9_ens"] <= max(sp, sm, ss)  # averaging bound
     assert abs(out["mae_ens"] - se / m / 9.0 / 100.0) == 0.0
+
+
+def test_isotonic_fit_minimax_characterization(spark):
+    """PAVA output must satisfy the independent minimax characterization
+    of isotonic regression: fit[i] = max_{j<=i} min_{k>=i} avg(v[j..k])
+    (Robertson-Wright-Dykstra), checked with exact Fractions on several
+    adversarial series; blocks must be nondecreasing, partition the
+    series, and preserve sums."""
+    from fractions import Fraction
+
+    from forecaster_spark.operators.timeweight import isotonic_fit
+
+    series = {
+        "desc": [9, 8, 7, 6, 5],                      # one global pool
+        "steps": [1, 3, 2, 2, 5, 4, 4, 6],            # local pools
+        "ties": [2, 2, 1, 2, 2, 2],                   # equal-mean neighbors
+        "mono": [1, 2, 3, 4],                          # untouched
+        "vee": [5, 1, 5, 1, 5, 1, 9],
+    }
+    rows = []
+    for src, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (src, (pd.Timestamp("2025-01-01") + pd.Timedelta(hours=i)).to_pydatetime(), float(v))
+            )
+    df = spark.createDataFrame(rows, "source string, ts timestamp, y double")
+    out = isotonic_fit(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, vals in series.items():
+        blocks = sorted(by_src[src], key=lambda r: r["block_i"])
+        n = len(vals)
+        # partition + sum preservation
+        assert [b["start_t"] for b in blocks] == list(
+            np.cumsum([0] + [b["m"] for b in blocks[:-1]])
+        )
+        assert sum(b["m"] for b in blocks) == n
+        assert sum(b["sum_v"] for b in blocks) == sum(vals)
+        # per-point fit from blocks
+        fit = []
+        for b in blocks:
+            fit += [Fraction(b["sum_v"], b["m"])] * b["m"]
+        assert all(a <= c for a, c in zip(fit, fit[1:]))
+        # minimax characterization
+        for i in range(n):
+            want = max(
+                min(
+                    Fraction(sum(vals[j : k + 1]), k + 1 - j)
+                    for k in range(i, n)
+                )
+                for j in range(i + 1)
+            )
+            assert fit[i] == want, (src, i, fit[i], want)
+        # emitted double is the one correctly-rounded division
+        for b in blocks:
+            assert b["fit"] == b["sum_v"] / b["m"]
