@@ -2826,6 +2826,41 @@ def q_data_loader(spark, sf_dir):
     return data_loader_manifest(_ev(spark, sf_dir), value="y", p=3, batch_size=64, order=_ORD)
 
 
+def _sixhour_int_series(spark, sf_dir):
+    """6-hour floor-quantized integer tier: the DTW contract feed — the
+    n_a·n_b DP (and its recursive-CTE mirror) runs at 120 points/series
+    instead of 720, keeping the oracle's per-iteration join small; the
+    operator itself takes any tier."""
+    ev = _events_series(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "source", F.expr("unix_micros(cast(ts as timestamp)) div 21600000000").alias("b6")
+        )
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("y") * 1_000_000).cast("long"))
+                / F.lit(1_000_000.0)
+                / F.count("y")
+            ).cast("double").alias("y")
+        )
+        .select("source", F.col("b6").alias("ts"), "y")
+    )
+
+
+def q_dtw_pairs(spark, sf_dir):
+    """DTW distance between every source pair on the 6-hour integer tier
+    (full-window DP, |.| cost): the elastic complement of the lock-step
+    Euclidean series distance. All-integer row DP via the prefix-scan
+    form; the oracle replays the identical row walk as a recursive CTE
+    whose step is one window chain over a pre-materialized relational
+    cost matrix."""
+    from forecaster_spark.operators.technicals import dtw_distance_pairs
+
+    return dtw_distance_pairs(
+        _sixhour_int_series(spark, sf_dir), value="y", partition="source", order="ts"
+    ).select("source_a", "source_b", "n_a", "n_b", "dtw", "dtw_norm")
+
+
 def q_isotonic_fit(spark, sf_dir):
     """Isotonic regression per source on the hourly tier (PAVA, sklearn
     IsotonicRegression semantics): the unique least-squares nondecreasing
@@ -3063,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmented_trend_events_1h": q_segmented_trend,
         "ensemble_qof_events_1h": q_ensemble_qof,
         "isotonic_fit_events_1h": q_isotonic_fit,
+        "dtw_pairs_events_1h": q_dtw_pairs,
         "friedman_events_1h": q_friedman,
         "kruskal_wallis_events": q_kruskal_wallis,
         "snaive_mase_events_1h": q_snaive_mase,
@@ -5537,6 +5573,62 @@ FROM dev JOIN d ON d.source = dev.source
 WHERE dev.n >= 2""",
         "gesd_outliers_events_1h": _gesd_oracle(3),
         "shesd_outliers_events_1h": _gesd_oracle(3, head=_SHESD_HEAD),
+        "dtw_pairs_events_1h": """
+WITH RECURSIVE th AS MATERIALIZED (
+  SELECT event_type AS source, epoch_us(ts) // 21600000000 AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS MATERIALIZED (
+  SELECT source, CAST(yd AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+), sv AS MATERIALIZED (
+  SELECT source, list(v ORDER BY t) AS vs, CAST(count(*) AS BIGINT) AS n
+  FROM o GROUP BY 1
+), pr AS MATERIALIZED (
+  SELECT a.source AS sa, b.source AS sb, a.vs AS va, b.vs AS vb,
+         a.n AS na, b.n AS nb
+  FROM sv a JOIN sv b ON a.source < b.source
+), cm AS MATERIALIZED (
+  -- the full cost matrix + per-row cumsums, computed ONCE outside the
+  -- recursion and RELATIONALLY (a per-pair index cross join on o — no
+  -- list is ever expanded per grid cell: unnesting va/vb per row copies
+  -- O(n³) elements, measured in the minutes; and list extraction inside
+  -- a window aggregate re-ran per recursion iteration before that)
+  SELECT oa.source AS sa, ob.source AS sb, oa.t AS i, ob.t + 1 AS j,
+         abs(oa.v - ob.v) AS c,
+         CAST(sum(abs(oa.v - ob.v))
+              OVER (PARTITION BY oa.source, ob.source, oa.t ORDER BY ob.t)
+           AS BIGINT) AS s
+  FROM o oa JOIN o ob ON oa.source < ob.source
+), walk AS (
+  -- dp row 0 is the cumsum row itself
+  SELECT sa, sb, 0 AS i, list(s ORDER BY j) AS prev
+  FROM cm WHERE i = 0 GROUP BY sa, sb
+  UNION ALL
+  -- one step = one dp row via the prefix-scan form:
+  -- new[j] = S_j + runmin_j( least(prev[j], prev[j-1]) - (S_j - c_j) )
+  SELECT sa, sb, i, list(newv ORDER BY j) AS newr FROM (
+    SELECT sa, sb, i, j,
+           s + min(val) OVER (PARTITION BY sa, sb ORDER BY j) AS newv
+    FROM (
+      SELECT m.sa, m.sb, m.i, m.j, m.s,
+             least(w.prev[m.j], coalesce(w.prev[m.j - 1], CAST(1 AS BIGINT) << 60))
+               - (m.s - m.c) AS val
+      FROM walk w
+      JOIN cm m ON m.sa = w.sa AND m.sb = w.sb AND m.i = w.i + 1
+    ) c2
+  ) c3 GROUP BY sa, sb, i
+), fin AS (
+  SELECT sa, sb, prev FROM (
+    SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY i DESC) AS rn
+    FROM walk
+  ) q WHERE rn = 1
+)
+SELECT p.sa AS source_a, p.sb AS source_b, p.na AS n_a, p.nb AS n_b,
+       CAST(f.prev[CAST(p.nb AS INT)] AS BIGINT) AS dtw,
+       CAST(f.prev[CAST(p.nb AS INT)] AS DOUBLE) / CAST(p.na + p.nb AS DOUBLE) AS dtw_norm
+FROM pr p JOIN fin f ON f.sa = p.sa AND f.sb = p.sb""",
         "isotonic_fit_events_1h": """
 WITH RECURSIVE th AS MATERIALIZED (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

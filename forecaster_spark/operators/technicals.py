@@ -26,6 +26,8 @@ their window caps.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -276,4 +278,69 @@ def peak_detect(
             & (prom >= F.lit(int(prominence_milli))),
         )
         .drop("_vq", "_lmax", "_rmax", "_lmin", "_rmin")
+    )
+
+
+def dtw_distance_pairs(
+    buckets: DataFrame,
+    value: str = "v_unit",
+    partition: str = "source",
+    order: str = "bucket_start",
+) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of series
+    (Sakoe-Chiba 1978, full window; |·| local cost) — elastic similarity
+    that matches shapes under phase shift/speed variation, where the
+    lock-step :func:`series_distance_pairs` penalizes any misalignment.
+    The standard row recurrence ``dp[i][j] = c_ij + min(dp[i−1][j],
+    dp[i−1][j−1], dp[i][j−1])`` is reshaped into its prefix-scan form —
+    with ``m_j = min(prev_j, prev_{j−1})`` and ``S_j = Σ_{l≤j} c_il``:
+    ``dp[i][j] = S_j + min_{k≤j}(m_k − S_{k−1})`` — so each row is one
+    vectorized cumsum + pairwise min + running min (numpy), and the SQL
+    mirror replays the IDENTICAL row walk as a recursive CTE whose step
+    is one window chain (no per-cell recursion). All-integer on the
+    unit-quantized tier: costs ≤ 2·max|v|, the total path ≤
+    (n_a+n_b)·2·max|v| — exact BIGINTs at any SF.
+
+    Plan shape: one collect_list per series on the tier shuffle (720
+    longs/series at sf0.1), a self-join of the tiny per-source array
+    table (series-count² pair rows — run over SOURCES; prefilter pairs
+    via SAX/fingerprint blocking when sources ≥ 10^4), then an Arrow
+    kernel does the O(n·m) DP per pair. Output: (source_a, source_b,
+    n_a, n_b, dtw, dtw_norm = dtw/(n_a+n_b) one IEEE division).
+    """
+    from pyspark.sql import types as T
+
+    sv = buckets.groupBy(F.col(partition).alias("s")).agg(
+        F.expr(f"transform(array_sort(collect_list(struct({order} AS o, CAST({value} AS BIGINT) AS v))), x -> x.v)").alias("vs"),
+    )
+    a = sv.select(F.col("s").alias("source_a"), F.col("vs").alias("_va"))
+    b = sv.select(F.col("s").alias("source_b"), F.col("vs").alias("_vb"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+
+    @F.pandas_udf(T.LongType())
+    def dtw_udf(va_s: pd.Series, vb_s: pd.Series) -> pd.Series:
+        out = np.empty(len(va_s), dtype=np.int64)
+        INF = 1 << 60
+        for r, (va, vb) in enumerate(zip(va_s, vb_s)):
+            av = np.asarray(va, dtype=np.int64)
+            bv = np.asarray(vb, dtype=np.int64)
+            prev = np.cumsum(np.abs(av[0] - bv))
+            for i in range(1, len(av)):
+                c = np.abs(av[i] - bv)
+                s = np.cumsum(c)
+                m = np.minimum(prev, np.concatenate(([INF], prev[:-1])))
+                pm = np.minimum.accumulate(m - (s - c))
+                prev = s + pm
+            out[r] = int(prev[-1])
+        return pd.Series(out)
+
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.size("_va").cast("long").alias("n_a"),
+        F.size("_vb").cast("long").alias("n_b"),
+        dtw_udf("_va", "_vb").alias("dtw"),
+    ).withColumn(
+        "dtw_norm",
+        F.col("dtw").cast("double") / (F.col("n_a") + F.col("n_b")).cast("double"),
     )

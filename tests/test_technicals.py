@@ -116,3 +116,53 @@ def test_rsi_floor_division_golden():
     # all-gain → 100%, all-loss → 0%
     assert (1_000_000 * 7) // 7 == 1_000_000
     assert (1_000_000 * 0) // 9 == 0
+
+
+def test_dtw_pairs_vs_brute_dp(spark):
+    """The prefix-scan row DP must equal the textbook three-way-min DP on
+    random integer pairs, give 0 for identical series, and beat lock-step
+    distance on a phase-shifted copy."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.operators.technicals import dtw_distance_pairs
+
+    def brute(a, b):
+        INF = float("inf")
+        n, m = len(a), len(b)
+        dp = [[INF] * (m + 1) for _ in range(n + 1)]
+        dp[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                dp[i][j] = c + min(dp[i - 1][j], dp[i - 1][j - 1], dp[i][j - 1])
+        return dp[n][m]
+
+    rng = np.random.RandomState(7)
+    base = list(rng.randint(0, 200, size=40))
+    shifted = base[3:] + base[:3]
+    series = {
+        "a_base": base,
+        "b_shift": shifted,
+        "c_rand": list(rng.randint(0, 200, size=33)),
+        "d_same": list(base),
+    }
+    rows = []
+    for src, vals in series.items():
+        for i, v in enumerate(vals):
+            rows.append(
+                (src, (pd.Timestamp("2025-01-01") + pd.Timedelta(hours=i)).to_pydatetime(), float(v))
+            )
+    df = spark.createDataFrame(rows, "source string, ts timestamp, y double")
+    out = {
+        (r["source_a"], r["source_b"]): r
+    for r in dtw_distance_pairs(df, value="y", order="ts").collect()}
+    assert len(out) == 6
+    for (sa, sb), r in out.items():
+        want = brute(series[sa], series[sb])
+        assert r["dtw"] == want, (sa, sb, r["dtw"], want)
+        assert r["dtw_norm"] == r["dtw"] / (r["n_a"] + r["n_b"])
+    assert out[("a_base", "d_same")]["dtw"] == 0
+    # elastic: DTW of the shifted copy is far below its lock-step distance
+    lock = sum(abs(x - y) for x, y in zip(base, shifted))
+    assert out[("a_base", "b_shift")]["dtw"] < lock // 3
