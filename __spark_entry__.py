@@ -2897,6 +2897,21 @@ def q_shesd_outliers(spark, sf_dir):
     return shesd_outliers(_hourly_int_series(spark, sf_dir), rounds=3)
 
 
+def q_sparse_cosine_pairs(spark, sf_dir):
+    """Lexical TF-cosine similarity pairs through an inverted index with
+    corpus-relative df-pruning (df <= 90% of N drops stop-tokens AND caps
+    the postings self-join fanout; integer cross-multiplied against a
+    broadcast 1-row count): exact integer dot/norms, membership decided
+    by the cross-multiplied predicate 64*dot^2 >= 49*n2_a*n2_b
+    (cos >= 7/8), cos emitted as the correctly-rounded dot/sqrt/sqrt
+    chain."""
+    from forecaster_spark.operators.dedup import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        read_table(spark, sf_dir, "documents"), df_cap_ppm=900_000, min_shared=2
+    )
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Benchmark decontamination through a 4096-bit bloom filter (two
     bit-mask probes per splitmix64 word-3-shingle hash; the bit array is
@@ -2968,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "demand_class_events": q_demand_class,
         "contamination_flags_documents": q_contamination,
         "bloom_contamination_documents": q_bloom_contamination,
+        "sparse_cosine_pairs_documents": q_sparse_cosine_pairs,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
@@ -4562,6 +4578,37 @@ SELECT source, digit, cnt, n, obs_ppm, exp_ppm, obs_ppm - exp_ppm AS dev_ppm,
 FROM h""",
         "contamination_flags_documents": xhash_sql.contamination_sql(),
         "bloom_contamination_documents": xhash_sql.bloom_contamination_sql(),
+        "sparse_cosine_pairs_documents": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+), dfr AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT count(*) AS nd FROM documents
+), post AS (
+  SELECT tf.doc_id, tf.w, tf.tf
+  FROM tf JOIN dfr USING (w), nd
+  WHERE dfr.df * 1000000 <= nd.nd * 900000
+), nrm AS (
+  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM post GROUP BY 1
+), pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+  FROM post a JOIN post b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), j AS (
+  SELECT pr.id_a, pr.id_b, pr.n_shared, pr.dot,
+         na.n2 AS n2_a, nb.n2 AS n2_b
+  FROM pr JOIN nrm na ON na.doc_id = pr.id_a
+          JOIN nrm nb ON nb.doc_id = pr.id_b
+)
+SELECT id_a, id_b, n_shared, dot, n2_a, n2_b,
+       CAST(dot AS DOUBLE) / sqrt(CAST(n2_a AS DOUBLE)) / sqrt(CAST(n2_b AS DOUBLE)) AS cos
+FROM j WHERE 64 * dot * dot >= 49 * n2_a * n2_b""",
         "split_leakage_documents": xhash_sql.split_leakage_sql(min_shared=3),
         "fingerprint_documents": xhash_sql.fingerprint_sql(),
         # multimodal: the synthetic generator's payload sizes are closed-form

@@ -1067,3 +1067,89 @@ def bloom_contamination(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+def sparse_cosine_pairs(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap_ppm: int = 900_000,
+    min_shared: int = 2,
+    cos_num: int = 7,
+    cos_den: int = 8,
+) -> DataFrame:
+    """Lexical (bag-of-words TF) cosine similarity pairs through an
+    INVERTED INDEX — the sparse-vector complement of the MinHash/SimHash
+    near-dup detectors: exact cosine on term-frequency vectors, not a
+    sketch. Deliberately log-free (no idf — engines' ``log`` is banned by
+    the exactness discipline); rare-term emphasis comes from DF-PRUNING:
+    words appearing in more than ``df_cap_ppm``-millionths of the corpus
+    are dropped from every vector BEFORE pairing (the cap is
+    corpus-RELATIVE — ``df·10⁶ ≤ N·ppm`` as an integer cross-multiplied
+    predicate joined against a broadcast one-row count, so the same query
+    is meaningful at every SF) — the standard stop-token cut that also
+    caps the postings self-join fanout per word, the
+    difference between a shuffle and a meltdown at 10^12 docs (a stopword
+    posting list would otherwise pair every document with every other).
+
+    Exactness: tf are integer counts; ``dot = Σ tf_a·tf_b`` and the
+    norms ``n2 = Σ tf²`` are BIGINTs; the similarity THRESHOLD is the
+    cross-multiplied integer predicate ``den²·dot² ≥ num²·n2_a·n2_b``
+    (cos ≥ num/den, dot ≥ 0) — no float ever decides membership — and the
+    emitted ``cos`` is the fixed chain dot/sqrt(n2_a)/sqrt(n2_b) of
+    correctly-rounded IEEE ops (the spearman recipe). Bound: dot² ≤
+    n2_a·n2_b (Cauchy-Schwarz), n2 ≤ len·max_tf² — far inside BIGINT.
+
+    Plan: explode → (doc, word) tf hash-agg → df hash-agg + broadcast the
+    pruning set? No: df-pruning is a WHERE on a windowless second
+    aggregate (count over word), then the postings SELF-JOIN on word with
+    doc_a < doc_b → one (pair) hash-agg; norms ride the postings table.
+    Output: (id_a, id_b, n_shared, dot, n2_a, n2_b, cos).
+    """
+    words = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    tf = words.groupBy("_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = corpus.agg(F.count(F.lit(1)).alias("nd"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .where(F.col("df") * 1_000_000 <= F.col("nd") * df_cap_ppm)
+        .select("w")
+    )
+    postings = tf.join(kept, "w")
+    norms = postings.groupBy("_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
+    )
+    a = postings.select(F.col("w"), F.col("_id").alias("id_a"), F.col("tf").alias("tfa"))
+    b = postings.select(F.col("w").alias("wb"), F.col("_id").alias("id_b"), F.col("tf").alias("tfb"))
+    pairs = (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("tfa") * F.col("tfb")).cast("long").alias("dot"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("n2").alias("n2_b"))
+    out = pairs.join(na, "id_a").join(nb, "id_b")
+    keep = (
+        F.lit(cos_den * cos_den) * F.col("dot") * F.col("dot")
+        >= F.lit(cos_num * cos_num) * F.col("n2_a") * F.col("n2_b")
+    )
+    return out.where(keep).select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "dot",
+        "n2_a",
+        "n2_b",
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n2_a").cast("double"))
+            / F.sqrt(F.col("n2_b").cast("double"))
+        ).alias("cos"),
+    )

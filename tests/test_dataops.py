@@ -861,3 +861,31 @@ def test_bloom_contamination_superset_and_false_positive(spark):
     wide = bloom_contamination(docs, bench, k=3, m_bits=1 << 17)
     flagged_w = {r.doc_id for r in wide.where("flagged").collect()}
     assert exact <= flagged_w and len(flagged_w - exact) < len(fps)
+
+
+def test_sparse_cosine_pairs_handcrafted(spark):
+    """Handcrafted corpus: 'the' appears in every doc (pruned by the 90%
+    relative cap), remaining TF vectors have known exact cosines; the 7/8
+    integer threshold keeps only the near-identical pair."""
+    import math
+
+    from forecaster_spark.operators.dedup import sparse_cosine_pairs
+
+    docs = [
+        (1, "the alpha alpha beta"),        # vec {alpha:2, beta:1}
+        (2, "the alpha alpha beta beta"),   # vec {alpha:2, beta:2}
+        (3, "the alpha gamma"),             # vec {alpha:1, gamma:1}
+        (4, "the delta delta delta"),       # vec {delta:3} — shares nothing
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in sparse_cosine_pairs(df).collect()}
+    # cos(1,2) = (4+2)/sqrt(5)/sqrt(8) = 0.9486 >= 7/8 — kept
+    r = out[(1, 2)]
+    assert (r["n_shared"], r["dot"], r["n2_a"], r["n2_b"]) == (2, 6, 5, 8)
+    assert r["cos"] == 6.0 / math.sqrt(5.0) / math.sqrt(8.0)
+    # cos(1,3) = 2/sqrt(5)/sqrt(2) = 0.63 < 7/8 and n_shared=1 — dropped
+    assert (1, 3) not in out and (2, 3) not in out
+    assert all(4 not in k for k in out)
+    # 'the' (df=4 of 4 docs > 90%) must not contribute: without pruning
+    # cos(1,4) would be nonzero via 'the'
+    assert len(out) == 1

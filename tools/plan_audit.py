@@ -52,6 +52,8 @@ BNLJ_OK = {
     # audited 2026-08-19:
     "friedman_events_1h": "two 1-row broadcasts: global distinct-source count k (completeness filter) and the global sum(R2^2) for chi2",
     "kruskal_wallis_events": "1-row global (n_total, tie_cubes) broadcast onto the per-source rank sums",
+    # audited 2026-08-20:
+    "dtw_pairs_events_1h": "pair generation over the per-SOURCE array table (one row per series, series-count-bounded like spearman/pearson pair queries) — the a.source < b.source inequality join is the operator's documented semantics; the DP runs downstream in the kernel",
 }
 COUNTED = (
     ("exch", r"\bExchange\b"),
