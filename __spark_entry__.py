@@ -2897,6 +2897,19 @@ def q_shesd_outliers(spark, sf_dir):
     return shesd_outliers(_hourly_int_series(spark, sf_dir), rounds=3)
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption mask layout (Raffel et al. 2020): deterministic
+    stratified placement of length-3 denoising spans covering ~15% of
+    each doc's tokens — k strata, span i at lo_i + splitmix(doc_id, i)
+    mod headroom; row-local codegen + one Arrow splitmix kernel, zero
+    shuffles; replayed exactly by the HUGEINT splitmix chain."""
+    from forecaster_spark.operators.packing import span_corruption_layout
+
+    return span_corruption_layout(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tok", "n_spans", "span_i", "start", "length"
+    )
+
+
 def q_sparse_cosine_pairs(spark, sf_dir):
     """Lexical TF-cosine similarity pairs through an inverted index with
     corpus-relative df-pruning (df <= 90% of N drops stop-tokens AND caps
@@ -2984,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags_documents": q_contamination,
         "bloom_contamination_documents": q_bloom_contamination,
         "sparse_cosine_pairs_documents": q_sparse_cosine_pairs,
+        "span_corruption_documents": q_span_corruption,
         "fingerprint_documents": q_fingerprint,
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
@@ -4578,6 +4592,7 @@ SELECT source, digit, cnt, n, obs_ppm, exp_ppm, obs_ppm - exp_ppm AS dev_ppm,
 FROM h""",
         "contamination_flags_documents": xhash_sql.contamination_sql(),
         "bloom_contamination_documents": xhash_sql.bloom_contamination_sql(),
+        "span_corruption_documents": xhash_sql.span_corruption_sql(),
         "sparse_cosine_pairs_documents": """
 WITH w AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w

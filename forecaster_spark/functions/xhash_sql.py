@@ -678,3 +678,42 @@ SELECT d.doc_id,
        coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS flagged
 FROM ({doc_source_sql}) d LEFT JOIN hits h USING (doc_id)"""
+
+
+def span_corruption_sql(
+    span_len: int = 3,
+    rate_pct: int = 15,
+    seed: int = 9,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``packing.span_corruption_layout``: replay the stratified
+    span placement — k = max(1, n·rate div (100·L)) strata, span i at
+    ``lo_i + splitmix64(doc_id·1000003 + i·(2·seed+1)) mod (L_i − L + 1)``
+    — through the HUGEINT splitmix chain."""
+    mult = 2 * seed + 1
+    denom = 100 * span_len
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+  FROM ({doc_source_sql}) WHERE text IS NOT NULL
+), k AS (
+  SELECT doc_id, n_tok,
+         CAST(greatest(1, (n_tok * {rate_pct}) // {denom}) AS BIGINT) AS n_spans
+  FROM d WHERE n_tok >= {span_len}
+), e AS (
+  SELECT doc_id, n_tok, n_spans, unnest(range(n_spans)) AS span_i FROM k
+), wv AS (
+  SELECT doc_id, n_tok, n_spans, span_i,
+         (span_i * n_tok) // n_spans AS lo,
+         ((span_i + 1) * n_tok) // n_spans
+           - (span_i * n_tok) // n_spans - {span_len - 1} AS wd,
+         CAST((doc_id * 1000003 + span_i * {mult}) % {W} AS HUGEINT) AS x0
+  FROM e
+), hh AS (
+  SELECT doc_id, n_tok, n_spans, span_i, lo, wd, {splitmix_cols("x0", "h")} FROM wv
+)
+SELECT doc_id, n_tok, n_spans, CAST(span_i AS BIGINT) AS span_i,
+       CAST(lo + h % wd AS BIGINT) AS start,
+       CAST({span_len} AS BIGINT) AS length
+FROM hh"""

@@ -23,11 +23,13 @@ The reference has no packing (engine-added operator, SURVEY.md §2.8).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from forecaster_spark.functions import xhash
 from forecaster_spark.operators.textops import BPE_ISH
 
 
@@ -220,4 +222,77 @@ def packing_waste(df: DataFrame, seq_len: int = 512, text_col: str = "text") -> 
             F.col("n_seqs") > 0,
             F.col("pad_tokens").cast("double") / (F.col("n_seqs") * F.lit(seq_len)).cast("double"),
         ).alias("pad_rate"),
+    )
+
+
+def span_corruption_layout(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 3,
+    rate_pct: int = 15,
+    seed: int = 9,
+) -> DataFrame:
+    """T5-style span-corruption MASK LAYOUT (Raffel et al. 2020 §3.1.4:
+    corrupt ~15% of tokens as mean-length-3 spans replaced by sentinels):
+    decide WHICH token positions each document masks — deterministically,
+    so the layout is reproducible across runs/engines and the denoising
+    targets can be re-derived from (doc_id, span table) alone, no RNG
+    state to ship.
+
+    Placement: ``k = max(1, n·rate div (100·L))`` spans; the doc is cut
+    into k equal strata ``[i·n div k, (i+1)·n div k)`` and span i starts
+    at ``stratum_start + splitmix64(doc_id·1000003 + i·(2·seed+1)) mod
+    (L_i − L + 1)`` — non-overlapping BY CONSTRUCTION (one span per
+    stratum; stratum length ≥ 20 ≥ L at the default rate), uniform within
+    the stratum, and a pure integer function of (doc_id, i) the SQL
+    mirror replays through the HUGEINT splitmix chain. Jackknife-stratum
+    placement instead of T5's sequential RNG draw: the sequential draw
+    needs order-dependent rejection (not relational); the stratified form
+    keeps the same corruption budget and span shape.
+
+    Plan: token count + span count are row-local codegen; one explode to
+    (doc, span_i) rows; ONE Arrow kernel vectorizes the splitmix over the
+    exploded stream. No shuffle at all — the layout is embarrassingly
+    row-parallel at any corpus size. Docs with n < span_len emit no rows.
+
+    Output: (id_col, n_tok, n_spans, span_i, start, length) — token
+    positions are 0-based whitespace-token indices.
+    """
+    mult = np.uint64(2 * seed + 1)
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    b = (
+        df.select(F.col(id_col), n_tok.cast("long").alias("n_tok"))
+        .where(F.col("n_tok") >= span_len)
+        .withColumn(
+            "n_spans",
+            F.greatest(
+                F.lit(1), F.expr(f"(n_tok * {rate_pct}) div {100 * span_len}")
+            ).cast("long"),
+        )
+        .withColumn("span_i", F.explode(F.expr("sequence(0, n_spans - 1)")))
+    )
+
+    @F.pandas_udf(T.LongType())
+    def offset_of(ids: pd.Series, span_is: pd.Series, widths: pd.Series) -> pd.Series:
+        u = ids.to_numpy(dtype=np.int64).view(np.uint64)
+        i = span_is.to_numpy(dtype=np.int64).view(np.uint64)
+        h = xhash.splitmix64(u * np.uint64(1000003) + i * mult)
+        w = widths.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series((h % w).view(np.int64))
+
+    s_lo = F.expr("(span_i * n_tok) div n_spans")
+    s_hi = F.expr("((span_i + 1) * n_tok) div n_spans")
+    b = (
+        b.withColumn("_lo", s_lo.cast("long"))
+        .withColumn("_w", (s_hi - s_lo - F.lit(span_len - 1)).cast("long"))
+        .withColumn("start", F.col("_lo") + offset_of(id_col, "span_i", "_w"))
+    )
+    return b.select(
+        id_col,
+        "n_tok",
+        "n_spans",
+        F.col("span_i").cast("long").alias("span_i"),
+        "start",
+        F.lit(span_len).cast("long").alias("length"),
     )

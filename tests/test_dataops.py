@@ -889,3 +889,36 @@ def test_sparse_cosine_pairs_handcrafted(spark):
     # 'the' (df=4 of 4 docs > 90%) must not contribute: without pruning
     # cos(1,4) would be nonzero via 'the'
     assert len(out) == 1
+
+
+def test_span_corruption_layout_invariants(spark):
+    """Layout invariants on the sf0.01 corpus: spans sit inside their
+    strata and the doc, never overlap, hit the 15%/3 budget, and the
+    placement is a pure function of doc_id (rerun identical). A 3-token
+    doc gets exactly one full-width span."""
+    from forecaster_spark.operators.packing import span_corruption_layout
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = span_corruption_layout(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc, "no spans laid out"
+    for did, spans in by_doc.items():
+        spans = sorted(spans, key=lambda r: r["span_i"])
+        n, k = spans[0]["n_tok"], spans[0]["n_spans"]
+        assert len(spans) == k == max(1, n * 15 // 300)
+        prev_end = -1
+        for r in spans:
+            i = r["span_i"]
+            lo, hi = i * n // k, (i + 1) * n // k
+            assert lo <= r["start"] and r["start"] + r["length"] <= hi <= n
+            assert r["start"] > prev_end  # non-overlapping, ordered
+            prev_end = r["start"] + r["length"] - 1
+    # determinism: a second run yields the identical layout
+    again = span_corruption_layout(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # minimal doc
+    tiny = spark.createDataFrame([(77, "a b c")], "doc_id long, text string")
+    t = span_corruption_layout(tiny).collect()
+    assert len(t) == 1 and t[0]["start"] == 0 and t[0]["length"] == 3
