@@ -2070,6 +2070,32 @@ def q_seasonal_naive_qof(spark, sf_dir):
     )
 
 
+def q_freshness_report(spark, sf_dir):
+    """Per-source freshness/staleness monitor: last observation, lag
+    behind the corpus frontier (window max over the tiny source table, no
+    second scan), trailing-24-bucket coverage and missing-hour count —
+    exact integer seconds."""
+    from forecaster_spark.operators.timeweight import freshness_report
+
+    return freshness_report(_ev(spark, sf_dir)).select(
+        "source", "n_events", "last_s", "frontier_s", "staleness_s",
+        "buckets_24h", "missing_24h", "stale"
+    )
+
+
+def q_interarrival_stats(spark, sf_dir):
+    """Per-source inter-arrival gap distribution in exact integer seconds:
+    mean (one division), median/p95 (the certified percentile ==
+    quantile_cont equivalence), max gap — arrival-process diagnostics
+    beside burstiness/heartbeat."""
+    from forecaster_spark.operators.timeweight import interarrival_stats
+
+    return interarrival_stats(_ev(spark, sf_dir)).select(
+        "source", "n_gaps", "sum_gap_s", "mean_gap_s",
+        "median_gap_s", "p95_gap_s", "max_gap_s"
+    )
+
+
 def q_ensemble_qof(spark, sf_dir):
     """Equal-weight forecast combination (Bates-Granger): mean of
     persistence / MA(3) / seasonal-naive one-step baselines scored vs
@@ -3127,6 +3153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shesd_outliers_events_1h": q_shesd_outliers,
         "segmented_trend_events_1h": q_segmented_trend,
         "ensemble_qof_events_1h": q_ensemble_qof,
+        "freshness_report_events": q_freshness_report,
+        "interarrival_stats_events": q_interarrival_stats,
         "isotonic_fit_events_1h": q_isotonic_fit,
         "dtw_pairs_events_1h": q_dtw_pairs,
         "friedman_events_1h": q_friedman,
@@ -5077,6 +5105,48 @@ SELECT source, CAST(pattern_id AS BIGINT) AS pattern_id, CAST(cnt AS BIGINT) AS 
        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_windows,
        CAST((1000000 * cnt) // (sum(cnt) OVER (PARTITION BY source)) AS BIGINT) AS share_ppm
 FROM c""",
+        "freshness_report_events": """
+WITH tier AS (
+  SELECT event_type AS source,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b,
+         count(*) AS n,
+         CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS last_in_b
+  FROM events GROUP BY 1, 2
+), ps AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_events,
+         max(last_in_b) AS last_s, max(b) AS last_b
+  FROM tier GROUP BY 1
+), g AS (
+  SELECT *, max(last_s) OVER () AS frontier_s, max(last_b) OVER () AS front_b
+  FROM ps
+), cov AS (
+  SELECT t.source, count(*) AS buckets_24h
+  FROM tier t JOIN g ON g.source = t.source
+  WHERE t.b > g.front_b - 24 AND t.b <= g.front_b
+  GROUP BY 1
+)
+SELECT g.source, g.n_events, g.last_s, g.frontier_s,
+       CAST(g.frontier_s - g.last_s AS BIGINT) AS staleness_s,
+       CAST(coalesce(c.buckets_24h, 0) AS BIGINT) AS buckets_24h,
+       CAST(24 - coalesce(c.buckets_24h, 0) AS BIGINT) AS missing_24h,
+       (g.frontier_s - g.last_s) > 3600 AS stale
+FROM g LEFT JOIN cov c USING (source)""",
+        "interarrival_stats_events": """
+WITH e AS (
+  SELECT event_type AS source, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events
+), gp AS (
+  SELECT source, s - prev AS gap FROM e WHERE prev IS NOT NULL
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+       CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_gap_s,
+       quantile_cont(gap, 0.5) AS median_gap_s,
+       quantile_cont(gap, 0.95) AS p95_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_s
+FROM gp GROUP BY source""",
         "ensemble_qof_events_1h": """
 WITH mb AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,

@@ -2147,3 +2147,108 @@ def isotonic_fit(
         return pd.DataFrame(out, columns=cols)
 
     return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def freshness_report(
+    df: DataFrame,
+    partition: str = "source",
+    ts: str = "ts",
+    bucket_s: int = 3600,
+    trailing: int = 24,
+) -> DataFrame:
+    """Per-source data-freshness / staleness report — the ingestion
+    monitor every tiered pipeline runs between refreshes (TimescaleDB's
+    continuous-aggregate lag diagnostics; Prometheus ``time() - max(ts)``
+    staleness): last observation, lag behind the corpus frontier, and
+    trailing-window bucket coverage (which sources silently stopped
+    reporting some hours?).
+
+    Exactness: all times are ``floor(epoch(ts))`` integer seconds (the
+    sessionize recipe); the frontier is a window MAX over the per-source
+    aggregate table (5-10^5 rows — no second raw scan, no scalar-join
+    BNLJ); trailing coverage counts DISTINCT buckets of the tier table
+    inside ``(frontier_bucket - trailing, frontier_bucket]``.
+
+    Plan: one shuffle to the (source, bucket) tier, one hash re-aggregate
+    to sources, one whole-table window on the tiny source table. Output:
+    (partition, n_events, last_s, frontier_s, staleness_s, buckets_24h,
+    missing_24h, stale) — stale fires when staleness exceeds one bucket.
+    """
+    eb = F.unix_timestamp(F.col(ts).cast("timestamp")).cast("long")
+    tier = df.groupBy(
+        F.col(partition).alias("source"),
+        F.expr(
+            f"CAST(unix_timestamp(CAST({ts} AS TIMESTAMP)) AS BIGINT) div {bucket_s}"
+        ).alias("_b"),
+    ).agg(F.count(F.lit(1)).alias("_n"), F.max(eb).alias("_last"))
+    per_src = tier.groupBy("source").agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        F.max("_last").alias("last_s"),
+        F.max("_b").alias("_last_b"),
+    )
+    w = Window.partitionBy()
+    per_src = per_src.withColumn("frontier_s", F.max("last_s").over(w)).withColumn(
+        "_front_b", F.max("_last_b").over(w)
+    )
+    cov = (
+        tier.join(per_src.select("source", "_front_b"), "source")
+        .where(
+            (F.col("_b") > F.col("_front_b") - trailing)
+            & (F.col("_b") <= F.col("_front_b"))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("buckets_24h"))
+    )
+    return (
+        per_src.join(cov, "source", "left")
+        .select(
+            F.col("source").alias(partition),
+            "n_events",
+            "last_s",
+            "frontier_s",
+            (F.col("frontier_s") - F.col("last_s")).cast("long").alias("staleness_s"),
+            F.coalesce("buckets_24h", F.lit(0)).cast("long").alias("buckets_24h"),
+            (F.lit(trailing) - F.coalesce("buckets_24h", F.lit(0)))
+            .cast("long")
+            .alias("missing_24h"),
+            (F.col("frontier_s") - F.col("last_s") > bucket_s).alias("stale"),
+        )
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    partition: str = "source",
+    ts: str = "ts",
+    order_tb: str = "event_id",
+) -> DataFrame:
+    """Per-source event inter-arrival distribution — arrival-process
+    diagnostics feeding the burstiness/heartbeat monitors: mean / median /
+    p95 / max gap in exact integer seconds. Gaps are differences of
+    ``floor(epoch(ts))`` over the (ts, tie-break) order (CLAUDE.md window
+    invariant); mean is ONE division of exact BIGINTs; median/p95 use the
+    interpolated percentile both engines compute bit-equally on integer
+    inputs (the certified quantiles recipe: Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``).
+
+    Plan: one (source)-shuffle window for the lag + one hash aggregate on
+    the same partitioning. Output: (partition, n_gaps, sum_gap_s,
+    mean_gap_s, median_gap_s, p95_gap_s, max_gap_s).
+    """
+    eb = F.unix_timestamp(F.col(ts).cast("timestamp")).cast("long")
+    w = Window.partitionBy(partition).orderBy(ts, order_tb)
+    b = (
+        df.select(F.col(partition).alias("source"), F.col(ts), F.col(order_tb), eb.alias("_s"))
+        .withColumn("_gap", F.col("_s") - F.lag("_s", 1).over(w))
+        .where(F.col("_gap").isNotNull())
+    )
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("sum_gap_s"),
+        (F.sum("_gap").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_gap_s"
+        ),
+        F.expr("percentile(_gap, 0.5)").alias("median_gap_s"),
+        F.expr("percentile(_gap, 0.95)").alias("p95_gap_s"),
+        F.max("_gap").cast("long").alias("max_gap_s"),
+    )

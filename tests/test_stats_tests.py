@@ -492,3 +492,34 @@ def test_isotonic_fit_minimax_characterization(spark):
         # emitted double is the one correctly-rounded division
         for b in blocks:
             assert b["fit"] == b["sum_v"] / b["m"]
+
+
+def test_freshness_and_interarrival_handcrafted(spark):
+    """Handcrafted two-source feed: source b stops 3 hours before the
+    frontier and skips a mid-window hour — staleness, bucket coverage and
+    gap stats must be the exact integers."""
+    from forecaster_spark.operators.timeweight import freshness_report, interarrival_stats
+
+    t0 = pd.Timestamp("2025-03-01 00:00:00")
+    rows = []
+    eid = 0
+    for h in range(26):  # source a: every hour, frontier owner
+        rows.append(("a", (t0 + pd.Timedelta(hours=h)).to_pydatetime(), 1.0, eid)); eid += 1
+    for h in range(23):  # source b: stops at h=22, skips h=7
+        if h == 7:
+            continue
+        rows.append(("b", (t0 + pd.Timedelta(hours=h)).to_pydatetime(), 1.0, eid)); eid += 1
+    df = spark.createDataFrame(rows, "source string, ts timestamp, y double, event_id long")
+    fr = {r["source"]: r for r in freshness_report(df).collect()}
+    assert fr["a"]["staleness_s"] == 0 and not fr["a"]["stale"]
+    assert fr["b"]["staleness_s"] == 3 * 3600 and fr["b"]["stale"]
+    assert fr["a"]["buckets_24h"] == 24 and fr["a"]["missing_24h"] == 0
+    # b's trailing-24 window (frontier hour 25 back to hour 2) holds hours
+    # 2..22 minus the skipped 7 => 20 buckets
+    assert fr["b"]["buckets_24h"] == 20 and fr["b"]["missing_24h"] == 4
+    ia = {r["source"]: r for r in interarrival_stats(df).collect()}
+    assert ia["a"]["n_gaps"] == 25 and ia["a"]["mean_gap_s"] == 3600.0
+    assert ia["a"]["median_gap_s"] == 3600.0 and ia["a"]["max_gap_s"] == 3600
+    # b: 21 gaps, one of 7200 (the skipped hour)
+    assert ia["b"]["n_gaps"] == 21 and ia["b"]["max_gap_s"] == 7200
+    assert ia["b"]["sum_gap_s"] == 22 * 3600
