@@ -2978,6 +2978,78 @@ def q_trending_tokens(spark, sf_dir):
     ).select("direction", "w", "n_total", "slope_num", "slope")
 
 
+def q_winnowing_fingerprint(spark, sf_dir):
+    """Positional winnowing fingerprint (Schleimer/Wilkerson/Aiken 2003,
+    MOSS): per-window minimum of word-3-shingle hashes, window 4, with the
+    (hash, position)-lexicographic tie rule — any shared ≥6-word run
+    between docs shares a fingerprint entry. One Arrow kernel over the
+    flat shingle stream, sentinel-padded batch-wide argmin; the oracle
+    replays it as min(sh·2^32 + wpos) window frames over the HUGEINT
+    splitmix shingle chain."""
+    from forecaster_spark.operators.textops import winnowing_fingerprint
+
+    return winnowing_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+def q_readability(spark, sf_dir):
+    """Flesch-Kincaid grade + reading ease per document (Kincaid 1975) —
+    the classic corpus-quality band filter. Word/sentence/vowel-group
+    counts are native regexp codegen; both decimal formulas reduce to ONE
+    IEEE division of exact BIGINT polynomials in (W, S, Y), so the doubles
+    match DuckDB bit-for-bit (single-division rule)."""
+    from forecaster_spark.operators.textops import readability
+
+    return readability(read_table(spark, sf_dir, "documents"))
+
+
+def q_ul2_denoiser_mix(spark, sf_dir):
+    """UL2 mixture-of-denoisers mask layout (Tay et al. 2022): each doc
+    hash-assigned R (T5 15%/len-3), X (extreme 30%/len-12) or S
+    (prefix-LM final quarter); stratified splitmix span placement per
+    branch, zero shuffles. The oracle replays denoiser choice AND
+    placement through two HUGEINT splitmix chains."""
+    from forecaster_spark.operators.packing import ul2_denoiser_layout
+
+    return ul2_denoiser_layout(read_table(spark, sf_dir, "documents"))
+
+
+def q_var1_pairs(spark, sf_dir):
+    """Pairwise VAR(1) joint forecast (Sims 1980) on the hourly tier:
+    per unordered series pair, TWO exact-Cramer OLS equations over one
+    shared lag design, then the coupled 3-step recursion from the last
+    jointly-observed point — the multivariate generalization of the ARX
+    exo machinery. Mirrored by generated HUGEINT SQL with per-step
+    lateral aliases."""
+    from forecaster_spark.operators.stats_tests import var1_pairs
+
+    return var1_pairs(_hourly_int_series(spark, sf_dir))
+
+
+def q_pooled_ar_forecast(spark, sf_dir):
+    """GLOBAL pooled AR(2): one exact-Cramer model fit across ALL
+    sources' lag rows (the cross-learning / global-model regime), then
+    per-source recursive forecasts from each series' last two points with
+    the shared coefficients as literal columns. Normal equations are one
+    partial-aggregated 9-sum row (parameter-server collect); determinant
+    in Python ints (HUGEINT scale)."""
+    from forecaster_spark.models.kernels import pooled_ar_forecast
+
+    return pooled_ar_forecast(_hourly_int_series(spark, sf_dir))
+
+
+def q_mixture_allocation(spark, sf_dir):
+    """Training-mixture budget apportionment by largest remainder (Hare
+    quota): split a 10k sample budget across sources ∝ character mass,
+    exactly — Σ alloc = budget, every alloc within 1 of its real quota,
+    all-integer arithmetic (the DoReMi/Pile mixture-weights step without
+    float weights)."""
+    from forecaster_spark.operators.sampling import mixture_allocation
+
+    return mixture_allocation(
+        read_table(spark, sf_dir, "documents"), weight_col="n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -3171,6 +3243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_entropy_events_1h": q_sample_entropy,
         "tokenizer_fertility_documents": q_tokenizer_fertility,
         "packing_waste_documents": q_packing_waste,
+        "winnowing_fingerprint_documents": q_winnowing_fingerprint,
+        "readability_documents": q_readability,
+        "ul2_denoiser_mix_documents": q_ul2_denoiser_mix,
+        "var1_pairs_events_1h": q_var1_pairs,
+        "pooled_ar_forecast_events_1h": q_pooled_ar_forecast,
+        "mixture_allocation_documents": q_mixture_allocation,
     }
 
 
@@ -6279,4 +6357,45 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs, sum_tok, n_seqs, pad_tokens,
          CAST(pad_tokens AS DOUBLE) / CAST(n_seqs * 512 AS DOUBLE)
        END AS pad_rate
 FROM ag""",
+        "winnowing_fingerprint_documents": xhash_sql.winnowing_sql(),
+        "ul2_denoiser_mix_documents": xhash_sql.ul2_denoiser_sql(),
+        "var1_pairs_events_1h": exact_sql.var1_pairs_sql(),
+        "pooled_ar_forecast_events_1h": exact_sql.pooled_ar_sql(),
+        "readability_documents": """
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       39*n_words*n_words + 1180*n_syll*n_sents - 1559*n_sents*n_words AS fk_num,
+       100*n_sents*n_words AS fk_den,
+       CAST(39*n_words*n_words + 1180*n_syll*n_sents - 1559*n_sents*n_words AS DOUBLE)
+         / CAST(100*n_sents*n_words AS DOUBLE) AS fk_grade,
+       206835*n_sents*n_words - 1015*n_words*n_words - 84600*n_syll*n_sents AS re_num,
+       1000*n_sents*n_words AS re_den,
+       CAST(206835*n_sents*n_words - 1015*n_words*n_words - 84600*n_syll*n_sents AS DOUBLE)
+         / CAST(1000*n_sents*n_words AS DOUBLE) AS reading_ease
+FROM b""",
+        "mixture_allocation_documents": """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS w_sum FROM documents GROUP BY source
+), t AS (
+  SELECT *, CAST(sum(w_sum) OVER () AS BIGINT) AS tot FROM per
+), q AS (
+  SELECT source, w_sum,
+         (10000 * w_sum) // tot AS base_alloc,
+         (10000 * w_sum) % tot AS rem_num
+  FROM t
+), l AS (
+  SELECT *, CAST(10000 - sum(base_alloc) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY rem_num DESC, source ASC) AS rk
+  FROM q
+)
+SELECT source, w_sum, base_alloc, rem_num,
+       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+FROM l""",
     }

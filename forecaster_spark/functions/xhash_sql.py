@@ -717,3 +717,91 @@ SELECT doc_id, n_tok, n_spans, CAST(span_i AS BIGINT) AS span_i,
        CAST(lo + h % wd AS BIGINT) AS start,
        CAST({span_len} AS BIGINT) AS length
 FROM hh"""
+
+
+def winnowing_sql(
+    k: int = 3,
+    w: int = 4,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``textops.winnowing_fingerprint``: positional word-k-
+    shingle hashes (the :func:`shingle_ctes` combine, wpos kept), then the
+    window minimum over ``w`` consecutive shingles with the
+    (hash, position)-lexicographic tie rule encoded as
+    ``min(sh·2^32 + wpos)`` — a HUGEINT pack the kernel's uint64
+    first-occurrence argmin matches exactly. Valid window starts are
+    wpos ≤ mg−w (one clipped window at 0 when mg < w)."""
+    assert k == 3, "SQL mirror unrolled for k=3"
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+led AS (
+  SELECT doc_id, wpos, h AS h0_, lead(h, 1) OVER wnd AS h1_, lead(h, 2) OVER wnd AS h2_,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM wh WINDOW wnd AS (PARTITION BY doc_id ORDER BY wpos)
+), g AS (
+  SELECT doc_id, wpos,
+         (h0_ + {umul_c("h1_", C)} + {umul_c("h2_", (C * C) % W)}) % {W} AS g0
+  FROM led WHERE m >= 3 AND h2_ IS NOT NULL
+), gs AS (
+  SELECT doc_id, wpos, {splitmix_cols("g0", "sh")} FROM g
+), winmin AS (
+  SELECT doc_id, wpos,
+         min(sh * 4294967296 + wpos) OVER (PARTITION BY doc_id ORDER BY wpos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS key,
+         count(*) OVER (PARTITION BY doc_id) AS mg
+  FROM gs
+)
+SELECT DISTINCT doc_id, CAST(key % 4294967296 AS BIGINT) AS pos,
+       {to_int64("key // 4294967296")} AS h
+FROM winmin
+WHERE wpos <= CASE WHEN mg >= {w} THEN mg - {w} ELSE 0 END"""
+
+
+def ul2_denoiser_sql(
+    seed: int = 11,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``packing.ul2_denoiser_layout``: replay the denoiser
+    assignment ``splitmix64(doc_id·2654435761 + 101) mod 3`` and the
+    per-denoiser stratified placement through HUGEINT splitmix chains
+    (R: L=3 rate 15%; X: L=12 rate 30%; S: one final-quarter span with
+    window width 1 so the offset chain contributes 0)."""
+    mult = 2 * seed + 1
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 101) % {W} AS HUGEINT) AS dx0
+  FROM ({doc_source_sql}) WHERE text IS NOT NULL
+), dh AS (
+  SELECT doc_id, n_tok, {splitmix_cols("dx0", "dhv")} FROM d0
+), dd AS (
+  SELECT doc_id, n_tok, CAST(dhv % 3 AS BIGINT) AS d FROM dh
+), el AS (
+  SELECT doc_id, n_tok, d,
+         CASE WHEN d = 0 THEN greatest(1, (n_tok * 15) // 300)
+              WHEN d = 1 THEN greatest(1, n_tok // 40)
+              ELSE 1 END AS n_spans,
+         CASE WHEN d = 0 THEN 3 WHEN d = 1 THEN 12 ELSE n_tok // 4 END AS len_
+  FROM dd
+  WHERE (d = 0 AND n_tok >= 3) OR (d = 1 AND n_tok >= 12) OR (d = 2 AND n_tok >= 4)
+), e AS (
+  SELECT doc_id, n_tok, d, n_spans, len_, unnest(range(n_spans)) AS span_i FROM el
+), wv AS (
+  SELECT doc_id, n_tok, d, n_spans, len_, span_i,
+         CASE WHEN d = 2 THEN n_tok - len_
+              ELSE (span_i * n_tok) // n_spans END AS lo,
+         CASE WHEN d = 2 THEN 1
+              ELSE ((span_i + 1) * n_tok) // n_spans
+                   - (span_i * n_tok) // n_spans - (len_ - 1) END AS wd,
+         CAST((doc_id * 1000003 + span_i * {mult}) % {W} AS HUGEINT) AS x0
+  FROM e
+), hh AS (
+  SELECT doc_id, n_tok, d, n_spans, len_, span_i, lo, wd, {splitmix_cols("x0", "h")} FROM wv
+)
+SELECT doc_id,
+       CASE WHEN d = 0 THEN 'R' WHEN d = 1 THEN 'X' ELSE 'S' END AS denoiser,
+       n_tok, CAST(n_spans AS BIGINT) AS n_spans, CAST(span_i AS BIGINT) AS span_i,
+       CAST(lo + h % wd AS BIGINT) AS start,
+       CAST(len_ AS BIGINT) AS length
+FROM hh"""

@@ -878,3 +878,150 @@ SELECT source, n, rss1_q, rss2_q, rss3_q, f21, f32,
             WHEN f32 IS NULL THEN NULL
             WHEN f32 > {f_crit} THEN 3 ELSE 2 END AS selected_p
 FROM fs"""
+
+
+def var1_pairs_sql(hh: int = 3) -> str:
+    """Oracle for ``stats_tests.var1_pairs``: hourly integer tier,
+    unordered pair join on the bucket, one set of HUGEINT normal-equation
+    sums feeding TWO 3×3 Cramer solves (shared design matrix), the same
+    singular intercept-only fallback, then the coupled ``hh``-step
+    recursion as fixed left-assoc double chains from the last
+    jointly-observed point — each forecast step one pair of lateral
+    aliases so both equations read the PREVIOUS step's values."""
+    A = [["n", "sa1", "sb1"], ["sa1", "saa", "sab"], ["sb1", "sab", "sbb"]]
+    items = [f"{_det3(A)} AS d3"]
+    for tag, cv in (("a", ["sya", "tya_a", "tya_b"]), ("b", ["syb", "tyb_a", "tyb_b"])):
+        for j in range(3):
+            Aj = [[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
+            items.append(f"{_det3(Aj)} AS n{tag}{j}")
+    det_items = ", ".join(items)
+    rec_ctes = []
+    prev_x, prev_y = "la", "lb"
+    for h in range(1, hh + 1):
+        src = "cf0" if h == 1 else f"r{h-1}"
+        rec_ctes.append(
+            f"r{h} AS (SELECT *, (ca0 + {prev_x} * ca1) + {prev_y} * ca2 AS xh{h},"
+            f" (cb0 + {prev_x} * cb1) + {prev_y} * cb2 AS yh{h} FROM {src})"
+        )
+        prev_x, prev_y = f"xh{h}", f"yh{h}"
+    rec_sql = ", ".join(rec_ctes)
+    case_x = " ".join(f"WHEN {h} THEN xh{h}" for h in range(1, hh + 1))
+    case_y = " ".join(f"WHEN {h} THEN yh{h}" for h in range(1, hh + 1))
+    return f"""
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), pr AS (
+  SELECT a.source AS sa, c.source AS sb, a.b AS b, a.v AS va, c.v AS vb
+  FROM o a JOIN o c ON c.b = a.b AND a.source < c.source
+), lg AS (
+  SELECT sa, sb, b, va, vb,
+         lag(va, 1) OVER w AS la1, lag(vb, 1) OVER w AS lb1
+  FROM pr WINDOW w AS (PARTITION BY sa, sb ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE la1 IS NOT NULL AND lb1 IS NOT NULL
+), sums AS (
+  SELECT sa, sb, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(la1) AS HUGEINT) AS sa1, CAST(sum(lb1) AS HUGEINT) AS sb1,
+         CAST(sum(la1*la1) AS HUGEINT) AS saa, CAST(sum(la1*lb1) AS HUGEINT) AS sab,
+         CAST(sum(lb1*lb1) AS HUGEINT) AS sbb,
+         CAST(sum(va) AS HUGEINT) AS sya,
+         CAST(sum(va*la1) AS HUGEINT) AS tya_a, CAST(sum(va*lb1) AS HUGEINT) AS tya_b,
+         CAST(sum(vb) AS HUGEINT) AS syb,
+         CAST(sum(vb*la1) AS HUGEINT) AS tyb_a, CAST(sum(vb*lb1) AS HUGEINT) AS tyb_b
+  FROM e GROUP BY 1, 2
+), par AS (
+  SELECT sa, sb, n, sya, syb, {det_items} FROM sums
+), lastb AS (
+  SELECT sa, sb, max(b) AS mb FROM pr GROUP BY 1, 2
+), lv AS (
+  SELECT pr.sa, pr.sb, CAST(pr.va AS DOUBLE) AS la, CAST(pr.vb AS DOUBLE) AS lb
+  FROM pr JOIN lastb ON lastb.sa = pr.sa AND lastb.sb = pr.sb AND pr.b = lastb.mb
+), cf AS (
+  SELECT sa, sb, n,
+         CASE WHEN d3 = 0 THEN CAST(sya AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE CAST(na0 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS ca0,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(na1 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS ca1,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(na2 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS ca2,
+         CASE WHEN d3 = 0 THEN CAST(syb AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE CAST(nb0 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS cb0,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(nb1 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS cb1,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(nb2 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS cb2
+  FROM par WHERE n >= 4
+), cf0 AS (
+  SELECT cf.*, lv.la, lv.lb FROM cf JOIN lv ON lv.sa = cf.sa AND lv.sb = cf.sb
+), {rec_sql}, hs AS (SELECT unnest(range(1, {hh + 1})) AS h)
+SELECT r.sa, r.sb, CAST(r.n AS BIGINT) AS n, CAST(hs.h AS BIGINT) AS h,
+       CASE hs.h {case_x} END AS a_hat,
+       CASE hs.h {case_y} END AS b_hat
+FROM r{hh} r CROSS JOIN hs"""
+
+
+def pooled_ar_sql(hh: int = 4) -> str:
+    """Oracle for ``kernels.pooled_ar_forecast``: the hourly integer tier,
+    per-source lag-2 rows pooled into ONE HUGEINT normal-equation system
+    (no GROUP BY — the pooled sums), a single 3×3 Cramer solve with the
+    intercept-only singular fallback, then the per-source recursive
+    forecast from each series' last two points as fixed left-assoc double
+    chains (cf0 is one row, cross-joined to every source's last pair)."""
+    A = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    cv = ["sy", "sy1", "sy2"]
+    items = [f"{_det3(A)} AS d3"]
+    for j in range(3):
+        Aj = [[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
+        items.append(f"{_det3(Aj)} AS nf{j}")
+    det_items = ", ".join(items)
+    rec, px, p2 = [], "y1", "y2"
+    for h in range(1, hh + 1):
+        src = "j0" if h == 1 else f"r{h-1}"
+        rec.append(f"r{h} AS (SELECT *, (b0 + {px} * b1) + {p2} * b2 AS xh{h} FROM {src})")
+        p2, px = px, f"xh{h}"
+    rec_sql = ", ".join(rec)
+    case_x = " ".join(f"WHEN {h} THEN xh{h}" for h in range(1, hh + 1))
+    return f"""
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), lg AS (
+  SELECT source, v, lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2
+  FROM o WINDOW w AS (PARTITION BY source ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE l2 IS NOT NULL
+), sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1) AS HUGEINT) AS s1, CAST(sum(l2) AS HUGEINT) AS s2,
+         CAST(sum(l1*l1) AS HUGEINT) AS s11, CAST(sum(l1*l2) AS HUGEINT) AS s12,
+         CAST(sum(l2*l2) AS HUGEINT) AS s22,
+         CAST(sum(v) AS HUGEINT) AS sy,
+         CAST(sum(v*l1) AS HUGEINT) AS sy1, CAST(sum(v*l2) AS HUGEINT) AS sy2
+  FROM e
+), par AS (
+  SELECT n, sy, {det_items} FROM sums
+), cf AS (
+  SELECT n,
+         CASE WHEN d3 = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE CAST(nf0 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b0,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(nf1 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b1,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(nf2 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b2
+  FROM par
+), rn AS (
+  SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY b DESC) AS r FROM o
+), lastv AS (
+  SELECT source,
+         CAST(max(CASE WHEN r = 1 THEN v END) AS DOUBLE) AS y1,
+         CAST(max(CASE WHEN r = 2 THEN v END) AS DOUBLE) AS y2,
+         count(*) AS c
+  FROM rn WHERE r <= 2 GROUP BY source HAVING count(*) = 2
+), j0 AS (
+  SELECT lastv.source, lastv.y1, lastv.y2, cf.n, cf.b0, cf.b1, cf.b2
+  FROM lastv CROSS JOIN cf
+), {rec_sql}, hs AS (SELECT unnest(range(1, {hh + 1})) AS h)
+SELECT r.source, CAST(r.n AS BIGINT) AS n_pool, CAST(hs.h AS BIGINT) AS h,
+       CASE hs.h {case_x} END AS y_hat
+FROM r{hh} r CROSS JOIN hs"""

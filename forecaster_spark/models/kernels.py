@@ -235,3 +235,103 @@ def feature_topk(
     return df.groupBy(partition).applyInPandas(
         kernel, schema=f"{partition} string, feature string, score double, rank int"
     )
+
+
+def pooled_ar_forecast(
+    df: DataFrame,
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    hh: int = 4,
+) -> DataFrame:
+    """GLOBAL pooled AR(2) forecast — one model fit across ALL series, then
+    a per-series recursive forecast from each series' last two points (the
+    cross-learning / global-model regime of N-BEATS & DeepAR fame, reduced
+    to its exact-OLS core: where the per-source ARX family fits |sources|
+    independent models, this pools every series' (y_t ~ [1, y_{t-1},
+    y_{t-2}]) row into ONE normal-equation system).
+
+    Exactness: integer tier values → the pooled normal equations are exact
+    BIGINT sums (map-side partials, one tiny global aggregate), the 3×3
+    Cramer solve runs driver-side in Python ints (the determinant exceeds
+    int64 at pooled scale — HUGEINT territory), each coefficient divided
+    ONCE through the DuckDB HUGEINT→DOUBLE cast mimic; the h-step
+    recursion is the fixed left-assoc chain ``(b0 + prev·b1) + prev2·b2``
+    written with LITERAL coefficients into row-local column expressions.
+
+    Plan shape (100-TB lens): lag windows per source (one shuffle on
+    source — already the tier's layout), partial aggregation down to ONE
+    9-sum row collected driver-side (parameter-server style, like the IVF
+    centroids), coefficients re-enter the plan as literals — no second
+    shuffle; the per-source forecast reads only each source's last 2 rows.
+
+    Output: (source, n_pool, h, y_hat) — hh rows per source with ≥ 2
+    points; sources contribute to the fit only rows where both lags exist.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    t = df.select(F.col(partition), F.col(order).alias("_b"), F.col(y).cast("long").alias("_v"))
+    w = Window.partitionBy(partition).orderBy("_b")
+    lg = (
+        t.withColumn("_l1", F.lag("_v", 1).over(w))
+        .withColumn("_l2", F.lag("_v", 2).over(w))
+        .where(F.col("_l2").isNotNull())
+    )
+    s = lg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_l1").alias("s1"),
+        F.sum("_l2").alias("s2"),
+        F.sum(F.col("_l1") * F.col("_l1")).alias("s11"),
+        F.sum(F.col("_l1") * F.col("_l2")).alias("s12"),
+        F.sum(F.col("_l2") * F.col("_l2")).alias("s22"),
+        F.sum("_v").alias("sy"),
+        F.sum(F.col("_v") * F.col("_l1")).alias("sy1"),
+        F.sum(F.col("_v") * F.col("_l2")).alias("sy2"),
+    ).collect()[0]
+    n, s1, s2 = int(s["n"]), int(s["s1"]), int(s["s2"])
+    s11, s12, s22 = int(s["s11"]), int(s["s12"]), int(s["s22"])
+    sy, sy1, sy2 = int(s["sy"]), int(s["sy1"]), int(s["sy2"])
+
+    def det3(m):
+        (a_, b_, c_), (d_, e_, f_), (g_, h_, i_) = m
+        return a_ * (e_ * i_ - f_ * h_) - b_ * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e_ * g_)
+
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    cv = [sy, sy1, sy2]
+    d3 = det3(A)
+    if d3 == 0:
+        b0, b1, b2 = h2d(sy) / h2d(n), 0.0, 0.0
+    else:
+        num = [
+            det3([[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)])
+            for j in range(3)
+        ]
+        b0, b1, b2 = h2d(num[0]) / h2d(d3), h2d(num[1]) / h2d(d3), h2d(num[2]) / h2d(d3)
+
+    wd = Window.partitionBy(partition).orderBy(F.col("_b").desc())
+    lastv = (
+        t.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") <= 2)
+        .groupBy(partition)
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("_v"))).cast("double").alias("_y1"),
+            F.max(F.when(F.col("_rn") == 2, F.col("_v"))).cast("double").alias("_y2"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .where(F.col("_c") == 2)
+    )
+    prev, prev2 = F.col("_y1"), F.col("_y2")
+    hcols = []
+    for h in range(1, hh + 1):
+        cur = (F.lit(b0) + prev * F.lit(b1)) + prev2 * F.lit(b2)
+        hcols.append(cur.alias(f"_h{h}"))
+        prev, prev2 = cur, prev
+    stacked = ", ".join(f"{h}L, _h{h}" for h in range(1, hh + 1))
+    return (
+        lastv.select(partition, *hcols)
+        .selectExpr(partition, f"stack({hh}, {stacked}) AS (h, y_hat)")
+        .select(partition, F.lit(n).alias("n_pool"), "h", "y_hat")
+    )

@@ -296,3 +296,97 @@ def span_corruption_layout(
         "start",
         F.lit(span_len).cast("long").alias("length"),
     )
+
+
+def ul2_denoiser_layout(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """UL2 mixture-of-denoisers mask layout (Tay et al. 2022): each
+    document is deterministically assigned one of three denoising
+    objectives by ``splitmix64(doc_id·2654435761 + 101) mod 3`` and gets
+    the matching span layout —
+
+    - **R** (regular): the T5 recipe — length-3 spans, ~15% corruption
+      (k = max(1, n·15 div 300) stratified spans; needs n ≥ 3);
+    - **X** (extreme): length-12 spans, ~30% corruption
+      (k = max(1, n·30 div 1200) = max(1, n div 40); the stratum width is
+      then ≥ 12 by construction for every eligible n ≥ 12);
+    - **S** (sequential / prefix-LM): ONE span covering the final quarter,
+      start = n − n div 4, length = n div 4 (needs n ≥ 4).
+
+    Placement within R/X strata is the :func:`span_corruption_layout`
+    rule — ``lo_i + splitmix64(doc_id·1000003 + i·(2·seed+1)) mod
+    (width_i − L + 1)`` — with its own seed so the two layouts are
+    independent draws. The S branch rides the same kernel with width 1
+    (offset ≡ 0). Docs ineligible for their assigned denoiser emit no
+    rows. Everything is row-local codegen plus two Arrow splitmix
+    kernels; zero shuffles at any corpus size.
+
+    Output: (id_col, denoiser 'R'|'X'|'S', n_tok, n_spans, span_i,
+    start, length).
+    """
+    mult = np.uint64(2 * seed + 1)
+
+    @F.pandas_udf(T.LongType())
+    def denoiser_of(ids: pd.Series) -> pd.Series:
+        u = ids.to_numpy(dtype=np.int64).view(np.uint64)
+        h = xhash.splitmix64(u * np.uint64(2654435761) + np.uint64(101))
+        return pd.Series((h % np.uint64(3)).view(np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def offset_of(ids: pd.Series, span_is: pd.Series, widths: pd.Series) -> pd.Series:
+        u = ids.to_numpy(dtype=np.int64).view(np.uint64)
+        i = span_is.to_numpy(dtype=np.int64).view(np.uint64)
+        h = xhash.splitmix64(u * np.uint64(1000003) + i * mult)
+        w = widths.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series((h % w).view(np.int64))
+
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    d = F.col("_d")
+    b = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), n_tok.cast("long").alias("n_tok"))
+        .withColumn("_d", denoiser_of(id_col))
+        .where(
+            ((d == 0) & (F.col("n_tok") >= 3))
+            | ((d == 1) & (F.col("n_tok") >= 12))
+            | ((d == 2) & (F.col("n_tok") >= 4))
+        )
+        .withColumn(
+            "n_spans",
+            F.when(d == 0, F.greatest(F.lit(1), F.expr("(n_tok * 15) div 300")))
+            .when(d == 1, F.greatest(F.lit(1), F.expr("n_tok div 40")))
+            .otherwise(F.lit(1))
+            .cast("long"),
+        )
+        .withColumn(
+            "_L",
+            F.when(d == 0, F.lit(3))
+            .when(d == 1, F.lit(12))
+            .otherwise(F.expr("n_tok div 4"))
+            .cast("long"),
+        )
+        .withColumn("span_i", F.explode(F.expr("sequence(0, n_spans - 1)")))
+    )
+    s_lo = F.expr("(span_i * n_tok) div n_spans")
+    s_hi = F.expr("((span_i + 1) * n_tok) div n_spans")
+    b = (
+        b.withColumn("_lo", F.when(d == 2, F.col("n_tok") - F.col("_L")).otherwise(s_lo).cast("long"))
+        .withColumn(
+            "_w",
+            F.when(d == 2, F.lit(1)).otherwise(s_hi - s_lo - (F.col("_L") - 1)).cast("long"),
+        )
+        .withColumn("start", F.col("_lo") + offset_of(id_col, "span_i", "_w"))
+    )
+    return b.select(
+        id_col,
+        F.when(d == 0, "R").when(d == 1, "X").otherwise("S").alias("denoiser"),
+        "n_tok",
+        "n_spans",
+        F.col("span_i").cast("long").alias("span_i"),
+        "start",
+        F.col("_L").alias("length"),
+    )

@@ -253,3 +253,54 @@ q AS (SELECT {group_col},
       FROM src GROUP BY {group_col})
 SELECT r.{id_col}, r.{group_col}, r.bucket, r.rk, q.quota, r.rk <= q.quota AS kept
 FROM rk r JOIN q USING ({group_col})"""
+
+
+def mixture_allocation(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "n_tok",
+    budget: int = 10_000,
+) -> DataFrame:
+    """Training-mixture budget apportionment by largest remainder (Hare
+    quota — the house-seat algorithm): split an integer sample budget
+    across domains proportionally to their integer token mass, with the
+    rounding residue going to the largest fractional remainders. This is
+    the exact-integer core of "sample each domain proportionally to its
+    weight" (the DoReMi / Pile mixture-weights step): Σ alloc = budget
+    EXACTLY, every alloc within 1 of its real quota, no float weights
+    anywhere.
+
+    Exactness: quota_s = budget·w_s / W_total is carried as the integer
+    pair (base = num div W_total, rem = num mod W_total) — remainders
+    share a denominator, so ranking rem ranks the fractional parts;
+    budget·w must stay under 2^63 (budget 10^4 × 10^14 tokens fits — at
+    larger corpora scale the budget or pre-divide weights).
+
+    Plan shape: one partial-aggregated groupBy to |domains| rows, then
+    unpartitioned window functions over that driver-scale table (domain
+    counts are tens-to-thousands; the single-partition window is on the
+    TINY side, never the corpus). Ties in rem break by group asc —
+    deterministic cross-engine.
+
+    Output: (group_col, w_sum, base_alloc, rem_num, extra, alloc).
+    """
+    per = df.groupBy(group_col).agg(F.sum(weight_col).cast("long").alias("w_sum"))
+    wall = Window.partitionBy()
+    wrank = Window.partitionBy().orderBy(F.col("rem_num").desc(), F.col(group_col).asc())
+    b = F.lit(int(budget))
+    per = (
+        per.withColumn("_tot", F.sum("w_sum").over(wall))
+        .withColumn("base_alloc", F.expr(f"(CAST({int(budget)} AS BIGINT) * w_sum) div _tot"))
+        .withColumn("rem_num", F.expr(f"(CAST({int(budget)} AS BIGINT) * w_sum) % _tot"))
+        .withColumn("_left", b - F.sum("base_alloc").over(wall))
+        .withColumn("_rk", F.row_number().over(wrank))
+        .withColumn("extra", (F.col("_rk") <= F.col("_left")).cast("long"))
+    )
+    return per.select(
+        group_col,
+        "w_sum",
+        "base_alloc",
+        "rem_num",
+        "extra",
+        (F.col("base_alloc") + F.col("extra")).alias("alloc"),
+    )

@@ -2203,3 +2203,113 @@ def segmented_trend(
         return pd.DataFrame(out, columns=cols)
 
     return b.groupBy(partition).applyInPandas(kernel, schema=out_schema)
+
+
+def var1_pairs(
+    df: DataFrame,
+    value: str = "y",
+    partition: str = "source",
+    ts: str = "ts",
+    hh: int = 3,
+) -> DataFrame:
+    """Pairwise VAR(1) vector-autoregression forecast (Sims 1980): for
+    every unordered series pair (A, B) aligned on the time bucket, fit the
+    two-equation system
+
+        a_t = a0 + a1·a_{t-1} + a2·b_{t-1}
+        b_t = b0 + b1·a_{t-1} + b2·b_{t-1}
+
+    by exact per-equation OLS (the design matrix is shared, so two 3×3
+    Cramer solves over ONE set of normal-equation sums), then roll the
+    coupled recursion ``hh`` steps ahead from the last jointly-observed
+    point. This is the multivariate companion of the ARX family: where
+    :func:`granger_pairs` asks whether B's past helps A, VAR(1) uses the
+    full cross-coupling of both pasts to forecast BOTH series — the
+    reference's ARX exo machinery (arx.py exo blocks) generalized to a
+    joint system.
+
+    Exactness (the granger/pacf recipe, CLAUDE.md): integer tier values →
+    exact BIGINT/Python-int normal equations, 3×3 determinants as Python
+    ints divided ONCE through the DuckDB HUGEINT→DOUBLE cast mimic,
+    singular fallback d3=0 → intercept-only [mean, 0, 0]; the h-step
+    recursion is a fixed left-assoc float chain ``(c0 + ah·c1) + bh·c2``
+    replayed verbatim by the SQL mirror (models/exact_sql.py
+    var1_pairs_sql).
+
+    Plan shape (100-TB lens): one tier self-join on the time bucket
+    (|sources|·|buckets| rows, tier-bounded), ONE shuffle on the pair key
+    into a per-pair Arrow kernel; each task is one bounded series pair,
+    pair count scales the parallelism.
+
+    Output: (sa, sb, n, h, a_hat, b_hat) — hh rows per eligible pair.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            T.StructField("sa", part_field.dataType),
+            T.StructField("sb", part_field.dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("a_hat", T.DoubleType()),
+            T.StructField("b_hat", T.DoubleType()),
+        ]
+    )
+    t = df.select(F.col(partition), F.col(ts).alias("_b"), F.col(value).cast("long").alias("_v"))
+    a, c = t.alias("a"), t.alias("c")
+    pr = a.join(
+        c,
+        (F.col("a._b") == F.col("c._b")) & (F.col(f"a.{partition}") < F.col(f"c.{partition}")),
+    ).select(
+        F.col(f"a.{partition}").alias("sa"),
+        F.col(f"c.{partition}").alias("sb"),
+        F.col("a._b").alias("_b"),
+        F.col("a._v").alias("_va"),
+        F.col("c._v").alias("_vb"),
+    )
+
+    def det3(m):
+        (a_, b_, c_), (d_, e_, f_), (g_, h_, i_) = m
+        return a_ * (e_ * i_ - f_ * h_) - b_ * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e_ * g_)
+
+    def solve3(A, cv, n, s_target):
+        d3 = det3(A)
+        if d3 == 0:
+            return h2d(s_target) / h2d(n), 0.0, 0.0
+        num = [
+            det3([[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)])
+            for j in range(3)
+        ]
+        return h2d(num[0]) / h2d(d3), h2d(num[1]) / h2d(d3), h2d(num[2]) / h2d(d3)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b").reset_index(drop=True)
+        av = pdf["_va"].to_numpy()
+        bv = pdf["_vb"].to_numpy()
+        ay, by_, a1, b1 = av[1:], bv[1:], av[:-1], bv[:-1]
+        n = len(ay)
+        cols = [f.name for f in out_schema.fields]
+        if n < 4:
+            return pd.DataFrame(columns=cols)
+        sa1, sb1 = int(a1.sum()), int(b1.sum())
+        saa = int(np.dot(a1, a1))
+        sab = int(np.dot(a1, b1))
+        sbb = int(np.dot(b1, b1))
+        A = [[n, sa1, sb1], [sa1, saa, sab], [sb1, sab, sbb]]
+        sya, tya_a, tya_b = int(ay.sum()), int(np.dot(ay, a1)), int(np.dot(ay, b1))
+        syb, tyb_a, tyb_b = int(by_.sum()), int(np.dot(by_, a1)), int(np.dot(by_, b1))
+        ca0, ca1, ca2 = solve3(A, [sya, tya_a, tya_b], n, sya)
+        cb0, cb1, cb2 = solve3(A, [syb, tyb_a, tyb_b], n, syb)
+        xh, yh = float(av[-1]), float(bv[-1])
+        rows = []
+        for h in range(1, hh + 1):
+            xh, yh = (ca0 + xh * ca1) + yh * ca2, (cb0 + xh * cb1) + yh * cb2
+            rows.append((pdf["sa"].iloc[0], pdf["sb"].iloc[0], n, h, xh, yh))
+        return pd.DataFrame(rows, columns=cols)
+
+    return pr.groupBy("sa", "sb").applyInPandas(kernel, out_schema)

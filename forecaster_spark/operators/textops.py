@@ -813,3 +813,164 @@ def trending_tokens(
     return rising.unionAll(falling).withColumn(
         "slope", F.col("slope_num").cast("double") / F.lit(float(den))
     )
+
+
+def readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flesch-Kincaid grade + Flesch reading-ease per document (Kincaid et
+    al. 1975), the classic readability filters in web-corpus curation
+    (e.g. C4/Gopher-style quality gates keep a grade band).
+
+    Counting conventions, chosen to be cross-engine exact:
+    words      = whitespace tokens of trim(text) (split keep-empty
+                 semantics; all-whitespace text counts 1);
+    sentences  = max(1, number of ``[.!?]+`` runs);
+    syllables  = number of ``[aeiouy]+`` runs in lower(text) — the vowel-
+                 group heuristic applied to the whole text (word
+                 boundaries break runs anyway; vowel-less tokens
+                 contribute 0, no per-word max(1,·) guard).
+
+    Exactness: the published formulas are decimal-coefficient rational
+    functions of (W, S, Y); both metrics reduce to ONE IEEE division of
+    exact BIGINTs —
+      grade·100·S·W = 39·W² + 1180·Y·S − 1559·S·W
+      ease·1000·S·W = 206835·S·W − 1015·W² − 84600·Y·S
+    so `fk_grade = fk_num/fk_den` is correctly rounded on both engines
+    (single-division rule, CLAUDE.md); numerators stay ≪ 2^53 for any
+    real document. All counting is native regexp codegen — no Python, no
+    shuffle, embarrassingly row-parallel at corpus scale.
+
+    Output: (id_col, n_words, n_sents, n_syll, fk_num, fk_den, fk_grade,
+    re_num, re_den, reading_ease).
+    """
+    t = F.col(text_col)
+    W_ = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    S_ = F.greatest(F.lit(1), F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0))).cast("long")
+    Y_ = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)).cast("long")
+    b = (
+        df.where(t.isNotNull())
+        .select(F.col(id_col), W_.alias("n_words"), S_.alias("n_sents"), Y_.alias("n_syll"))
+    )
+    w, s, y = F.col("n_words"), F.col("n_sents"), F.col("n_syll")
+    fk_num = F.lit(39) * w * w + F.lit(1180) * y * s - F.lit(1559) * s * w
+    fk_den = F.lit(100) * s * w
+    re_num = F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * y * s
+    re_den = F.lit(1000) * s * w
+    return b.select(
+        id_col,
+        "n_words",
+        "n_sents",
+        "n_syll",
+        fk_num.alias("fk_num"),
+        fk_den.alias("fk_den"),
+        (fk_num.cast("double") / fk_den.cast("double")).alias("fk_grade"),
+        re_num.alias("re_num"),
+        re_den.alias("re_den"),
+        (re_num.cast("double") / re_den.cast("double")).alias("reading_ease"),
+    )
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Positional winnowing fingerprint (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): slide a window of ``w`` consecutive
+    word-``k``-shingle hashes per document and record the minimum of each
+    window; the distinct selected (position, hash) pairs are the
+    fingerprint. Guarantee: any shared run of ≥ w+k−1 words between two
+    documents shares at least one fingerprint entry — the local-maximality
+    property that bottom-k sketches (:func:`with_fingerprint`) lack.
+
+    Tie rule (cross-engine determinism): each window selects the
+    lexicographically minimal (hash, position) pair — the SQL mirror takes
+    ``min(sh·2^32 + wpos)`` over the window frame, the kernel's
+    ``np.argmin`` first-occurrence over uint64 is the same choice. Docs
+    with < k words emit no rows (winnowing needs ≥ 1 shingle; the
+    short-doc combine path belongs to set sketches, not positional ones).
+
+    Plan shape: split native, then ONE Arrow kernel per batch over the
+    flat shingle-hash stream (same construction as ``word_shingles``),
+    sliding-window argmin vectorized batch-wide by padding row boundaries
+    with 2^64−1 sentinels (a sentinel never beats a real value — argmin's
+    first-occurrence rule breaks the all-ties case toward the real
+    element). Zero shuffles; row-parallel at any corpus size.
+
+    Output: (id_col, pos, h) — pos is the selected shingle's word-start
+    index, h the selected shingle hash as int64.
+    """
+    from forecaster_spark.functions import xhash
+
+    powers = xhash.pow_table(k)
+    pad = w - 1
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids_all = pdf["_id"].to_numpy()
+            rows = pdf["_ws"].to_numpy()
+            nz = [i for i, ws in enumerate(rows) if ws is not None and len(ws) >= k]
+            if not nz:
+                yield pd.DataFrame({"doc_id": [], "pos": [], "h": []}).astype(np.int64)
+                continue
+            ids = ids_all[nz].astype(np.int64)
+            lens = np.fromiter((len(rows[i]) for i in nz), np.int64, count=len(nz))
+            flat_words: list[str] = []
+            for i in nz:
+                flat_words.extend(rows[i])
+            flat = xhash.word_hash_flat(flat_words)
+            # rolling k-gram combine over the flat word-hash stream
+            g = np.zeros(len(flat) - (k - 1), dtype=np.uint64)
+            for j in range(k):
+                g += flat[j : len(flat) - (k - 1) + j] * powers[j]
+            g = xhash.splitmix64(g)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            row_of = np.repeat(np.arange(len(nz), dtype=np.int64), lens)[: len(g)]
+            off = np.arange(len(g), dtype=np.int64) - starts[row_of]
+            valid = off <= (lens[row_of] - k)
+            rowv, gv, offv = row_of[valid], g[valid], off[valid]
+            mg = lens - (k - 1)  # shingles per kept row (all ≥ 1)
+            # sentinel-padded flat stream: row i owns [pstart[i], pstart[i]+mg[i])
+            pstart = np.concatenate(([0], np.cumsum(mg + pad)))[:-1]
+            padded = np.full(int((mg + pad).sum()), np.uint64(0xFFFFFFFFFFFFFFFF))
+            padded[pstart[rowv] + offv] = gv
+            windows = sliding_window_view(padded, w)
+            n_starts = np.where(mg >= w, mg - w + 1, 1)
+            rep = np.repeat(np.arange(len(nz), dtype=np.int64), n_starts)
+            local = np.arange(len(rep), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_starts)))[:-1], n_starts
+            )
+            gstart = pstart[rep] + local
+            am = np.argmin(windows[gstart], axis=1)
+            sel = gstart + am
+            hv = padded[sel]
+            posv = sel - pstart[rep]
+            # distinct (row, pos) — identical pos implies identical hash
+            order = np.lexsort((posv, rep))
+            rep, posv, hv = rep[order], posv[order], hv[order]
+            keep = np.ones(len(rep), bool)
+            keep[1:] = (rep[1:] != rep[:-1]) | (posv[1:] != posv[:-1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[rep[keep]],
+                    "pos": posv[keep],
+                    "h": hv[keep].view(np.int64),
+                }
+            )
+
+    src = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("_ws"),
+    )
+    return src.mapInPandas(gen, out_schema)

@@ -45,6 +45,12 @@ QUERIES = [
     "runs_test_events_1h",
     "pearson_pairs_events_1h",
     "winsorized_mean_events",
+    "winnowing_fingerprint_documents",
+    "readability_documents",
+    "ul2_denoiser_mix_documents",
+    "var1_pairs_events_1h",
+    "pooled_ar_forecast_events_1h",
+    "mixture_allocation_documents",
 ]
 
 
@@ -72,6 +78,8 @@ def synth_dir(spark, tmp_path_factory):
     texts = [" ".join(rng.choice(words, rng.integers(3, 30))) for _ in range(80)]
     texts += ["", "one", "  spaced   out  ", "über über über naïve", texts[0], texts[0] + " tail"]
     docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts, "lang": "en"})
+    docs["source"] = ["s%d" % (i % 4) for i in range(len(texts))]
+    docs["n_chars"] = [len(t) for t in texts]
     docs.to_parquet(f"{root}/documents.parquet")
 
     emb = rng.standard_normal((60, 64)).astype(np.float32)
