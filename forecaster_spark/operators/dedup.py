@@ -1077,6 +1077,8 @@ def sparse_cosine_pairs(
     min_shared: int = 2,
     cos_num: int = 7,
     cos_den: int = 8,
+    dense_vocab_max: int = 4096,
+    dense_block: int = 1024,
 ) -> DataFrame:
     """Lexical (bag-of-words TF) cosine similarity pairs through an
     INVERTED INDEX — the sparse-vector complement of the MinHash/SimHash
@@ -1100,10 +1102,26 @@ def sparse_cosine_pairs(
     correctly-rounded IEEE ops (the spearman recipe). Bound: dot² ≤
     n2_a·n2_b (Cauchy-Schwarz), n2 ≤ len·max_tf² — far inside BIGINT.
 
-    Plan: explode → (doc, word) tf hash-agg → df hash-agg + broadcast the
-    pruning set? No: df-pruning is a WHERE on a windowless second
-    aggregate (count over word), then the postings SELF-JOIN on word with
-    doc_a < doc_b → one (pair) hash-agg; norms ride the postings table.
+    Plan — HYBRID on the pruned vocabulary size (the output is identical
+    either way; the oracle doesn't care which path ran):
+
+    - **large vocab** (> ``dense_vocab_max``, the Zipfian-text regime
+      where df-pruning binds): explode → (doc, word) tf hash-agg → df
+      hash-agg, then the postings SELF-JOIN on word with doc_a < doc_b →
+      one (pair) hash-agg; norms ride the postings table. Join fanout is
+      Σ_w C(df_w, 2), which the df cap keeps linear-ish on real text.
+    - **small vocab** (≤ ``dense_vocab_max``): the inverted index
+      DEGENERATES — with few distinct surviving terms every posting list
+      is a large fraction of the corpus and Σ C(df,2) is Θ(n²) ROWS
+      through a shuffle (measured 116 s at sf0.1 on the 31-word test
+      corpus). Docs are then short dense integer vectors, so the right
+      plan is blocked ALL-PAIRS GEMM: docs → dense tf vectors (one
+      shuffle), blocks of ``dense_block`` docs, one Arrow task per block
+      pair doing integer ``L @ Rᵀ`` for dot/shared-count — the Θ(n²)
+      work stays as in-kernel multiply-adds (thousands per row-pair)
+      instead of shuffled rows, and block-pair count scales the
+      parallelism. Same integer predicate, same float chain.
+
     Output: (id_a, id_b, n_shared, dot, n2_a, n2_b, cos).
     """
     words = corpus.select(
@@ -1118,6 +1136,22 @@ def sparse_cosine_pairs(
         .where(F.col("df") * 1_000_000 <= F.col("nd") * df_cap_ppm)
         .select("w")
     )
+    if dense_vocab_max:
+        probe = kept.limit(dense_vocab_max + 1).collect()
+        if len(probe) <= dense_vocab_max:
+            vocab = sorted(r.w for r in probe)
+            spark = corpus.sparkSession
+            if not vocab:
+                return spark.createDataFrame(
+                    [],
+                    "id_a long, id_b long, n_shared long, dot long, "
+                    "n2_a long, n2_b long, cos double",
+                )
+            postings_d = tf.where(F.col("w").isin(vocab))
+            nd_val = int(corpus.count())
+            return _dense_cosine_pairs(
+                spark, postings_d, vocab, nd_val, min_shared, cos_num, cos_den, dense_block
+            )
     postings = tf.join(kept, "w")
     norms = postings.groupBy("_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
@@ -1153,3 +1187,105 @@ def sparse_cosine_pairs(
             / F.sqrt(F.col("n2_b").cast("double"))
         ).alias("cos"),
     )
+
+
+def _dense_cosine_pairs(
+    spark,
+    postings: DataFrame,
+    vocab: list[str],
+    ndocs: int,
+    min_shared: int,
+    cos_num: int,
+    cos_den: int,
+    dense_block: int,
+) -> DataFrame:
+    """Small-vocab all-pairs cosine as blocked integer GEMM (the dense leg
+    of :func:`sparse_cosine_pairs`): per-doc (word, tf) lists grouped once,
+    docs assigned to ``doc_id mod nb`` blocks, one Arrow task per block
+    pair (ba ≤ bb) computing ``dot = L @ Rᵀ`` and the shared-term count as
+    a 0/1 GEMM — exact int64 throughout, the cosine double emitted as the
+    same dot/sqrt(n2_a)/sqrt(n2_b) chain (divisions ordered by id_a/id_b
+    AFTER pair orientation, so the value is bit-identical to the
+    inverted-index leg and the SQL oracle). Diagonal tasks keep id_a <
+    id_b; off-diagonal tasks orient each pair by id. Each doc ships to
+    2·nb−1 tasks — the Θ(n²) candidate work stays as multiply-adds inside
+    kernels, never as shuffled rows."""
+    widx = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    nb = max(1, -(-int(ndocs) // dense_block))
+    dv = (
+        postings.groupBy("_id")
+        .agg(F.collect_list(F.struct("w", "tf")).alias("wt"))
+        .withColumn("bid", (F.col("_id") % nb).cast("int"))
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(nb) for j in range(i, nb)], "ba int, bb int"
+    )
+    left = dv.join(F.broadcast(bp), F.col("bid") == F.col("ba")).select(
+        "ba", "bb", F.lit(0).alias("side"), "_id", "wt"
+    )
+    right = dv.join(
+        F.broadcast(bp), (F.col("bid") == F.col("bb")) & (F.col("ba") != F.col("bb"))
+    ).select("ba", "bb", F.lit(1).alias("side"), "_id", "wt")
+    out_schema = (
+        "id_a long, id_b long, n_shared long, dot long, n2_a long, n2_b long, cos double"
+    )
+    cols = ["id_a", "id_b", "n_shared", "dot", "n2_a", "n2_b", "cos"]
+    c2, t2 = cos_den * cos_den, cos_num * cos_num
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(key[0]), int(key[1])
+
+        def densify(sub: pd.DataFrame):
+            ids = sub["_id"].to_numpy(dtype=np.int64)
+            M = np.zeros((len(ids), V), dtype=np.int64)
+            for r, lst in enumerate(sub["wt"].to_numpy()):
+                for item in lst:
+                    M[r, widx[item["w"]]] = item["tf"]
+            return ids, M
+
+        lf = pdf[pdf["side"] == 0]
+        idl, Ml = densify(lf)
+        if ba == bb:
+            idr, Mr = idl, Ml
+        else:
+            idr, Mr = densify(pdf[pdf["side"] == 1])
+        if len(idl) == 0 or len(idr) == 0:
+            return pd.DataFrame(columns=cols)
+        dot = Ml @ Mr.T
+        shared = (Ml > 0).astype(np.int64) @ (Mr > 0).astype(np.int64).T
+        n2l = (Ml * Ml).sum(axis=1)
+        n2r = (Mr * Mr).sum(axis=1)
+        cand = shared >= min_shared
+        if ba == bb:
+            cand &= idl[:, None] < idr[None, :]
+        ii, jj = np.nonzero(cand)
+        if len(ii) == 0:
+            return pd.DataFrame(columns=cols)
+        d, sh = dot[ii, jj], shared[ii, jj]
+        a_id, b_id = idl[ii], idr[jj]
+        n2a, n2b = n2l[ii], n2r[jj]
+        swap = a_id > b_id
+        a_id, b_id = np.where(swap, b_id, a_id), np.where(swap, a_id, b_id)
+        n2a, n2b = np.where(swap, n2b, n2a), np.where(swap, n2a, n2b)
+        keep = c2 * d * d >= t2 * n2a * n2b
+        if not keep.any():
+            return pd.DataFrame(columns=cols)
+        d, sh = d[keep], sh[keep]
+        a_id, b_id, n2a, n2b = a_id[keep], b_id[keep], n2a[keep], n2b[keep]
+        cos = d.astype(np.float64) / np.sqrt(n2a.astype(np.float64)) / np.sqrt(
+            n2b.astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "id_a": a_id,
+                "id_b": b_id,
+                "n_shared": sh,
+                "dot": d,
+                "n2_a": n2a,
+                "n2_b": n2b,
+                "cos": cos,
+            }
+        )
+
+    return left.unionAll(right).groupBy("ba", "bb").applyInPandas(kernel, out_schema)

@@ -45,6 +45,7 @@ QUERIES = [
     "runs_test_events_1h",
     "pearson_pairs_events_1h",
     "winsorized_mean_events",
+    "sparse_cosine_pairs_documents",
     "winnowing_fingerprint_documents",
     "readability_documents",
     "ul2_denoiser_mix_documents",
@@ -167,3 +168,28 @@ def test_scaler_quantization_margin(spark):
     assert drift < 1e-10, f"solver drift {drift:.3e} too large for quantized certify"
     assert margin > 1e-6, f"floor boundary margin {margin:.3e} too small"
     assert np.array_equal(np.floor(f), np.floor(b["y_hat"].to_numpy() * 100))
+
+
+def test_sparse_cosine_dense_and_inverted_paths_agree(spark, synth_dir):
+    """The blocked-GEMM dense leg and the inverted-index leg of
+    sparse_cosine_pairs are the same function — force each (vocab cap 0
+    disables the dense probe) and compare bit-for-bit."""
+    from forecaster_spark.operators.dedup import sparse_cosine_pairs
+    from forecaster_spark.sources import read_table
+
+    docs = read_table(spark, synth_dir, "documents")
+    dense = _normalize(
+        sparse_cosine_pairs(docs, df_cap_ppm=900_000, min_shared=2).toPandas()
+    )
+    inverted = _normalize(
+        sparse_cosine_pairs(
+            docs, df_cap_ppm=900_000, min_shared=2, dense_vocab_max=0
+        ).toPandas()
+    )
+    assert len(dense) == len(inverted) and len(dense) > 0
+    for c in dense.columns:
+        a, b = dense[c].to_numpy(), inverted[c].to_numpy()
+        if np.issubdtype(a.dtype, np.floating):
+            assert (a == b).all(), c
+        else:
+            assert (pd.Series(a) == pd.Series(b)).all(), c
