@@ -3050,6 +3050,19 @@ def q_mixture_allocation(spark, sf_dir):
     )
 
 
+def q_winnowing_neardup_pairs(spark, sf_dir):
+    """MOSS pairing on the winnowing fingerprints: docs sharing ≥ 3
+    selected hashes, scored by fingerprint Jaccard AND both asymmetric
+    containment ratios (catches A-inside-B). Hot buckets (> 64 docs)
+    dropped before the collect_list-per-bucket pairing — one shuffle,
+    fanout bounded at C(64,2) per hash."""
+    from forecaster_spark.operators.textops import winnowing_neardup_pairs
+
+    return winnowing_neardup_pairs(
+        read_table(spark, sf_dir, "documents"), min_shared=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
@@ -3249,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "var1_pairs_events_1h": q_var1_pairs,
         "pooled_ar_forecast_events_1h": q_pooled_ar_forecast,
         "mixture_allocation_documents": q_mixture_allocation,
+        "winnowing_neardup_pairs_documents": q_winnowing_neardup_pairs,
     }
 
 
@@ -6358,6 +6372,7 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs, sum_tok, n_seqs, pad_tokens,
        END AS pad_rate
 FROM ag""",
         "winnowing_fingerprint_documents": xhash_sql.winnowing_sql(),
+        "winnowing_neardup_pairs_documents": xhash_sql.winnowing_pairs_sql(min_shared=3),
         "ul2_denoiser_mix_documents": xhash_sql.ul2_denoiser_sql(),
         "var1_pairs_events_1h": exact_sql.var1_pairs_sql(),
         "pooled_ar_forecast_events_1h": exact_sql.pooled_ar_sql(),

@@ -719,21 +719,16 @@ SELECT doc_id, n_tok, n_spans, CAST(span_i AS BIGINT) AS span_i,
 FROM hh"""
 
 
-def winnowing_sql(
+def winnowing_ctes(
     k: int = 3,
     w: int = 4,
     doc_source_sql: str = "SELECT doc_id, text FROM documents",
 ) -> str:
-    """Oracle for ``textops.winnowing_fingerprint``: positional word-k-
-    shingle hashes (the :func:`shingle_ctes` combine, wpos kept), then the
-    window minimum over ``w`` consecutive shingles with the
-    (hash, position)-lexicographic tie rule encoded as
-    ``min(sh·2^32 + wpos)`` — a HUGEINT pack the kernel's uint64
-    first-occurrence argmin matches exactly. Valid window starts are
-    wpos ≤ mg−w (one clipped window at 0 when mg < w)."""
+    """CTE chain ending in ``wfp(doc_id, pos, h)`` — the distinct selected
+    winnowing fingerprint entries (see :func:`winnowing_sql`). Shared by
+    the fingerprint oracle and the pair oracle."""
     assert k == 3, "SQL mirror unrolled for k=3"
-    return f"""
-WITH {word_hash_ctes(doc_source_sql)},
+    return f"""{word_hash_ctes(doc_source_sql)},
 led AS (
   SELECT doc_id, wpos, h AS h0_, lead(h, 1) OVER wnd AS h1_, lead(h, 2) OVER wnd AS h2_,
          count(*) OVER (PARTITION BY doc_id) AS m
@@ -750,11 +745,67 @@ led AS (
            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS key,
          count(*) OVER (PARTITION BY doc_id) AS mg
   FROM gs
+), wfp AS (
+  SELECT DISTINCT doc_id, CAST(key % 4294967296 AS BIGINT) AS pos,
+         {to_int64("key // 4294967296")} AS h
+  FROM winmin
+  WHERE wpos <= CASE WHEN mg >= {w} THEN mg - {w} ELSE 0 END
+)"""
+
+
+def winnowing_sql(
+    k: int = 3,
+    w: int = 4,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``textops.winnowing_fingerprint``: positional word-k-
+    shingle hashes (the :func:`shingle_ctes` combine, wpos kept), then the
+    window minimum over ``w`` consecutive shingles with the
+    (hash, position)-lexicographic tie rule encoded as
+    ``min(sh·2^32 + wpos)`` — a HUGEINT pack the kernel's uint64
+    first-occurrence argmin matches exactly. Valid window starts are
+    wpos ≤ mg−w (one clipped window at 0 when mg < w)."""
+    return f"""
+WITH {winnowing_ctes(k, w, doc_source_sql)}
+SELECT doc_id, pos, h FROM wfp"""
+
+
+def winnowing_pairs_sql(
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    bucket_cap: int = 64,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``textops.winnowing_neardup_pairs``: distinct (doc, h)
+    fingerprint entries, hash buckets capped at ``bucket_cap`` docs (hot
+    shared-boilerplate buckets dropped, like stop-shingle pruning), pairs
+    from within-bucket joins, per-pair shared-hash counts, and the
+    Jaccard / containment estimates as single divisions of exact BIGINTs
+    (fingerprint-set sizes count ALL entries, including dropped buckets —
+    the standard winnowing estimate under hot-bucket pruning)."""
+    return f"""
+WITH {winnowing_ctes(k, w, doc_source_sql)},
+fps AS (SELECT DISTINCT doc_id, h FROM wfp),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM fps GROUP BY doc_id),
+bk AS (SELECT h FROM fps GROUP BY h
+       HAVING count(*) >= 2 AND count(*) <= {bucket_cap}),
+pr AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM fps a JOIN bk USING (h) JOIN fps b USING (h)
+  WHERE a.doc_id < b.doc_id
+), ag AS (
+  SELECT ia, ib, CAST(count(*) AS BIGINT) AS ns FROM pr GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}
 )
-SELECT DISTINCT doc_id, CAST(key % 4294967296 AS BIGINT) AS pos,
-       {to_int64("key // 4294967296")} AS h
-FROM winmin
-WHERE wpos <= CASE WHEN mg >= {w} THEN mg - {w} ELSE 0 END"""
+SELECT ag.ia AS id_a, ag.ib AS id_b, ag.ns AS n_shared,
+       sa.c AS fp_a, sb.c AS fp_b,
+       CAST(ag.ns AS DOUBLE) / CAST(sa.c + sb.c - ag.ns AS DOUBLE) AS jac,
+       CAST(ag.ns AS DOUBLE) / CAST(sa.c AS DOUBLE) AS cont_a,
+       CAST(ag.ns AS DOUBLE) / CAST(sb.c AS DOUBLE) AS cont_b
+FROM ag
+JOIN sz sa ON sa.doc_id = ag.ia
+JOIN sz sb ON sb.doc_id = ag.ib"""
 
 
 def ul2_denoiser_sql(

@@ -974,3 +974,73 @@ def winnowing_fingerprint(
         F.split(F.lower(F.col(text_col)), r"\s+").alias("_ws"),
     )
     return src.mapInPandas(gen, out_schema)
+
+
+def winnowing_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs from shared winnowing fingerprints — the MOSS
+    pairing step on top of :func:`winnowing_fingerprint`: documents
+    sharing ≥ ``min_shared`` selected fingerprint hashes are candidate
+    plagiarism/boilerplate pairs, scored by fingerprint-set Jaccard and
+    the two asymmetric CONTAINMENT ratios (ns/|fp_a|, ns/|fp_b| — the
+    signal that catches "A is a chunk of B", which symmetric Jaccard
+    dilutes). Winnowing's guarantee makes this positional: any shared
+    run of ≥ w+k−1 words forces a shared hash.
+
+    Scale shape: distinct (doc, hash) entries shuffle ONCE onto the hash;
+    buckets larger than ``bucket_cap`` docs (hot boilerplate) are DROPPED
+    before pairing — the stop-shingle cut that bounds within-bucket
+    fanout at C(cap, 2); pair generation is collect_list-per-bucket +
+    within-bucket explode (one shuffle, no self-join re-execution —
+    CLAUDE.md's measured pattern). The pair-expansion lambda is
+    interpreted, not codegen, but runs on ≤``bucket_cap`` arrays.
+    Fingerprint-set sizes count ALL entries including dropped buckets
+    (the standard estimate under hot-bucket pruning; mirrored by the
+    oracle).
+
+    Output: (id_a, id_b, n_shared, fp_a, fp_b, jac, cont_a, cont_b) —
+    jac/cont are single divisions of exact BIGINTs.
+    """
+    fp = winnowing_fingerprint(df, text_col, id_col, k, w).select("doc_id", "h").distinct()
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    buckets = fp.groupBy("h").agg(F.collect_list("doc_id").alias("ids")).where(
+        (F.size("ids") >= 2) & (F.size("ids") <= bucket_cap)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ids)-2), i -> "
+                "transform(sequence(i+1, size(ids)-1), j -> "
+                "struct(least(ids[i], ids[j]) AS ia, greatest(ids[i], ids[j]) AS ib))))"
+            )
+        ).alias("p")
+    ).select("p.ia", "p.ib")
+    ag = (
+        pairs.groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("ia"), F.col("c").alias("fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("ib"), F.col("c").alias("fp_b"))
+    ns = F.col("n_shared").cast("double")
+    return (
+        ag.join(sa, "ia")
+        .join(sb, "ib")
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            "n_shared",
+            "fp_a",
+            "fp_b",
+            (ns / (F.col("fp_a") + F.col("fp_b") - F.col("n_shared")).cast("double")).alias("jac"),
+            (ns / F.col("fp_a").cast("double")).alias("cont_a"),
+            (ns / F.col("fp_b").cast("double")).alias("cont_b"),
+        )
+    )

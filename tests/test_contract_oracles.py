@@ -47,6 +47,7 @@ QUERIES = [
     "winsorized_mean_events",
     "sparse_cosine_pairs_documents",
     "winnowing_fingerprint_documents",
+    "winnowing_neardup_pairs_documents",
     "readability_documents",
     "ul2_denoiser_mix_documents",
     "var1_pairs_events_1h",

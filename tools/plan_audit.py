@@ -53,7 +53,7 @@ BNLJ_OK = {
     "friedman_events_1h": "two 1-row broadcasts: global distinct-source count k (completeness filter) and the global sum(R2^2) for chi2",
     "kruskal_wallis_events": "1-row global (n_total, tie_cubes) broadcast onto the per-source rank sums",
     # audited 2026-08-20:
-    "sparse_cosine_pairs_documents": "1-row corpus doc-count broadcast for the corpus-relative df-pruning predicate (df*1e6 <= N*ppm) — the tfidf_topk pattern",
+    "sparse_cosine_pairs_documents": "1-row corpus doc-count broadcast for the corpus-relative df-pruning predicate (df*1e6 <= N*ppm) — the tfidf_topk pattern; applies to the large-vocab inverted-index leg (the small-vocab dense-GEMM leg has no BNLJ — its plan is the collect_list shuffle + block-pair equi-joins + applyInPandas)",
     "dtw_pairs_events_1h": "pair generation over the per-SOURCE array table (one row per series, series-count-bounded like spearman/pearson pair queries) — the a.source < b.source inequality join is the operator's documented semantics; the DP runs downstream in the kernel",
 }
 COUNTED = (
