@@ -3050,6 +3050,54 @@ def q_mixture_allocation(spark, sf_dir):
     )
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE corpus keywords (Rose et al. 2010): stopword-delimited
+    candidate phrases, word score = deg/freq (phrase-length degree over
+    occurrence count), top-30 — exact BIGINT counts, one IEEE division,
+    word-asc tie-break; all native codegen + one TakeOrderedAndProject."""
+    from forecaster_spark.operators.textops import rake_keywords
+
+    return rake_keywords(read_table(spark, sf_dir, "documents"))
+
+
+def q_holt_winters_mul(spark, sf_dir):
+    """Holt-Winters MULTIPLICATIVE triple smoothing (Winters' ratio
+    seasonal, α=0.25 β=0.5 γ=0.125, 24-hour period) over the hourly
+    event-COUNT series (positive by construction — the classical domain
+    of the multiplicative form). Two single IEEE divisions per step;
+    the recursive-CTE oracle replays the ratio chains bit-for-bit."""
+    from forecaster_spark.operators.timeweight import holt_winters
+
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    ser = t.select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.col("cnt").cast("double").alias("y"),
+    )
+    return holt_winters(
+        ser, alpha=0.25, beta=0.5, gamma=0.125, period=24, multiplicative=True
+    ).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "y",
+        "level",
+        "trend",
+        "seasonal",
+        "fc1",
+    )
+
+
+def q_arima210_forecast(spark, sf_dir):
+    """ARIMA(2,1,0) per source (Box-Jenkins integrated AR): exact-Cramer
+    AR(2)+drift on first diffs, recursive diff forecast + integration
+    ladder from the last level — the stochastic-trend member the
+    stationary ARX family lacks. Generated HUGEINT SQL mirror with
+    per-step lateral aliases."""
+    from forecaster_spark.models.kernels import arima210_forecast
+
+    return arima210_forecast(_hourly_int_series(spark, sf_dir))
+
+
 def q_winnowing_neardup_pairs(spark, sf_dir):
     """MOSS pairing on the winnowing fingerprints: docs sharing ≥ 3
     selected hashes, scored by fingerprint Jaccard AND both asymmetric
@@ -3263,6 +3311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pooled_ar_forecast_events_1h": q_pooled_ar_forecast,
         "mixture_allocation_documents": q_mixture_allocation,
         "winnowing_neardup_pairs_documents": q_winnowing_neardup_pairs,
+        "arima210_forecast_events_1h": q_arima210_forecast,
+        "holt_winters_mul_events_1h": q_holt_winters_mul,
+        "rake_keywords_documents": q_rake_keywords,
     }
 
 
@@ -6376,6 +6427,34 @@ FROM ag""",
         "ul2_denoiser_mix_documents": xhash_sql.ul2_denoiser_sql(),
         "var1_pairs_events_1h": exact_sql.var1_pairs_sql(),
         "pooled_ar_forecast_events_1h": exact_sql.pooled_ar_sql(),
+        "arima210_forecast_events_1h": exact_sql.arima210_sql(),
+        "rake_keywords_documents": "\nWITH dw AS (\n  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws\n  FROM documents WHERE text IS NOT NULL\n), wr0 AS (\n  SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM dw\n), wr AS (\n  SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0\n), wn AS (\n  SELECT doc_id, wpos, w,\n         CASE WHEN w IN ('and', 'dans', 'das', 'de', 'den', 'der', 'des', 'die', 'ein', 'el', 'en', 'es', 'est', 'et', 'for', 'in', 'is', 'ist', 'it', 'la', 'le', 'les', 'los', 'mit', 'nicht', 'of', 'por', 'que', 'that', 'the', 'to', 'un', 'und', 'une', 'von', 'was', 'y') THEN 1 ELSE 0 END AS stp\n  FROM wr WHERE w <> ''\n), rn AS (\n  SELECT doc_id, wpos, w, stp,\n         sum(stp) OVER (PARTITION BY doc_id ORDER BY wpos\n           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run\n  FROM wn\n), nr AS (\n  SELECT doc_id, run, w FROM rn WHERE stp = 0\n), ph AS (\n  SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen FROM nr GROUP BY 1, 2\n), sc AS (\n  SELECT nr.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg\n  FROM nr JOIN ph ON ph.doc_id = nr.doc_id AND ph.run = nr.run\n  GROUP BY nr.w\n)\nSELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score\nFROM sc ORDER BY score DESC, w ASC LIMIT 30",
+        "holt_winters_mul_events_1h": """
+WITH RECURSIVE oc AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), o2 AS (
+  SELECT source, b AS ts, y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS idx
+  FROM oc
+), walk(source, idx, ts, y, level, trend, seasonal, slist) AS (
+  SELECT source, idx, ts, y, y, CAST(0 AS DOUBLE), CAST(1 AS DOUBLE),
+         list_transform(range(24), x -> CAST(1 AS DOUBLE))
+  FROM o2 WHERE idx = 0
+  UNION ALL
+  SELECT p.source, p.idx, p.ts, p.y,
+         (p.y / w.slist[1]) * 0.25 + (w.level + w.trend) * 0.75,
+         (((p.y / w.slist[1]) * 0.25 + (w.level + w.trend) * 0.75) - w.level) * 0.5
+           + w.trend * 0.5,
+         (p.y / (w.level + w.trend)) * 0.125 + w.slist[1] * 0.875,
+         list_append(w.slist[2:],
+                     (p.y / (w.level + w.trend)) * 0.125 + w.slist[1] * 0.875)
+  FROM walk w JOIN o2 p ON p.source = w.source AND p.idx = w.idx + 1
+)
+SELECT source, ts, y, level, trend, seasonal,
+       (level + trend) * slist[1] AS fc1
+FROM walk""",
         "readability_documents": """
 WITH b AS (
   SELECT doc_id,

@@ -1025,3 +1025,86 @@ WITH th AS (
 SELECT r.source, CAST(r.n AS BIGINT) AS n_pool, CAST(hs.h AS BIGINT) AS h,
        CASE hs.h {case_x} END AS y_hat
 FROM r{hh} r CROSS JOIN hs"""
+
+
+def arima210_sql(hh: int = 4) -> str:
+    """Oracle for ``kernels.arima210_forecast``: per-source first diffs of
+    the hourly integer tier, HUGEINT normal equations on the diff lags,
+    3×3 Cramer per source with the intercept-only singular fallback, the
+    diff recursion as per-step lateral aliases and the integration ladder
+    ``yh_h = yh_{h-1} + dh_h`` from the last level — all fixed left-assoc
+    double chains matching the kernel bit-for-bit."""
+    A = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    cv = ["sy", "sy1", "sy2"]
+    items = [f"{_det3(A)} AS d3"]
+    for j in range(3):
+        Aj = [[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
+        items.append(f"{_det3(Aj)} AS nf{j}")
+    det_items = ", ".join(items)
+    rec = []
+    px, p2, py = "d1v", "d2v", "ylast"
+    for h in range(1, hh + 1):
+        src = "j0" if h == 1 else f"r{h-1}"
+        rec.append(
+            f"r{h} AS (SELECT *, (b0 + {px} * b1) + {p2} * b2 AS dh{h},"
+            f" {py} + ((b0 + {px} * b1) + {p2} * b2) AS yh{h} FROM {src})"
+        )
+        p2, px, py = px, f"dh{h}", f"yh{h}"
+    rec_sql = ", ".join(rec)
+    case_d = " ".join(f"WHEN {h} THEN dh{h}" for h in range(1, hh + 1))
+    case_y = " ".join(f"WHEN {h} THEN yh{h}" for h in range(1, hh + 1))
+    return f"""
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), dfo AS (
+  SELECT source, b, v, v - lag(v, 1) OVER w AS d
+  FROM o WINDOW w AS (PARTITION BY source ORDER BY b)
+), dr AS (
+  SELECT source, b, d FROM dfo WHERE d IS NOT NULL
+), lg AS (
+  SELECT source, b, d, lag(d, 1) OVER w AS l1, lag(d, 2) OVER w AS l2
+  FROM dr WINDOW w AS (PARTITION BY source ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE l2 IS NOT NULL
+), sums AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1) AS HUGEINT) AS s1, CAST(sum(l2) AS HUGEINT) AS s2,
+         CAST(sum(d) AS HUGEINT) AS sy,
+         CAST(sum(l1*l1) AS HUGEINT) AS s11, CAST(sum(l1*l2) AS HUGEINT) AS s12,
+         CAST(sum(l2*l2) AS HUGEINT) AS s22,
+         CAST(sum(d*l1) AS HUGEINT) AS sy1, CAST(sum(d*l2) AS HUGEINT) AS sy2
+  FROM e GROUP BY 1
+), par AS (
+  SELECT source, n, sy, {det_items} FROM sums WHERE n >= 4
+), cf AS (
+  SELECT source, n,
+         CASE WHEN d3 = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE CAST(nf0 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b0,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(nf1 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b1,
+         CASE WHEN d3 = 0 THEN 0.0 ELSE CAST(nf2 AS DOUBLE) / CAST(d3 AS DOUBLE) END AS b2
+  FROM par
+), rnlev AS (
+  SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY b DESC) AS r FROM o
+), lev AS (
+  SELECT source, CAST(max(CASE WHEN r = 1 THEN v END) AS DOUBLE) AS ylast
+  FROM rnlev WHERE r = 1 GROUP BY source
+), rnd AS (
+  SELECT source, d, row_number() OVER (PARTITION BY source ORDER BY b DESC) AS r FROM dr
+), lastd AS (
+  SELECT source,
+         CAST(max(CASE WHEN r = 1 THEN d END) AS DOUBLE) AS d1v,
+         CAST(max(CASE WHEN r = 2 THEN d END) AS DOUBLE) AS d2v
+  FROM rnd WHERE r <= 2 GROUP BY source HAVING count(*) = 2
+), j0 AS (
+  SELECT cf.source, cf.n, cf.b0, cf.b1, cf.b2, lev.ylast, lastd.d1v, lastd.d2v
+  FROM cf JOIN lev ON lev.source = cf.source
+  JOIN lastd ON lastd.source = cf.source
+), {rec_sql}, hs AS (SELECT unnest(range(1, {hh + 1})) AS h)
+SELECT r.source, CAST(r.n AS BIGINT) AS n, CAST(hs.h AS BIGINT) AS h,
+       CASE hs.h {case_d} END AS d_hat,
+       CASE hs.h {case_y} END AS y_hat
+FROM r{hh} r CROSS JOIN hs"""

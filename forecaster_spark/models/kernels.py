@@ -335,3 +335,90 @@ def pooled_ar_forecast(
         .selectExpr(partition, f"stack({hh}, {stacked}) AS (h, y_hat)")
         .select(partition, F.lit(n).alias("n_pool"), "h", "y_hat")
     )
+
+
+def arima210_forecast(
+    df: DataFrame,
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    hh: int = 4,
+) -> DataFrame:
+    """ARIMA(2,1,0) per series — the INTEGRATED member of the AR family
+    (Box & Jenkins): first-difference the integer tier signal, fit AR(2)
+    with intercept on the diffs by exact Cramer, forecast the diffs
+    recursively and integrate back from the last level. Captures
+    stochastic-trend series the stationary ARX family underfits (the
+    intercept on diffs = drift).
+
+    Exactness (the granger recipe): integer diffs → exact BIGINT/Python-
+    int normal equations per series, 3×3 Cramer divided ONCE through the
+    HUGEINT→DOUBLE cast mimic, singular fallback [mean, 0, 0]; the diff
+    recursion is the fixed chain ``(b0 + prev·b1) + prev2·b2`` and the
+    integration the left-assoc ladder ``yhat_h = yhat_{h-1} + dhat_h``,
+    both replayed verbatim by ``exact_sql.arima210_sql``.
+
+    Plan shape: ONE shuffle on the series key into a per-series Arrow
+    kernel; each task is one tier-bounded series. Output:
+    (source, n, h, d_hat, y_hat) — hh rows per series with ≥ 4 usable
+    diff rows.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    part_field = df.select(F.col(partition)).schema.fields[0]
+    out_schema = T.StructType(
+        [
+            T.StructField("source", part_field.dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("d_hat", T.DoubleType()),
+            T.StructField("y_hat", T.DoubleType()),
+        ]
+    )
+    t = df.select(F.col(partition), F.col(order).alias("_b"), F.col(y).cast("long").alias("_v"))
+
+    def det3(m):
+        (a_, b_, c_), (d_, e_, f_), (g_, h_, i_) = m
+        return a_ * (e_ * i_ - f_ * h_) - b_ * (d_ * i_ - f_ * g_) + c_ * (d_ * h_ - e_ * g_)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b").reset_index(drop=True)
+        vv = pdf["_v"].to_numpy()
+        cols = [f.name for f in out_schema.fields]
+        if len(vv) < 7:  # ≥ 4 target rows need ≥ 7 levels
+            return pd.DataFrame(columns=cols)
+        dd = vv[1:] - vv[:-1]
+        dv, l1, l2 = dd[2:], dd[1:-1], dd[:-2]
+        n = len(dv)
+        s1, s2, sy = int(l1.sum()), int(l2.sum()), int(dv.sum())
+        s11 = int(np.dot(l1, l1))
+        s12 = int(np.dot(l1, l2))
+        s22 = int(np.dot(l2, l2))
+        sy1 = int(np.dot(dv, l1))
+        sy2 = int(np.dot(dv, l2))
+        A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+        cv = [sy, sy1, sy2]
+        d3 = det3(A)
+        if d3 == 0:
+            b0, b1, b2 = h2d(sy) / h2d(n), 0.0, 0.0
+        else:
+            num = [
+                det3([[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)])
+                for j in range(3)
+            ]
+            b0, b1, b2 = h2d(num[0]) / h2d(d3), h2d(num[1]) / h2d(d3), h2d(num[2]) / h2d(d3)
+        prev, prev2 = float(dd[-1]), float(dd[-2])
+        yh = float(vv[-1])
+        rows = []
+        for h in range(1, hh + 1):
+            dh = (b0 + prev * b1) + prev2 * b2
+            yh = yh + dh
+            rows.append((pdf[partition].iloc[0], n, h, dh, yh))
+            prev2, prev = prev, dh
+        return pd.DataFrame(rows, columns=cols)
+
+    return t.groupBy(partition).applyInPandas(kernel, out_schema)

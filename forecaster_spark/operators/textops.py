@@ -1044,3 +1044,53 @@ def winnowing_neardup_pairs(
             (ns / F.col("fp_b").cast("double")).alias("cont_b"),
         )
     )
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 30) -> DataFrame:
+    """RAKE corpus keywords (Rose et al. 2010, Rapid Automatic Keyword
+    Extraction — word-level scores): candidate phrases are maximal runs
+    of non-stopword tokens (the engine's multilingual stopword lexicon
+    delimits runs); each word scores ``deg/freq`` where ``freq`` counts
+    its occurrences in candidate phrases and ``deg`` sums the lengths of
+    the phrases containing it — long-phrase membership boosts a word, the
+    RAKE degree heuristic. Top-``k`` by (score desc, word asc).
+
+    Simplification vs classic RAKE (documented, determinism-first):
+    punctuation is stripped by the token split rather than acting as a
+    phrase boundary, so runs break at stopwords only. Exactness: freq/deg
+    are exact BIGINTs, score is ONE IEEE division, the ordering compares
+    identical doubles on both engines.
+
+    Plan: one posexplode, a per-doc running-sum window (partitioned by
+    doc — row-local scale), one (doc, run) phrase-length agg joined back
+    on its own grouping keys (exchange-reused), one word agg, one top-k
+    TakeOrderedAndProject. No Python anywhere.
+
+    Output: (w, freq, deg, score).
+    """
+    sw = sorted({w for sws in STOPWORDS.values() for w in sws})
+    t = F.col(text_col)
+    words = (
+        df.where(t.isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.lower(t), r"[^a-z0-9]+")).alias("pos", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    wn = words.withColumn("stp", F.col("w").isin(sw).cast("int"))
+    win = Window.partitionBy("_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    runs = wn.withColumn("run", F.sum("stp").over(win)).where(F.col("stp") == 0)
+    ph = runs.groupBy("_id", "run").agg(F.count(F.lit(1)).cast("long").alias("plen"))
+    scored = (
+        runs.join(ph, ["_id", "run"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .withColumn("score", F.col("deg").cast("double") / F.col("freq").cast("double"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("w").asc()).limit(k).select(
+        "w", "freq", "deg", "score"
+    )

@@ -1414,11 +1414,12 @@ def holt_winters(
     value: str = "y",
     partition: str = "source",
     order=("ts",),
+    multiplicative: bool = False,
 ) -> DataFrame:
-    """Holt-Winters ADDITIVE triple exponential smoothing (level + trend +
+    """Holt-Winters triple exponential smoothing (level + trend +
     seasonal, period ``m``) per source — completes the classical smoothing
     family (:func:`ewma` → :func:`holt_linear` → here; reference analogue:
-    the trend+seasonal specs of ``ARX.rescale``):
+    the trend+seasonal specs of ``ARX.rescale``). Additive by default:
 
     - ``l_t = (y_t − s_{t−m})·α + (l_{t−1} + b_{t−1})·(1−α)``
     - ``b_t = (l_t − l_{t−1})·β + b_{t−1}·(1−β)``
@@ -1430,6 +1431,16 @@ def holt_winters(
     for the first season while the seasonal ring fills; a documented,
     cross-engine-trivial convention (classical mean-of-first-season seeds
     add a division whose operand order is easy to get wrong in SQL).
+
+    With ``multiplicative=True`` the seasonal component is a RATIO
+    (Winters' original multiplicative form, the standard choice for
+    positive count series whose seasonal swing scales with the level):
+    ``l_t = (y_t / s_{t−m})·α + (l_{t−1} + b_{t−1})·(1−α)``,
+    ``s_t = (y_t / (l_{t−1} + b_{t−1}))·γ + s_{t−m}·(1−γ)``,
+    ``fc1 = (l_t + b_t)·s_{t+1−m}``, seasonal seeds 1 (the multiplicative
+    identity). Each step adds two single IEEE divisions — still
+    cross-engine exact. Feed POSITIVE series (e.g. bucket counts);
+    non-positive levels make the classical form ill-defined.
 
     Sequential by nature → same design as :func:`holt_linear`: per-source
     Arrow kernel with fixed-order float chains, every expression written in
@@ -1457,23 +1468,32 @@ def holt_winters(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(list(order)).reset_index(drop=True)
         ys = pdf[value].tolist()
-        ring = [0.0] * m  # ring[t % m] holds s_{t-m} until step t overwrites
+        seed = 1.0 if multiplicative else 0.0
+        ring = [seed] * m  # ring[t % m] holds s_{t-m} until step t overwrites
         ls, bs, ss, fs = [], [], [], []
         l = b = None
         for i, y in enumerate(ys):
             if l is None:
-                l, b, s = y, 0.0, 0.0
+                l, b, s = y, 0.0, seed
             else:
                 s_old = ring[i % m]
-                ln = (y - s_old) * alpha + (l + b) * a1
-                bn = (ln - l) * beta + b * b1
-                s = (y - (l + b)) * gamma + s_old * g1
+                if multiplicative:
+                    ln = (y / s_old) * alpha + (l + b) * a1
+                    bn = (ln - l) * beta + b * b1
+                    s = (y / (l + b)) * gamma + s_old * g1
+                else:
+                    ln = (y - s_old) * alpha + (l + b) * a1
+                    bn = (ln - l) * beta + b * b1
+                    s = (y - (l + b)) * gamma + s_old * g1
                 l, b = ln, bn
             ring[i % m] = s
             ls.append(l)
             bs.append(b)
             ss.append(s)
-            fs.append((l + b) + ring[(i + 1) % m])
+            if multiplicative:
+                fs.append((l + b) * ring[(i + 1) % m])
+            else:
+                fs.append((l + b) + ring[(i + 1) % m])
         pdf["level"], pdf["trend"], pdf["seasonal"], pdf["fc1"] = ls, bs, ss, fs
         return pdf
 

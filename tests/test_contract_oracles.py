@@ -53,6 +53,9 @@ QUERIES = [
     "var1_pairs_events_1h",
     "pooled_ar_forecast_events_1h",
     "mixture_allocation_documents",
+    "arima210_forecast_events_1h",
+    "holt_winters_mul_events_1h",
+    "rake_keywords_documents",
 ]
 
 

@@ -188,3 +188,103 @@ def test_ul2_layout_invariants(doc_id, n):
         assert lo <= start and start + L <= hi <= n
         assert start > prev_end
         prev_end = start + L - 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(-40, 40), min_size=7, max_size=24))
+def test_arima210_fraction_exact_coefficients(levels):
+    """ARIMA(2,1,0) diff-AR coefficients via h2d-division Cramer sit within
+    4 ulp of the Fraction-exact normal-equation solution, and the
+    integrated forecast replays the kernel's exact chain."""
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    vv = np.asarray(levels, dtype=np.int64)
+    dd = vv[1:] - vv[:-1]
+    rows = [(int(dd[i]), int(dd[i - 1]), int(dd[i - 2])) for i in range(2, len(dd))]
+    exact = _frac_ols3(rows)
+    if exact is None:
+        return
+    n = len(rows)
+    s1 = sum(r[1] for r in rows); s2 = sum(r[2] for r in rows)
+    s11 = sum(r[1] * r[1] for r in rows); s12 = sum(r[1] * r[2] for r in rows)
+    s22 = sum(r[2] * r[2] for r in rows)
+    sy = sum(r[0] for r in rows)
+    sy1 = sum(r[0] * r[1] for r in rows); sy2 = sum(r[0] * r[2] for r in rows)
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    cv = [sy, sy1, sy2]
+
+    def det3(mm):
+        (a, b, c), (d, e, f), (g, h, i) = mm
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    d3 = det3(A)
+    got = []
+    for j in range(3):
+        num = det3([[cv[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)])
+        gj = h2d(num) / h2d(d3)
+        want = float(exact[j])
+        assert gj == want or abs(gj - want) <= 4 * abs(np.spacing(want))
+        got.append(gj)
+    b0, b1, b2 = got
+    prev, prev2, yh = float(dd[-1]), float(dd[-2]), float(vv[-1])
+    for _ in range(4):
+        dh = (b0 + prev * b1) + prev2 * b2
+        yh = yh + dh
+        assert np.isfinite(yh)
+        prev2, prev = prev, dh
+
+
+def _brute_rake(texts, stopwords, k=30):
+    import re
+    from collections import defaultdict
+
+    freq, deg = defaultdict(int), defaultdict(int)
+    for t in texts:
+        words = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        run, runs = [], []
+        for w in words:
+            if w in stopwords:
+                if run:
+                    runs.append(run)
+                run = []
+            else:
+                run.append(w)
+        if run:
+            runs.append(run)
+        for r in runs:
+            for w in r:
+                freq[w] += 1
+                deg[w] += len(r)
+    rows = sorted(
+        ((w, freq[w], deg[w], deg[w] / freq[w]) for w in freq),
+        key=lambda r: (-r[3], r[0]),
+    )
+    return rows[:k]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["the", "and", "of", "fox", "data", "query", "big", "x1", "roll"]),
+            min_size=0,
+            max_size=20,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rake_sql_matches_brute(texts):
+    import __spark_entry__ as entry
+    from forecaster_spark.operators.textops import STOPWORDS
+
+    sw = {w for sws in STOPWORDS.values() for w in sws}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = con.execute(entry.oracle_sql()["rake_keywords_documents"]).fetchall()
+    want = _brute_rake(texts, sw)
+    assert [(r[0], r[1], r[2]) for r in got] == [(r[0], r[1], r[2]) for r in want]
+    for g, w in zip(got, want):
+        assert g[3] == w[3]
