@@ -3050,6 +3050,17 @@ def q_mixture_allocation(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle: fresh splitmix64
+    draw per (doc, epoch), shard = low bits, rank within (epoch, shard)
+    by the unsigned draw — the shard-then-shuffle loader pattern that
+    parallelizes by epochs x shards instead of a global sort; every
+    position replayable by the HUGEINT chain."""
+    from forecaster_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(read_table(spark, sf_dir, "documents"))
+
+
 def q_rake_keywords(spark, sf_dir):
     """RAKE corpus keywords (Rose et al. 2010): stopword-delimited
     candidate phrases, word score = deg/freq (phrase-length degree over
@@ -3314,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arima210_forecast_events_1h": q_arima210_forecast,
         "holt_winters_mul_events_1h": q_holt_winters_mul,
         "rake_keywords_documents": q_rake_keywords,
+        "epoch_shuffle_documents": q_epoch_shuffle,
     }
 
 
@@ -6428,6 +6440,7 @@ FROM ag""",
         "var1_pairs_events_1h": exact_sql.var1_pairs_sql(),
         "pooled_ar_forecast_events_1h": exact_sql.pooled_ar_sql(),
         "arima210_forecast_events_1h": exact_sql.arima210_sql(),
+        "epoch_shuffle_documents": __import__("forecaster_spark.operators.sampling", fromlist=["x"]).epoch_shuffle_sql(),
         "rake_keywords_documents": "\nWITH dw AS (\n  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws\n  FROM documents WHERE text IS NOT NULL\n), wr0 AS (\n  SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM dw\n), wr AS (\n  SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0\n), wn AS (\n  SELECT doc_id, wpos, w,\n         CASE WHEN w IN ('and', 'dans', 'das', 'de', 'den', 'der', 'des', 'die', 'ein', 'el', 'en', 'es', 'est', 'et', 'for', 'in', 'is', 'ist', 'it', 'la', 'le', 'les', 'los', 'mit', 'nicht', 'of', 'por', 'que', 'that', 'the', 'to', 'un', 'und', 'une', 'von', 'was', 'y') THEN 1 ELSE 0 END AS stp\n  FROM wr WHERE w <> ''\n), rn AS (\n  SELECT doc_id, wpos, w, stp,\n         sum(stp) OVER (PARTITION BY doc_id ORDER BY wpos\n           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run\n  FROM wn\n), nr AS (\n  SELECT doc_id, run, w FROM rn WHERE stp = 0\n), ph AS (\n  SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen FROM nr GROUP BY 1, 2\n), sc AS (\n  SELECT nr.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg\n  FROM nr JOIN ph ON ph.doc_id = nr.doc_id AND ph.run = nr.run\n  GROUP BY nr.w\n)\nSELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score\nFROM sc ORDER BY score DESC, w ASC LIMIT 30",
         "holt_winters_mul_events_1h": """
 WITH RECURSIVE oc AS (

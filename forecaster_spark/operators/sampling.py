@@ -304,3 +304,86 @@ def mixture_allocation(
         "extra",
         (F.col("base_alloc") + F.col("extra")).alias("alloc"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epochs: int = 3,
+    shards: int = 64,
+    seed: int = 5,
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle — the data-ordering
+    step of a pretraining loader done the distributed way: each epoch
+    assigns every document a fresh splitmix64 draw
+    ``h = splitmix64(id·2654435761 + (epoch+1)·(2·seed+1))``, documents
+    land in shard ``h mod shards`` and are ordered WITHIN their shard by
+    the unsigned draw (ties by id). Shard-then-shuffle-within-shard is
+    the practical pattern at corpus scale: a global total order needs a
+    single-partition sort, per-(epoch, shard) windows parallelize by
+    ``epochs·shards``; epochs are independent permutations, every
+    assignment order/partitioning-invariant and engine-replayable.
+
+    ``shards`` must be a power of two: the shard id is the draw's low
+    bits (``h & (shards−1)``), identical under signed int64 and the
+    oracle's unsigned HUGEINT; the within-shard unsigned order is the
+    CLAUDE.md sign-bit-flip recipe (Spark sorts ``h XOR 2^63``, DuckDB
+    sorts the HUGEINT directly).
+
+    Output: (epoch, shard, id_col, h, pos) — ``pos`` is the 1-based
+    position within (epoch, shard).
+    """
+    assert shards & (shards - 1) == 0, "shards must be a power of two"
+    mult = np.uint64(2 * seed + 1)
+
+    @F.pandas_udf(T.LongType())
+    def draw_of(ids: pd.Series, eps: pd.Series) -> pd.Series:
+        u = ids.to_numpy(dtype=np.int64).view(np.uint64)
+        e = eps.to_numpy(dtype=np.int64).view(np.uint64)
+        h = xhash.splitmix64(u * np.uint64(2654435761) + (e + np.uint64(1)) * mult)
+        return pd.Series(h.view(np.int64))
+
+    b = (
+        df.select(F.col(id_col))
+        .withColumn("epoch", F.explode(F.expr(f"sequence(0L, {epochs - 1}L)")))
+        .withColumn("h", draw_of(id_col, "epoch"))
+        .withColumn("shard", F.col("h").bitwiseAND(F.lit(shards - 1)).cast("long"))
+    )
+    flip = F.col("h").bitwiseXOR(F.lit(-(1 << 63)))
+    w = Window.partitionBy("epoch", "shard").orderBy(flip.asc(), F.col(id_col).asc())
+    return b.select(
+        "epoch", "shard", id_col, "h", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+def epoch_shuffle_sql(
+    id_col: str = "doc_id",
+    epochs: int = 3,
+    shards: int = 64,
+    seed: int = 5,
+    source_sql: str = "SELECT doc_id FROM documents",
+) -> str:
+    """DuckDB oracle for :func:`epoch_shuffle`: the HUGEINT splitmix chain
+    per (id, epoch), shard = low bits, within-shard rank by the unsigned
+    draw (the sign-flip recipe's mirror side sorts the HUGEINT itself)."""
+    mult = (2 * seed + 1) % W
+    return f"""
+WITH ep AS (
+  SELECT {id_col}, unnest(range({epochs})) AS epoch FROM ({source_sql})
+), hx AS (
+  SELECT {id_col}, epoch,
+         CAST((CAST({id_col} AS HUGEINT) * 2654435761 + (epoch + 1) * {mult}) % {W} AS HUGEINT) AS x0
+  FROM ep
+), hs AS (
+  SELECT {id_col}, epoch, {splitmix_cols("x0", "h")} FROM hx
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(h % {shards} AS BIGINT) AS shard,
+       {id_col}, {{TO_INT64}} AS h,
+       CAST(row_number() OVER (PARTITION BY epoch, h % {shards} ORDER BY h, {id_col}) AS BIGINT) AS pos
+FROM hs""".replace("{TO_INT64}", _to_int64_h())
+
+
+def _to_int64_h() -> str:
+    from forecaster_spark.functions.xhash_sql import to_int64
+
+    return to_int64("h")

@@ -56,6 +56,7 @@ QUERIES = [
     "arima210_forecast_events_1h",
     "holt_winters_mul_events_1h",
     "rake_keywords_documents",
+    "epoch_shuffle_documents",
 ]
 
 
