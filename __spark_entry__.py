@@ -34,7 +34,7 @@ from forecaster_spark.operators.gapfill import backcast_fill, linear_interp, loc
 from forecaster_spark.operators.rollup import rollup_cascade, rollup_raw, rollup_tiers
 from forecaster_spark.operators.seriesify import events_as_series
 from forecaster_spark.operators.packing import pack_sequences_sql
-from forecaster_spark.operators.sampling import hash_split_sql, temperature_mixture_sql
+from forecaster_spark.operators.sampling import epoch_shuffle_sql, hash_split_sql, temperature_mixture_sql
 from forecaster_spark.operators.similarity import (
     cosine_topk_brute,
     cosine_topk_ivf_sql,
@@ -6440,7 +6440,7 @@ FROM ag""",
         "var1_pairs_events_1h": exact_sql.var1_pairs_sql(),
         "pooled_ar_forecast_events_1h": exact_sql.pooled_ar_sql(),
         "arima210_forecast_events_1h": exact_sql.arima210_sql(),
-        "epoch_shuffle_documents": __import__("forecaster_spark.operators.sampling", fromlist=["x"]).epoch_shuffle_sql(),
+        "epoch_shuffle_documents": epoch_shuffle_sql(),
         "rake_keywords_documents": "\nWITH dw AS (\n  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws\n  FROM documents WHERE text IS NOT NULL\n), wr0 AS (\n  SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM dw\n), wr AS (\n  SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0\n), wn AS (\n  SELECT doc_id, wpos, w,\n         CASE WHEN w IN ('and', 'dans', 'das', 'de', 'den', 'der', 'des', 'die', 'ein', 'el', 'en', 'es', 'est', 'et', 'for', 'in', 'is', 'ist', 'it', 'la', 'le', 'les', 'los', 'mit', 'nicht', 'of', 'por', 'que', 'that', 'the', 'to', 'un', 'und', 'une', 'von', 'was', 'y') THEN 1 ELSE 0 END AS stp\n  FROM wr WHERE w <> ''\n), rn AS (\n  SELECT doc_id, wpos, w, stp,\n         sum(stp) OVER (PARTITION BY doc_id ORDER BY wpos\n           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run\n  FROM wn\n), nr AS (\n  SELECT doc_id, run, w FROM rn WHERE stp = 0\n), ph AS (\n  SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen FROM nr GROUP BY 1, 2\n), sc AS (\n  SELECT nr.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg\n  FROM nr JOIN ph ON ph.doc_id = nr.doc_id AND ph.run = nr.run\n  GROUP BY nr.w\n)\nSELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score\nFROM sc ORDER BY score DESC, w ASC LIMIT 30",
         "holt_winters_mul_events_1h": """
 WITH RECURSIVE oc AS (
