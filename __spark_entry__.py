@@ -3098,6 +3098,25 @@ def q_holt_winters_mul(spark, sf_dir):
     )
 
 
+def q_siegel_slopes(spark, sf_dir):
+    """Siegel repeated-median regression per source (Biometrika 1982):
+    median-of-per-point-medians of pairwise slopes — 50% breakdown vs
+    Theil-Sen's 29%; two levels of the exact floor-div quantized median
+    recipe, intercept from the fixed residual chain."""
+    from forecaster_spark.operators.timeweight import siegel_slopes
+
+    return siegel_slopes(_hourly_int_series(spark, sf_dir))
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix per source over value
+    terciles: exact transition counts off one lag window with the
+    (ts, event_id) tie discipline, row-conditional p = one division."""
+    from forecaster_spark.operators.stats_tests import markov_transitions
+
+    return markov_transitions(read_table(spark, sf_dir, "events"))
+
+
 def q_arima210_forecast(spark, sf_dir):
     """ARIMA(2,1,0) per source (Box-Jenkins integrated AR): exact-Cramer
     AR(2)+drift on first diffs, recursive diff forecast + integration
@@ -3326,6 +3345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_mul_events_1h": q_holt_winters_mul,
         "rake_keywords_documents": q_rake_keywords,
         "epoch_shuffle_documents": q_epoch_shuffle,
+        "siegel_slopes_events_1h": q_siegel_slopes,
+        "markov_transitions_events": q_markov_transitions,
     }
 
 
@@ -6441,6 +6462,8 @@ FROM ag""",
         "pooled_ar_forecast_events_1h": exact_sql.pooled_ar_sql(),
         "arima210_forecast_events_1h": exact_sql.arima210_sql(),
         "epoch_shuffle_documents": epoch_shuffle_sql(),
+        "siegel_slopes_events_1h": "\nWITH th AS (\n  SELECT event_type AS source, date_trunc('hour', ts) AS b,\n         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd\n  FROM events GROUP BY 1, 2\n), o AS (\n  SELECT source, CAST(yd AS BIGINT) AS v,\n         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS i\n  FROM th\n), pr AS (\n  SELECT a.source, a.i AS ia, b2.i AS ib,\n         ((b2.v - a.v) * 1000\n            - ((((b2.v - a.v) * 1000) % (b2.i - a.i) + (b2.i - a.i)) % (b2.i - a.i))\n         ) // (b2.i - a.i) * 2 AS s2\n  FROM o a JOIN o b2 ON a.source = b2.source AND a.i < b2.i\n), ep AS (\n  SELECT source, ia AS i, s2 FROM pr\n  UNION ALL\n  SELECT source, ib AS i, s2 FROM pr\n), rmed AS (\n  SELECT source, i, s2,\n         row_number() OVER (PARTITION BY source, i ORDER BY s2) AS rn,\n         count(*) OVER (PARTITION BY source, i) AS cnt\n  FROM ep\n), medi AS (\n  SELECT source, i, avg(s2) AS medq FROM rmed\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1, 2\n), l2 AS (\n  SELECT source, medq,\n         row_number() OVER (PARTITION BY source ORDER BY medq) AS rn,\n         count(*) OVER (PARTITION BY source) AS cnt\n  FROM medi\n), sl AS (\n  SELECT source, avg(medq) / 2000.0 AS slope FROM l2\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1\n), res AS (\n  SELECT o.source, CAST(o.v AS DOUBLE) - sl.slope * o.i AS r\n  FROM o JOIN sl ON sl.source = o.source\n), rr AS (\n  SELECT source, r,\n         row_number() OVER (PARTITION BY source ORDER BY r) AS rn,\n         count(*) OVER (PARTITION BY source) AS cnt\n  FROM res\n), ic AS (\n  SELECT source, avg(r) AS intercept FROM rr\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1\n), np_ AS (\n  SELECT source, CAST(count(*) AS BIGINT) AS n_points FROM o GROUP BY 1\n)\nSELECT np_.source, np_.n_points, sl.slope, ic.intercept\nFROM np_ JOIN sl ON sl.source = np_.source JOIN ic ON ic.source = np_.source",
+        "markov_transitions_events": "\nWITH s AS (\n  SELECT event_type AS source, ts, event_id,\n         CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid'\n              ELSE 'high' END AS state\n  FROM events\n), l AS (\n  SELECT source, state AS to_state,\n         lag(state) OVER (PARTITION BY source ORDER BY ts, event_id) AS from_state\n  FROM s\n), ag AS (\n  SELECT source, from_state, to_state, CAST(count(*) AS BIGINT) AS n\n  FROM l WHERE from_state IS NOT NULL GROUP BY 1, 2, 3\n)\nSELECT source, from_state, to_state, n,\n       CAST(sum(n) OVER (PARTITION BY source, from_state) AS BIGINT) AS n_from,\n       CAST(n AS DOUBLE)\n         / CAST(sum(n) OVER (PARTITION BY source, from_state) AS DOUBLE) AS p\nFROM ag",
         "rake_keywords_documents": "\nWITH dw AS (\n  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws\n  FROM documents WHERE text IS NOT NULL\n), wr0 AS (\n  SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM dw\n), wr AS (\n  SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0\n), wn AS (\n  SELECT doc_id, wpos, w,\n         CASE WHEN w IN ('and', 'dans', 'das', 'de', 'den', 'der', 'des', 'die', 'ein', 'el', 'en', 'es', 'est', 'et', 'for', 'in', 'is', 'ist', 'it', 'la', 'le', 'les', 'los', 'mit', 'nicht', 'of', 'por', 'que', 'that', 'the', 'to', 'un', 'und', 'une', 'von', 'was', 'y') THEN 1 ELSE 0 END AS stp\n  FROM wr WHERE w <> ''\n), rn AS (\n  SELECT doc_id, wpos, w, stp,\n         sum(stp) OVER (PARTITION BY doc_id ORDER BY wpos\n           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run\n  FROM wn\n), nr AS (\n  SELECT doc_id, run, w FROM rn WHERE stp = 0\n), ph AS (\n  SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen FROM nr GROUP BY 1, 2\n), sc AS (\n  SELECT nr.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg\n  FROM nr JOIN ph ON ph.doc_id = nr.doc_id AND ph.run = nr.run\n  GROUP BY nr.w\n)\nSELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score\nFROM sc ORDER BY score DESC, w ASC LIMIT 30",
         "holt_winters_mul_events_1h": """
 WITH RECURSIVE oc AS (

@@ -2313,3 +2313,49 @@ def var1_pairs(
         return pd.DataFrame(rows, columns=cols)
 
     return pr.groupBy("sa", "sb").applyInPandas(kernel, out_schema)
+
+
+def markov_transitions(
+    df: DataFrame,
+    value: str = "value",
+    partition: str = "event_type",
+    ts: str = "ts",
+    tie_break: str = "event_id",
+    lo: float = 25.0,
+    hi: float = 75.0,
+) -> DataFrame:
+    """First-order Markov transition matrix per source over the value
+    terciles (low < ``lo`` ≤ mid < ``hi`` ≤ high — the same state map as
+    the time-in-state report): counts of consecutive state transitions in
+    event order, with the row-conditional transition probability
+    ``p = n / n_from``. The sequence-dynamics summary the pointwise
+    stats battery lacks — persistence sits on the diagonal, oscillation
+    off it, and the empirical matrix feeds any downstream chain analysis.
+
+    Exactness: counts are exact BIGINTs off one lag window (with the
+    (ts, tie_break) ordering discipline); ``p`` is ONE IEEE division.
+    Plan: one shuffle for the per-source lag window, one hash aggregate,
+    the row totals as a window over the ≤ 9-row-per-source result —
+    no second scan. Output: (source, from_state, to_state, n, n_from, p).
+    """
+    st = (
+        F.when(F.col(value) < lo, "low").when(F.col(value) < hi, "mid").otherwise("high")
+    )
+    w = Window.partitionBy("source").orderBy(ts, tie_break)
+    t = (
+        df.select(F.col(partition).alias("source"), F.col(ts), F.col(tie_break), st.alias("state"))
+        .withColumn("from_state", F.lag("state", 1).over(w))
+        .where(F.col("from_state").isNotNull())
+    )
+    ag = t.groupBy("source", "from_state", F.col("state").alias("to_state")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("source", "from_state")
+    return ag.withColumn("n_from", F.sum("n").over(wt).cast("long")).select(
+        "source",
+        "from_state",
+        "to_state",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
+    )

@@ -57,6 +57,8 @@ QUERIES = [
     "holt_winters_mul_events_1h",
     "rake_keywords_documents",
     "epoch_shuffle_documents",
+    "siegel_slopes_events_1h",
+    "markov_transitions_events",
 ]
 
 

@@ -288,3 +288,65 @@ def test_rake_sql_matches_brute(texts):
     assert [(r[0], r[1], r[2]) for r in got] == [(r[0], r[1], r[2]) for r in want]
     for g, w in zip(got, want):
         assert g[3] == w[3]
+
+
+def _brute_siegel_quantized(vals):
+    """Brute reference of the quantized Siegel recipe: per-point median of
+    doubled-milli floor-div pair slopes, then the median of medians."""
+    n = len(vals)
+
+    def med(xs):
+        xs = sorted(xs)
+        c = len(xs)
+        a, b = xs[(c + 1) // 2 - 1], xs[c // 2]
+        return (a + b) / 2
+
+    per_i = []
+    for i in range(n):
+        slopes = []
+        for j in range(n):
+            if j == i:
+                continue
+            dv, dt = (vals[j] - vals[i]) * 1000, j - i
+            slopes.append((dv - ((dv % dt + dt) % dt)) // dt * 2 if dt > 0
+                          else ((-dv) - (((-dv) % (-dt) + (-dt)) % (-dt))) // (-dt) * 2)
+        per_i.append(med(slopes))
+    slope = med(per_i) / 2000.0
+    resid = [float(v) - slope * i for i, v in enumerate(vals)]
+    return slope, med(resid)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=2, max_size=14))
+def test_siegel_sql_matches_brute(vals):
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    base = 1_700_000_000_000_000
+    for i, v in enumerate(vals):
+        con.execute(
+            "INSERT INTO events VALUES (?, make_timestamp(?), 0, 's', ?, '')",
+            [i, base + i * 3_600_000_000, float(v)],
+        )
+    rows = con.execute(entry.oracle_sql()["siegel_slopes_events_1h"]).fetchall()
+    assert len(rows) == 1
+    _, n_points, slope, intercept = rows[0]
+    bs, bi = _brute_siegel_quantized(vals)
+    assert n_points == len(vals) and slope == bs and intercept == bi
+
+
+def test_siegel_breakdown_beats_theil_sen_style_corruption():
+    """40% of points corrupted upward: the repeated median still recovers
+    the clean slope (quantized), where the plain pair-median would not."""
+    clean = [3 * i for i in range(20)]
+    corrupted = list(clean)
+    for i in range(0, 20, 5):  # 4/20 points wild
+        corrupted[i] += 10_000
+    for i in range(1, 20, 7):  # +3 more → 7/20 = 35%
+        corrupted[i] += 7_000
+    slope, _ = _brute_siegel_quantized(corrupted)
+    assert abs(slope - 3.0) < 0.5
