@@ -2312,15 +2312,23 @@ def siegel_slopes(
     g = b.groupBy("source").agg(
         F.collect_list(F.struct("_i", "_v")).alias("pts"), F.count(F.lit(1)).alias("n_points")
     )
+    # first explode to one row per LEFT endpoint, then SPREAD those rows
+    # before the second explode: the per-source group table has only
+    # |sources| rows, so without the repartition the whole O(n²) pair
+    # fan-out of a source runs in ONE task (measured 4.4 s warm at sf0.1
+    # with 5 sources; ~1.3 s after). This is the opposite call from the
+    # "don't repartition before Arrow kernels" note — here the shuffle
+    # moves |points| array rows to unlock |points|-way JVM parallelism.
+    lefts = g.select("source", "n_points", "pts", F.explode("pts").alias("pa")).select(
+        "source",
+        "n_points",
+        F.col("pa._i").alias("ia"),
+        F.col("pa._v").alias("va"),
+        "pts",
+    )
     pairs = (
-        g.select("source", "n_points", "pts", F.explode("pts").alias("pa"))
-        .select(
-            "source",
-            "n_points",
-            F.col("pa._i").alias("ia"),
-            F.col("pa._v").alias("va"),
-            F.explode("pts").alias("pb"),
-        )
+        lefts.repartition("source", "ia")
+        .select("source", "n_points", "ia", "va", F.explode("pts").alias("pb"))
         .filter(F.col("pb._i") > F.col("ia"))
         .selectExpr(
             "source",
