@@ -603,6 +603,26 @@ def q_arx_symb_forecast(spark, sf_dir):
     )
 
 
+def q_arx_symb_direct_forecast(spark, sf_dir):
+    """ARX_Symb_D (arx_symb_d.py:26-192): the symbolic design of
+    q_arx_symb_forecast ([1, l1, lag(y²)] — square written as x·x) feeding
+    ONE exact OLS per horizon against the zero-tail lead targets, batched
+    rectified predict — the symbolic×direct model-family combination, the
+    last reference model class to get its own DuckDB certificate (the
+    parity pytest test_models.py:35 pins the kernel; this certifies the
+    distributed pipeline value-for-value)."""
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    s = t.select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.floor(F.col("mean_y") / 4.0).cast("double").alias("y"),
+    )
+    return forecast_long(
+        s, hh=3, p=1, spec=1, skip=2, design="symb", symb_funcs=["square"],
+        mode="direct", solver="exact",
+    )
+
+
 def q_arx_exo_forecast(spark, sf_dir):
     """ARX with an exogenous regressor (W2 exo lagging + W6 hide path, which
     repeats the last observable exo lag for h > q): per-source hourly mean
@@ -3202,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar_smols_forecast_events_1h": q_ar_smols_forecast,
         "arx_cross_forecast_events_1h": q_arx_cross_forecast,
         "arx_symb_forecast_events_1h": q_arx_symb_forecast,
+        "arx_symb_direct_forecast_events_1h": q_arx_symb_direct_forecast,
         "arx_exo_forecast_events_1h": q_arx_exo_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
         "multimodal_features_synth": q_multimodal_features,
@@ -3813,6 +3834,7 @@ FROM wset a JOIN wset b ON b.doc_id = a.doc_id + 1""",
         "arx_cross_forecast_events_1h": exact_sql.arx_cross_sql(),
         "arx_exo_forecast_events_1h": exact_sql.arx_exo_sql(),
         "arx_symb_forecast_events_1h": exact_sql.arx_symb_sql(),
+        "arx_symb_direct_forecast_events_1h": exact_sql.arx_symb_direct_sql(),
         "arx_qof_rollvalidate_events_1h": exact_sql.arx_qof_roll_sql(rc=2),
         "feature_topk_events_1h": exact_sql.feature_topk_sql(k=3),
         "lttb_downsample_events": lttb_sql(k=20),

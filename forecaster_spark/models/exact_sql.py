@@ -452,16 +452,85 @@ fc3 AS (SELECT *, greatest(b0 + f2*b1 + (f2*f2)*b2, 0.0) AS f3 FROM fc2)
 {_out(3)}"""
 
 
-def _cramer3_symb(suffix: str = "") -> str:
-    """Cramer items for X1 = [1, l1, ls] (sums n, s1, ss, s11, s1s, sss)."""
+def _cramer3_symb(suffix: str = "", c: list[str] | None = None) -> str:
+    """Cramer items for X1 = [1, l1, ls] (sums n, s1, ss, s11, s1s, sss);
+    ``c`` overrides the target-sum column names (direct mode fits one
+    regression per horizon against per-horizon lead sums)."""
     A = [["n", "s1", "ss"], ["s1", "s11", "s1s"], ["ss", "s1s", "sss"]]
-    c = ["sy", "sy1", "sys"]
+    c = c or ["sy", "sy1", "sys"]
     items = [f"{_det3(A)} AS dd{suffix}"]
     for j in range(3):
         Aj = [[c[i] if jj == j else A[i][jj] for jj in range(3)] for i in range(3)]
         items.append(f"{_det3(Aj)} AS d{j}{suffix}")
     items += _coef_items(c[0], 3, suffix)
     return ", ".join(items)
+
+
+def arx_symb_direct_sql() -> str:
+    """ARX_Symb_D(p=1, spec=1, f_endo=[square]) direct multi-horizon, hh=3:
+    the symbolic design [1, l1, lag(y²)] of :func:`arx_symb_sql` feeding
+    one exact OLS per horizon against the zero-tail lead targets, then a
+    single batched rectified predict per horizon — no forge/scale-correction
+    (direct mode predicts every horizon from actual lagged features).
+    Reference: arx_symb_d.py:26-192 (symbolic design + per-horizon fits,
+    lead matrix Util/build_matrix.py:163-186, predict arx_d.py:216-253).
+    Same /4 signal quantization as the recursive symb query so the quartic
+    normal-equation sums stay inside HUGEINT determinants."""
+    hh = 3
+    lead_cols = ", ".join(
+        f"coalesce(lead(y, {h - 1}) OVER w, 0) AS yh{h}" for h in range(1, hh + 1)
+    )
+    ysums = ", ".join(
+        f"CAST(sum(yh{h}) AS HUGEINT) AS sy_{h}, "
+        f"CAST(sum(yh{h}*l1) AS HUGEINT) AS sy1_{h}, "
+        f"CAST(sum(yh{h}*ls) AS HUGEINT) AS sys_{h}"
+        for h in range(1, hh + 1)
+    )
+    cramers = ", ".join(
+        _cramer3_symb(suffix=f"_{h}", c=[f"sy_{h}", f"sy1_{h}", f"sys_{h}"])
+        for h in range(1, hh + 1)
+    )
+    preds = ", ".join(
+        f"greatest(p.b0_{h} + g.l1*p.b1_{h} + g.ls*p.b2_{h}, 0.0) AS f{h}"
+        for h in range(1, hh + 1)
+    )
+    return f"""
+WITH series AS (SELECT event_type AS source, ts, value FROM events),
+th AS (
+  SELECT source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*) / 4.0) AS yd
+  FROM series GROUP BY 1, 2
+),
+ord_s AS (
+  SELECT source, CAST(yd AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS t
+  FROM th
+),
+lagged AS (
+  SELECT source, t, y,
+         coalesce(lag(y, 1) OVER w, first_value(y) OVER w) AS l1,
+         coalesce(lag(y*y, 1) OVER w, first_value(y*y) OVER w) AS ls
+  FROM ord_s WINDOW w AS (PARTITION BY source ORDER BY t)
+),
+led AS (
+  SELECT source, t, y, l1, ls, {lead_cols}
+  FROM lagged WINDOW w AS (PARTITION BY source ORDER BY t)
+),
+sums AS (
+  SELECT source,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1) AS HUGEINT) AS s1, CAST(sum(ls) AS HUGEINT) AS ss,
+         CAST(sum(l1*l1) AS HUGEINT) AS s11, CAST(sum(l1*ls) AS HUGEINT) AS s1s,
+         CAST(sum(ls*ls) AS HUGEINT) AS sss,
+         {ysums}
+  FROM led GROUP BY source
+),
+params AS (SELECT source, {cramers} FROM sums),
+fc{hh} AS (
+  SELECT g.source, g.t, {preds}
+  FROM lagged g JOIN params p USING (source) WHERE g.t >= {SKIP}
+)
+{_out(hh)}"""
 
 
 def arx_qof_roll_sql(rc: int = 2) -> str:
