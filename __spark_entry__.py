@@ -2670,8 +2670,10 @@ def q_friedman(spark, sf_dir):
 
 def q_kruskal_wallis(spark, sf_dir):
     """Kruskal-Wallis sufficient statistics across sources on raw events:
-    global tie-averaged ranks WITHOUT a global sort (distinct-value counts
-    + running-offset window over the distinct-value table, the KS recipe),
+    global tie-averaged ranks WITHOUT a global sort or single-partition
+    window (two-pass range-sharded ranking: equi-depth shard boundaries →
+    per-shard running offsets in parallel → broadcast shard base offsets;
+    ranks are exact integers so sharding changes the plan, never values),
     per-source exact rank sums, global tie-cube term; mean_rank2 is the
     one division. H assembles driver-side from the exact pieces."""
     from forecaster_spark.operators.stats_tests import kruskal_wallis_stats

@@ -1644,6 +1644,7 @@ def kruskal_wallis_stats(
     value: str = "value",
     partition: str = "source",
     quantum: int = 1_000_000,
+    n_shards: int = 32,
 ) -> DataFrame:
     """Kruskal-Wallis sufficient statistics across series (Kruskal &
     Wallis, JASA 1952): global average ranks of every observation across
@@ -1655,13 +1656,18 @@ def kruskal_wallis_stats(
     sufficient statistics plus one division (`mean_rank2 = rank2_sum/n_g`,
     the doubled average rank per series); H assembles driver-side.
 
-    Scale note: global ranks are computed WITHOUT a global sort — counts
-    per distinct quantized value (one shuffle), a running-offset window
-    over the DISTINCT-value table only (bounded by value cardinality, not
-    row count; the ks_two_sample recipe), then doubled average ranks
-    ``r2_v = 2*cum_before_v + c_v + 1`` joined back on the value key.
+    Scale note: global ranks are computed WITHOUT a global sort OR a
+    single-partition window — two-pass range-sharded ranking over the
+    DISTINCT-value table: (1) equi-depth shard boundaries from an
+    approx-quantile sketch (driver holds ≤ n_shards doubles), (2) a
+    per-shard running-offset window (parallel across shards), (3) shard
+    base offsets = cumulative per-shard totals (n_shards rows collected,
+    broadcast back). Ranks are exact integers, so sharding changes the
+    plan, never the values — doubled average ranks ``r2_v =
+    2*(base_sh + cum_in_shard) + c_v + 1`` join back on the value key.
     Bounds: r2 <= 2N, rank2_sum <= 2*N*n_g, tie_cubes <= N^3 — int64 for
-    N to ~10^6 rows per run; at larger N feed a rolled tier.
+    N to ~10^6 rows per run; at larger N feed a rolled tier (the hourly
+    contract feed) or raise the quantum.
 
     Output: (partition, n_g, rank2_sum, n_total, tie_cubes, mean_rank2).
     """
@@ -1671,12 +1677,35 @@ def kruskal_wallis_stats(
     )
     pv = b.groupBy("source", "_vm").agg(F.count(F.lit(1)).alias("_c_sv"))
     tv = pv.groupBy("_vm").agg(F.sum("_c_sv").cast("long").alias("_c_v"))
-    wv = Window.orderBy("_vm").rowsBetween(Window.unboundedPreceding, -1)
-    tv2 = tv.select(
+    # pass 1: equi-depth boundaries over the distinct-value table (sketch;
+    # boundary placement only balances work — every distinct value lands
+    # in exactly one shard, so ties never straddle shards)
+    qs = [i / n_shards for i in range(1, n_shards)]
+    bounds = sorted(set(tv.stat.approxQuantile("_vm", qs, 0.001)))
+    shard = F.lit(0)
+    for bd in bounds:
+        shard = shard + F.when(F.col("_vm") > F.lit(int(bd)), 1).otherwise(0)
+    tvs = tv.withColumn("_sh", shard.cast("int"))
+    # pass 2a: shard base offsets (|shards| rows — bounded collect)
+    totals = {
+        r["_sh"]: r["_tot"]
+        for r in tvs.groupBy("_sh").agg(F.sum("_c_v").alias("_tot")).collect()
+    }
+    offs, acc = [], 0
+    for s in sorted(totals):
+        offs.append((s, acc))
+        acc += int(totals[s])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_sh int, _base long")
+    # pass 2b: within-shard running offsets, parallel across shards
+    wv = (
+        Window.partitionBy("_sh").orderBy("_vm").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tv2 = tvs.join(F.broadcast(off_df), "_sh").select(
         "_vm",
         "_c_v",
         (
-            F.lit(2) * F.coalesce(F.sum("_c_v").over(wv), F.lit(0))
+            F.lit(2) * (F.col("_base") + F.coalesce(F.sum("_c_v").over(wv), F.lit(0)))
             + F.col("_c_v")
             + F.lit(1)
         ).cast("long").alias("_r2"),
