@@ -293,6 +293,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 8,
     verify_jaccard: float | None = None,
+    bucket_block: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH; when
     ``verify_jaccard`` is set, candidates are re-checked with exact shingle
@@ -302,17 +303,53 @@ def minhash_lsh_pairs(
     # shuffle on (band_id, band_hash) and ONE evaluation of the fused band
     # kernel (a self-join re-executes the whole upstream for each side —
     # measured ~2× the kernel cost). Bucket sizes are bounded by the LSH
-    # property, so the within-bucket explosion equals the join's candidate
-    # count.
+    # property on deduped text, so the within-bucket explosion equals the
+    # join's candidate count — but a web crawl routinely carries m-member
+    # EXACT-duplicate clusters whose C(m,2) pair stream would otherwise
+    # serialize in the one task holding the bucket row. Hot-bucket control:
+    # split each bucket into ``bucket_block``-width chunks, enumerate the
+    # ~nb²/2 (chunk_i, chunk_j) block pairs as individual bounded rows
+    # (≤ 2·bucket_block ids each), round-robin repartition to spread the
+    # quadratic explosion across the cluster, THEN explode pairs. Normal
+    # buckets (m ≤ bucket_block) degenerate to nb=1 — one block-pair row,
+    # same pairs. No candidates are dropped; output volume is inherently
+    # C(m,2), so truly giant clusters should be collapsed by exact dedup
+    # upstream (standard practice) — this cap bounds task memory and
+    # serialization, not output semantics.
+    cap = int(bucket_block)
     buckets = (
         bandt.groupBy("band_id", "band_hash")
         .agg(F.collect_list(id_col).alias("_ids"))
         .where(F.size("_ids") > 1)
     )
+    chunked = buckets.select(
+        F.expr(
+            f"transform(sequence(0, (size(_ids) + {cap} - 1) div {cap} - 1),"
+            f" i -> slice(_ids, i * {cap} + 1, {cap}))"
+        ).alias("_chunks")
+    )
+    blk_i = chunked.select(
+        F.posexplode("_chunks").alias("_i", "_ca"), "_chunks"
+    )
+    blk_pairs = blk_i.select(
+        "_ca",
+        # j = i (self block) first, then every later block — each unordered
+        # cross-block pair lands in exactly one (i, j) row
+        F.posexplode(
+            F.concat(
+                F.array("_ca"),
+                F.expr("slice(_chunks, _i + 2, greatest(size(_chunks) - _i - 1, 0))"),
+            )
+        ).alias("_dj", "_cb"),
+    ).repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")))
     pairs = (
-        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
-        .select("id_a", F.explode("_ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
+        blk_pairs.select(F.explode("_ca").alias("id_a"), "_cb")
+        .select("id_a", F.explode("_cb").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
     if verify_jaccard is not None:
