@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1110,12 +1110,13 @@ def sparse_cosine_pairs(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_cap_ppm: int = 900_000,
+    df_cap_ppm: int = 50_000,
     min_shared: int = 2,
     cos_num: int = 7,
     cos_den: int = 8,
     dense_vocab_max: int = 4096,
     dense_block: int = 1024,
+    doc_top_k: int | None = 256,
 ) -> DataFrame:
     """Lexical (bag-of-words TF) cosine similarity pairs through an
     INVERTED INDEX — the sparse-vector complement of the MinHash/SimHash
@@ -1130,6 +1131,18 @@ def sparse_cosine_pairs(
     caps the postings self-join fanout per word, the
     difference between a shuffle and a meltdown at 10^12 docs (a stopword
     posting list would otherwise pair every document with every other).
+
+    The default ``df_cap_ppm=50_000`` (5% of docs) actually BINDS on real
+    Zipfian text: it drops the whole high-df head whose posting lists
+    dominate the Σ_w C(df_w, 2) join fanout (a 90% cap would prune almost
+    nothing — only true boilerplate). On top of it, ``doc_top_k`` keeps
+    only each document's top-k surviving terms by (tf desc, word asc) —
+    the standard truncated-TF vector — bounding every doc's posting
+    contribution; cosine (dot AND norms) is computed on the trimmed
+    vectors identically in both legs. Synthetic/test corpora with tiny
+    vocabularies can restore the permissive behavior explicitly
+    (``df_cap_ppm=900_000`` as the contract query does; every doc there
+    has ≤ 31 distinct words so ``doc_top_k`` is a no-op).
 
     Exactness: tf are integer counts; ``dot = Σ tf_a·tf_b`` and the
     norms ``n2 = Σ tf²`` are BIGINTs; the similarity THRESHOLD is the
@@ -1146,7 +1159,9 @@ def sparse_cosine_pairs(
       where df-pruning binds): explode → (doc, word) tf hash-agg → df
       hash-agg, then the postings SELF-JOIN on word with doc_a < doc_b →
       one (pair) hash-agg; norms ride the postings table. Join fanout is
-      Σ_w C(df_w, 2), which the df cap keeps linear-ish on real text.
+      Σ_w C(df_w, 2) over the df-capped, top-k-trimmed postings — the 5%
+      cap removes the head that dominates that sum on Zipfian text (the
+      pytest pins the reduction on a synthetic Zipf corpus).
     - **small vocab** (≤ ``dense_vocab_max``): the inverted index
       DEGENERATES — with few distinct surviving terms every posting list
       is a large fraction of the corpus and Σ C(df,2) is Θ(n²) ROWS
@@ -1173,6 +1188,20 @@ def sparse_cosine_pairs(
         .where(F.col("df") * 1_000_000 <= F.col("nd") * df_cap_ppm)
         .select("w")
     )
+    def _trim(p: DataFrame) -> DataFrame:
+        # truncated-TF vectors: each doc keeps its top-k surviving terms
+        # by (tf desc, word asc) — deterministic tie-break, one window on
+        # the doc key (per-doc cardinality bounded by the doc's distinct
+        # words, never corpus-global)
+        if not doc_top_k:
+            return p
+        wk = Window.partitionBy("_id").orderBy(F.col("tf").desc(), F.col("w").asc())
+        return (
+            p.withColumn("_rk", F.row_number().over(wk))
+            .where(F.col("_rk") <= int(doc_top_k))
+            .drop("_rk")
+        )
+
     if dense_vocab_max:
         probe = kept.limit(dense_vocab_max + 1).collect()
         if len(probe) <= dense_vocab_max:
@@ -1184,12 +1213,12 @@ def sparse_cosine_pairs(
                     "id_a long, id_b long, n_shared long, dot long, "
                     "n2_a long, n2_b long, cos double",
                 )
-            postings_d = tf.where(F.col("w").isin(vocab))
+            postings_d = _trim(tf.where(F.col("w").isin(vocab)))
             nd_val = int(corpus.count())
             return _dense_cosine_pairs(
                 spark, postings_d, vocab, nd_val, min_shared, cos_num, cos_den, dense_block
             )
-    postings = tf.join(kept, "w")
+    postings = _trim(tf.join(kept, "w"))
     norms = postings.groupBy("_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2")
     )
@@ -1253,7 +1282,9 @@ def _dense_cosine_pairs(
     dv = (
         postings.groupBy("_id")
         .agg(F.collect_list(F.struct("w", "tf")).alias("wt"))
-        .withColumn("bid", (F.col("_id") % nb).cast("int"))
+        # pmod: negative doc_ids must land in [0, nb) or they would match
+        # no (ba, bb) row and silently vanish from every block pair
+        .withColumn("bid", F.pmod(F.col("_id"), F.lit(nb)).cast("int"))
     )
     bp = spark.createDataFrame(
         [(i, j) for i in range(nb) for j in range(i, nb)], "ba int, bb int"
@@ -1305,7 +1336,23 @@ def _dense_cosine_pairs(
         swap = a_id > b_id
         a_id, b_id = np.where(swap, b_id, a_id), np.where(swap, a_id, b_id)
         n2a, n2b = np.where(swap, n2b, n2a), np.where(swap, n2a, n2b)
-        keep = c2 * d * d >= t2 * n2a * n2b
+        # int64 predicate wraps silently once c2·d² or t2·n2a·n2b nears
+        # 2^63 (d² ≤ n2a·n2b by Cauchy-Schwarz, so bounding the norm side
+        # bounds both); fall back to exact Python ints on the candidate
+        # subset — the inverted-index leg under ANSI errors loudly here,
+        # the two legs must not silently disagree at extreme tf scales
+        n2m = int(max(n2a.max(initial=0), n2b.max(initial=0)))
+        if max(c2, t2) * n2m * n2m < 2**63:
+            keep = c2 * d * d >= t2 * n2a * n2b
+        else:
+            keep = np.fromiter(
+                (
+                    c2 * int(x) * int(x) >= t2 * int(p) * int(q)
+                    for x, p, q in zip(d, n2a, n2b)
+                ),
+                dtype=bool,
+                count=len(d),
+            )
         if not keep.any():
             return pd.DataFrame(columns=cols)
         d, sh = d[keep], sh[keep]

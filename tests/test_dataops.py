@@ -864,9 +864,11 @@ def test_bloom_contamination_superset_and_false_positive(spark):
 
 
 def test_sparse_cosine_pairs_handcrafted(spark):
-    """Handcrafted corpus: 'the' appears in every doc (pruned by the 90%
-    relative cap), remaining TF vectors have known exact cosines; the 7/8
-    integer threshold keeps only the near-identical pair."""
+    """Handcrafted corpus: 'the' appears in every doc (pruned by the
+    explicit 90% relative cap — tiny corpora need the permissive cap, the
+    5% default is for real Zipfian text), remaining TF vectors have known
+    exact cosines; the 7/8 integer threshold keeps only the
+    near-identical pair."""
     import math
 
     from forecaster_spark.operators.dedup import sparse_cosine_pairs
@@ -878,7 +880,11 @@ def test_sparse_cosine_pairs_handcrafted(spark):
         (4, "the delta delta delta"),       # vec {delta:3} — shares nothing
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = {(r["id_a"], r["id_b"]): r for r in sparse_cosine_pairs(df).collect()}
+    out = {
+        (r["id_a"], r["id_b"])
+        : r
+        for r in sparse_cosine_pairs(df, df_cap_ppm=900_000).collect()
+    }
     # cos(1,2) = (4+2)/sqrt(5)/sqrt(8) = 0.9486 >= 7/8 — kept
     r = out[(1, 2)]
     assert (r["n_shared"], r["dot"], r["n2_a"], r["n2_b"]) == (2, 6, 5, 8)
@@ -962,3 +968,50 @@ def test_minhash_hot_bucket_10k_cluster_completes(spark):
         spark.createDataFrame(pdf), num_perm=8, bands=1, bucket_block=64
     ).count()
     assert cnt == n * (n - 1) // 2
+
+
+def test_sparse_cosine_zipf_df_cap_binds(spark):
+    """On a synthetic Zipf corpus (large vocab, heavy head) the 5% default
+    df cap must actually bind: the postings self-join fanout Σ_w C(df_w,2)
+    over kept words collapses versus the uncapped sum, and a planted
+    rare-word near-duplicate pair still comes through the inverted-index
+    leg (vocab > dense_vocab_max)."""
+    from forecaster_spark.operators.dedup import sparse_cosine_pairs
+
+    rng = np.random.default_rng(7)
+    n_docs, doc_len = 1200, 60
+    ranks = np.minimum(rng.zipf(1.3, size=(n_docs, doc_len)), 25_000)
+    texts = [" ".join(f"w{r}" for r in row) for row in ranks]
+    # planted near-dup: two docs of the same 40 rare (df=2) words
+    rare = " ".join(f"rare{i}" for i in range(40))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs + 2, dtype=np.int64),
+            "text": texts + [rare, rare],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    # fanout ledger straight from the df table (same tokenization)
+    words = df.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    dfreq = (
+        words.groupBy("doc_id", "w").count().groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .toPandas()
+    )
+    n = n_docs + 2
+    fan_all = int((dfreq["df"] * (dfreq["df"] - 1) // 2).sum())
+    kept = dfreq[dfreq["df"] * 1_000_000 <= n * 50_000]
+    fan_kept = int((kept["df"] * (kept["df"] - 1) // 2).sum())
+    assert len(dfreq) > 4096  # inverted-index leg regime
+    assert fan_kept < 0.02 * fan_all  # the cap binds — head removed
+
+    out = sparse_cosine_pairs(df).toPandas()
+    planted = out[(out.id_a == n_docs) & (out.id_b == n_docs + 1)]
+    import math
+
+    assert len(planted) == 1
+    assert planted.iloc[0]["cos"] == 40.0 / math.sqrt(40.0) / math.sqrt(40.0)
+    assert planted.iloc[0]["n_shared"] == 40
