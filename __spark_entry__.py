@@ -247,7 +247,7 @@ def q_jaccard_consecutive(spark, sf_dir):
     can reproduce it; the k-shingle variants are pytest-covered)."""
     docs = read_table(spark, sf_dir, "documents")
     wset = docs.select(
-        "doc_id", F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("ws")
+        "doc_id", F.array_distinct(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+")).alias("ws")
     )
     a = wset.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
     b = wset.select((F.col("doc_id") - 1).alias("id_a"), F.col("ws").alias("wb"))
@@ -404,7 +404,7 @@ def q_pack_sequences(spark, sf_dir):
     from forecaster_spark.operators.packing import pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ws = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
     src = docs.select("doc_id", "lang", ws.cast("long").alias("n_tok"))
     return pack_sequences(src, budget=512, n_tok="n_tok", partition="lang").select(
         "lang", "doc_id", "n_tok", "bin_id", "bin_fill"
@@ -3762,12 +3762,12 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 ORDER BY doc_id""",
         "token_counts_documents": f"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+       len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens_ws,
        len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe
 FROM documents""",
         "lang_id_documents": f"""
 WITH ws AS (
-  SELECT doc_id, lang, list_distinct(string_split_regex(lower(text), '\\s+')) AS w
+  SELECT doc_id, lang, list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
   FROM documents
 ), hits AS (
   SELECT doc_id, lang,
@@ -3796,10 +3796,10 @@ SELECT doc_id, lang, CASE WHEN b4 > 0 THEN l4 ELSE 'und' END AS lang_pred FROM f
         "quality_documents": f"""
 WITH feats AS (
   SELECT doc_id,
-         len(string_split_regex(lower(text), '\\s+')) AS n_words,
+         len(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-         len(list_filter(string_split_regex(lower(text), '\\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          w -> list_contains({_ALL_SW}, w))) AS sw_hits
   FROM documents
 ), ratios AS (
@@ -3819,7 +3819,7 @@ SELECT doc_id, n_words, punct_ratio, stopword_ratio, mean_word_len,
 FROM ratios""",
         "jaccard_consecutive_documents": """
 WITH wset AS (
-  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS ws
+  SELECT doc_id, list_distinct(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS ws
   FROM documents
 )
 SELECT a.doc_id AS doc_id,
@@ -4117,7 +4117,7 @@ FROM walk w JOIN fin f ON w.source = f.source AND w.idx = f.mi""",
         "simpson_diversity_documents": """
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ws
   FROM documents
 ), wc AS (
   SELECT doc_id, w, count(*) AS n
@@ -4155,7 +4155,7 @@ GROUP BY 1""",
         "repetition_signals_documents": """
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ws
   FROM documents
 ), wc AS (
   SELECT doc_id, w, count(*) AS n
@@ -4380,7 +4380,7 @@ SELECT event_type AS source, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n,
 FROM events GROUP BY 1, 2""",
         "bigram_collocations_documents": """
 WITH w AS (
-  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  SELECT list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ws
   FROM documents
 ), p AS (
   SELECT ws[i] AS w1, ws[i+1] AS w2
@@ -4823,7 +4823,7 @@ FROM h""",
         "span_corruption_documents": xhash_sql.span_corruption_sql(),
         "sparse_cosine_pairs_documents": """
 WITH w AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
   FROM documents
 ), tf AS (
   SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
@@ -5072,7 +5072,7 @@ FROM events GROUP BY 1""",
         "tfidf_topk_documents": """
 WITH w AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                             x -> x <> '')) AS term
   FROM documents
 ), tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
@@ -5418,7 +5418,7 @@ FROM p GROUP BY source""",
         "trending_tokens_documents": """
 WITH w AS (
   SELECT doc_id % 8 AS d,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
   FROM documents
 ), ps AS (
   SELECT w, d, count(*) AS c FROM w GROUP BY 1, 2
@@ -5441,7 +5441,7 @@ SELECT direction, w, n_total, slope_num,
 FROM u""",
         "vocab_stats_documents": """
 WITH w AS (
-  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
   FROM documents
 ), f AS (
   SELECT lang, w, count(*) AS f FROM w GROUP BY 1, 2
@@ -6439,7 +6439,7 @@ FROM q LEFT JOIN pr ON pr.source = q.source""",
 WITH c AS (
   SELECT lang,
          CAST(length(text) AS BIGINT) AS nc,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nw,
+         CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS nw,
          CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS nb
   FROM documents
 ), ag AS (
@@ -6488,7 +6488,10 @@ FROM ag""",
         "epoch_shuffle_documents": epoch_shuffle_sql(),
         "siegel_slopes_events_1h": "\nWITH th AS (\n  SELECT event_type AS source, date_trunc('hour', ts) AS b,\n         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd\n  FROM events GROUP BY 1, 2\n), o AS (\n  SELECT source, CAST(yd AS BIGINT) AS v,\n         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS i\n  FROM th\n), pr AS (\n  SELECT a.source, a.i AS ia, b2.i AS ib,\n         ((b2.v - a.v) * 1000\n            - ((((b2.v - a.v) * 1000) % (b2.i - a.i) + (b2.i - a.i)) % (b2.i - a.i))\n         ) // (b2.i - a.i) * 2 AS s2\n  FROM o a JOIN o b2 ON a.source = b2.source AND a.i < b2.i\n), ep AS (\n  SELECT source, ia AS i, s2 FROM pr\n  UNION ALL\n  SELECT source, ib AS i, s2 FROM pr\n), rmed AS (\n  SELECT source, i, s2,\n         row_number() OVER (PARTITION BY source, i ORDER BY s2) AS rn,\n         count(*) OVER (PARTITION BY source, i) AS cnt\n  FROM ep\n), medi AS (\n  SELECT source, i, avg(s2) AS medq FROM rmed\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1, 2\n), l2 AS (\n  SELECT source, medq,\n         row_number() OVER (PARTITION BY source ORDER BY medq) AS rn,\n         count(*) OVER (PARTITION BY source) AS cnt\n  FROM medi\n), sl AS (\n  SELECT source, avg(medq) / 2000.0 AS slope FROM l2\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1\n), res AS (\n  SELECT o.source, CAST(o.v AS DOUBLE) - sl.slope * o.i AS r\n  FROM o JOIN sl ON sl.source = o.source\n), rr AS (\n  SELECT source, r,\n         row_number() OVER (PARTITION BY source ORDER BY r) AS rn,\n         count(*) OVER (PARTITION BY source) AS cnt\n  FROM res\n), ic AS (\n  SELECT source, avg(r) AS intercept FROM rr\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1\n), np_ AS (\n  SELECT source, CAST(count(*) AS BIGINT) AS n_points FROM o GROUP BY 1\n)\nSELECT np_.source, np_.n_points, sl.slope, ic.intercept\nFROM np_ JOIN sl ON sl.source = np_.source JOIN ic ON ic.source = np_.source",
         "markov_transitions_events": "\nWITH s AS (\n  SELECT event_type AS source, ts, event_id,\n         CASE WHEN value < 25 THEN 'low' WHEN value < 75 THEN 'mid'\n              ELSE 'high' END AS state\n  FROM events\n), l AS (\n  SELECT source, state AS to_state,\n         lag(state) OVER (PARTITION BY source ORDER BY ts, event_id) AS from_state\n  FROM s\n), ag AS (\n  SELECT source, from_state, to_state, CAST(count(*) AS BIGINT) AS n\n  FROM l WHERE from_state IS NOT NULL GROUP BY 1, 2, 3\n)\nSELECT source, from_state, to_state, n,\n       CAST(sum(n) OVER (PARTITION BY source, from_state) AS BIGINT) AS n_from,\n       CAST(n AS DOUBLE)\n         / CAST(sum(n) OVER (PARTITION BY source, from_state) AS DOUBLE) AS p\nFROM ag",
-        "rake_keywords_documents": "\nWITH dw AS (\n  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws\n  FROM documents WHERE text IS NOT NULL\n), wr0 AS (\n  SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM dw\n), wr AS (\n  SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0\n), wn AS (\n  SELECT doc_id, wpos, w,\n         CASE WHEN w IN ('and', 'dans', 'das', 'de', 'den', 'der', 'des', 'die', 'ein', 'el', 'en', 'es', 'est', 'et', 'for', 'in', 'is', 'ist', 'it', 'la', 'le', 'les', 'los', 'mit', 'nicht', 'of', 'por', 'que', 'that', 'the', 'to', 'un', 'und', 'une', 'von', 'was', 'y') THEN 1 ELSE 0 END AS stp\n  FROM wr WHERE w <> ''\n), rn AS (\n  SELECT doc_id, wpos, w, stp,\n         sum(stp) OVER (PARTITION BY doc_id ORDER BY wpos\n           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run\n  FROM wn\n), nr AS (\n  SELECT doc_id, run, w FROM rn WHERE stp = 0\n), ph AS (\n  SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen FROM nr GROUP BY 1, 2\n), sc AS (\n  SELECT nr.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg\n  FROM nr JOIN ph ON ph.doc_id = nr.doc_id AND ph.run = nr.run\n  GROUP BY nr.w\n)\nSELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score\nFROM sc ORDER BY score DESC, w ASC LIMIT 30",
+        # stopword list generated from the SAME union the Spark side uses
+        # (_ALL_SW <- textops.STOPWORDS) so an edit to STOPWORDS can never
+        # silently desync the two legs
+        "rake_keywords_documents": f"\nWITH dw AS (\n  SELECT doc_id, string_split_regex(lower(text), '[^a-z0-9]+') AS ws\n  FROM documents WHERE text IS NOT NULL\n), wr0 AS (\n  SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM dw\n), wr AS (\n  SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0\n), wn AS (\n  SELECT doc_id, wpos, w,\n         CASE WHEN list_contains({_ALL_SW}, w) THEN 1 ELSE 0 END AS stp\n  FROM wr WHERE w <> ''\n), rn AS (\n  SELECT doc_id, wpos, w, stp,\n         sum(stp) OVER (PARTITION BY doc_id ORDER BY wpos\n           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run\n  FROM wn\n), nr AS (\n  SELECT doc_id, run, w FROM rn WHERE stp = 0\n), ph AS (\n  SELECT doc_id, run, CAST(count(*) AS BIGINT) AS plen FROM nr GROUP BY 1, 2\n), sc AS (\n  SELECT nr.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.plen) AS BIGINT) AS deg\n  FROM nr JOIN ph ON ph.doc_id = nr.doc_id AND ph.run = nr.run\n  GROUP BY nr.w\n)\nSELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score\nFROM sc ORDER BY score DESC, w ASC LIMIT 30",
         "holt_winters_mul_events_1h": """
 WITH RECURSIVE oc AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,
@@ -6518,7 +6521,7 @@ FROM walk""",
         "readability_documents": """
 WITH b AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_words,
          CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
   FROM documents WHERE text IS NOT NULL

@@ -87,7 +87,7 @@ def word_hash_ctes(doc_source_sql: str, max_word_len: int | None = None) -> str:
     if max_word_len is None:
         max_word_len = xhash.MAX_WORD_CP
     return f"""
-docs_w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+docs_w AS (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
            FROM ({doc_source_sql}) WHERE text IS NOT NULL),
 wr0 AS (SELECT doc_id, unnest(range(len(ws))) AS wpos, ws FROM docs_w),
 wr AS (SELECT doc_id, wpos, ws[wpos+1] AS w FROM wr0),
@@ -695,7 +695,7 @@ def span_corruption_sql(
     return f"""
 WITH d AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+         CAST(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok
   FROM ({doc_source_sql}) WHERE text IS NOT NULL
 ), k AS (
   SELECT doc_id, n_tok,
@@ -821,7 +821,7 @@ def ul2_denoiser_sql(
     return f"""
 WITH d0 AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok,
+         CAST(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok,
          CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 101) % {W} AS HUGEINT) AS dx0
   FROM ({doc_source_sql}) WHERE text IS NOT NULL
 ), dh AS (

@@ -291,6 +291,12 @@ def pooled_ar_forecast(
         F.sum(F.col("_v") * F.col("_l1")).alias("sy1"),
         F.sum(F.col("_v") * F.col("_l2")).alias("sy2"),
     ).collect()[0]
+    if int(s["n"] or 0) == 0:
+        # no series has >= 3 points: every lag sum is NULL — degrade to an
+        # empty result like the SQL oracle does instead of int(None) raising
+        return df.sparkSession.createDataFrame(
+            [], f"{partition} string, n_pool long, h int, y_hat double"
+        )
     n, s1, s2 = int(s["n"]), int(s["s1"]), int(s["s2"])
     s11, s12, s22 = int(s["s11"]), int(s["s12"]), int(s["s22"])
     sy, sy1, sy2 = int(s["sy"]), int(s["sy1"]), int(s["sy2"])

@@ -76,7 +76,7 @@ def pack_sequences(
 def pack_sequences_sql(
     budget: int,
     doc_source_sql: str = (
-        "SELECT doc_id, lang, len(string_split_regex(trim(text), '\\s+')) AS n_tok "
+        "SELECT doc_id, lang, len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok "
         "FROM documents"
     ),
     partition: str = "lang",
@@ -260,7 +260,7 @@ def span_corruption_layout(
     positions are 0-based whitespace-token indices.
     """
     mult = np.uint64(2 * seed + 1)
-    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"))
     b = (
         df.select(F.col(id_col), n_tok.cast("long").alias("n_tok"))
         .where(F.col("n_tok") >= span_len)
@@ -344,7 +344,7 @@ def ul2_denoiser_layout(
         w = widths.to_numpy(dtype=np.int64).view(np.uint64)
         return pd.Series((h % w).view(np.int64))
 
-    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"))
     d = F.col("_d")
     b = (
         df.where(F.col(text_col).isNotNull())

@@ -170,7 +170,7 @@ def cm_sketch(
     width is a power of two).
 
     Tokenization = the engine-wide cross-engine convention (lower + split
-    on ``\\s+``, keep-empties, :func:`xhash.word_hash_flat` truncation), so
+    on the explicit class ``[ \\t\\n\\x0B\\f\\r]+``, keep-empties, :func:`xhash.word_hash_flat` truncation), so
     the DuckDB mirror replays every cell count exactly.
 
     Scale shape: the kernel folds each Arrow batch into a local
@@ -208,7 +208,7 @@ def cm_sketch(
         )
 
     words = df.where(F.col(text_col).isNotNull()).select(
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("_ws")
+        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+").alias("_ws")
     )
     return (
         words.mapInPandas(kernel, schema=out_schema)

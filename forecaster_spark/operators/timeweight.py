@@ -1001,6 +1001,12 @@ def ccf(
         .groupBy(F.col("kp.lag").alias("lag"))
         .agg(F.sum("kp.p").alias("gxy"), F.count(F.lit(1)).alias("n_used"))
     )
+    # total over the lag spine: a grid shorter than max_lag must still emit
+    # every lag row (gxy/r NULL, n_used 0) — the SQL mirror's UNION of
+    # per-lag selects is total by construction, and at tiny SF the joined
+    # grid genuinely is that short
+    spine = df.sparkSession.createDataFrame([(k,) for k in lags], "lag int")
+    g = F.broadcast(spine).join(g, "lag", "left")
     return (
         g.crossJoin(F.broadcast(tot))
         .select(
@@ -1010,7 +1016,7 @@ def ccf(
                 F.col("gxy").cast("double")
                 / F.sqrt(F.col("gx0").cast("double") * F.col("gy0").cast("double"))
             ).alias("r"),
-            "n_used",
+            F.coalesce("n_used", F.lit(0)).cast("long").alias("n_used"),
         )
         .orderBy("lag")
     )
