@@ -41,6 +41,12 @@ def test_edge_cases():
     # irregular, negative dods
     ts = np.cumsum([0, 60, 60, 7, 3600, 1, 86400, 60, 60])
     roundtrip(ts, np.arange(9, dtype=float) * 1.1)
+    # int64-extreme deltas (|delta| > 2^63): the raw-dod token and the
+    # decoder's mod-2^64 cumsum chain must still reconstruct exactly
+    roundtrip(
+        np.array([-(2**62), 2**62, -(2**61), 2**62 + 5], dtype=np.int64),
+        np.array([1.5, -3.25, 7.0, 7.0]),
+    )
 
 
 @settings(max_examples=500, deadline=None)
