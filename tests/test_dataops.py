@@ -1015,3 +1015,27 @@ def test_sparse_cosine_zipf_df_cap_binds(spark):
     assert len(planted) == 1
     assert planted.iloc[0]["cos"] == 40.0 / math.sqrt(40.0) / math.sqrt(40.0)
     assert planted.iloc[0]["n_shared"] == 40
+
+
+def test_minhash_blocked_path_equals_unblocked_fuzz(spark):
+    """Property: the sub-blocked pair generator is pair-set-identical to
+    the single-chunk path (bucket_block larger than any bucket) on random
+    duplicate-heavy corpora — blocking changes the plan, never the answer."""
+    import random
+
+    rng = random.Random(20260821)
+    vocab = [f"tok{i}" for i in range(12)]
+    docs = []
+    for i in range(120):
+        if i % 3 == 0 and i:  # duplicate clusters of varying width
+            docs.append((f"f{i:03d}", docs[rng.randrange(len(docs))][1]))
+        else:
+            docs.append(
+                (f"f{i:03d}", " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+            )
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    blocked = minhash_lsh_pairs(df, num_perm=16, bands=4, bucket_block=3).toPandas()
+    plain = minhash_lsh_pairs(df, num_perm=16, bands=4, bucket_block=1 << 30).toPandas()
+    sb = set(zip(blocked.id_a, blocked.id_b))
+    sp = set(zip(plain.id_a, plain.id_b))
+    assert sb == sp and len(sb) > 0
