@@ -73,6 +73,28 @@ def q_rollup_1m(spark, sf_dir):
     return rollup_raw(_events_series(spark, sf_dir), "1m", exact=True).select(*ROLLUP_ORDER)
 
 
+def q_retract_rebuild(spark, sf_dir):
+    """Retraction-driven incremental tier rebuild (plans/retract.py): a
+    deterministic retraction batch (event_id % 97 == 0 — GDPR-delete /
+    late-correction shaped) is applied to the 1m tier by re-aggregating
+    ONLY the affected buckets (broadcast bucket semi-join into the raw
+    scan; untouched tier rows pass through an anti-join, never rereading
+    raw data). The oracle is the FULL recompute over surviving rows, so
+    OK-exact certifies incremental ≡ full — including min/max/first/last,
+    which are not arithmetically subtractable, and buckets that vanish
+    entirely."""
+    from forecaster_spark.plans.retract import retract_rebuild_tier
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        "ts",
+        F.col("value").alias("y"),
+        "event_id",
+    )
+    retr_ids = ev.where(F.col("event_id") % 97 == 0).select("event_id")
+    return retract_rebuild_tier(ev, retr_ids, tier="1m", exact=True).select(*ROLLUP_ORDER)
+
+
 def q_rollup_1h_cascade(spark, sf_dir):
     t1m = rollup_raw(_events_series(spark, sf_dir), "1m", exact=True)
     return rollup_cascade(t1m, "1h", exact=True).select(*ROLLUP_ORDER)
@@ -3166,6 +3188,7 @@ def q_winnowing_neardup_pairs(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_events": q_rollup_1m,
+        "retract_rebuild_1m_events": q_retract_rebuild,
         "rollup_1h_cascade_events": q_rollup_1h_cascade,
         "rollup_1d_cascade_events": q_rollup_1d_cascade,
         "lag_features_events": q_lag_features,
@@ -3620,6 +3643,15 @@ WITH th AS (
 def _oracle_sql_entries() -> dict[str, str]:
     return {
         "rollup_1m_events": _ROLLUP_SQL + _SEL + "t1m",
+        # full recompute over surviving rows — matching the incremental
+        # Spark plan certifies incremental ≡ full (see q_retract_rebuild)
+        "retract_rebuild_1m_events": _ROLLUP_SQL.replace(
+            "SELECT event_type AS source, ts, value AS y FROM events",
+            "SELECT event_type AS source, ts, value AS y FROM events"
+            " WHERE event_id % 97 <> 0",
+        )
+        + _SEL
+        + "t1m",
         "rollup_1h_cascade_events": _ROLLUP_SQL + _CASCADE_1H + _SEL + "t1h",
         "rollup_1d_cascade_events": _ROLLUP_SQL + _CASCADE_1H + """
 , t1d AS (

@@ -181,3 +181,57 @@ def test_bucketed_join_and_agg_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_retract_rebuild_tier_edges(spark):
+    """Incremental retraction rebuild ≡ full recompute on a handcrafted
+    frame covering the non-subtractable edges: retracting a bucket's min
+    holder, its first-by-ts holder, and EVERY row of one bucket (the
+    bucket must vanish). Untouched buckets must come through bit-identical
+    from the base tier (anti-join path, not recomputation)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from forecaster_spark.operators.rollup import rollup_raw
+    from forecaster_spark.plans.retract import retract_rebuild_tier
+
+    rows = [
+        # bucket A (minute 0): retract the min AND first row (id 1)
+        (1, "s1", "2024-01-01 00:00:05", 1.0),
+        (2, "s1", "2024-01-01 00:00:30", 9.0),
+        (3, "s1", "2024-01-01 00:00:50", 5.0),
+        # bucket B (minute 1): untouched
+        (4, "s1", "2024-01-01 00:01:10", 7.0),
+        (5, "s1", "2024-01-01 00:01:20", 2.0),
+        # bucket C (minute 2): fully retracted → must vanish
+        (6, "s1", "2024-01-01 00:02:01", 3.0),
+        (7, "s1", "2024-01-01 00:02:02", 4.0),
+        # other source, untouched
+        (8, "s2", "2024-01-01 00:00:15", 11.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "source", "ts", "y"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    ev = spark.createDataFrame(pdf)
+    retr = spark.createDataFrame(pd.DataFrame({"event_id": [1, 6, 7]}))
+
+    got = (
+        retract_rebuild_tier(ev, retr, tier="1m", exact=True)
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup_raw(
+            ev.join(F.broadcast(retr), "event_id", "left_anti").drop("event_id"),
+            "1m",
+            exact=True,
+        )
+        .toPandas()
+        .sort_values(["source", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+    a = got[(got.source == "s1")].reset_index(drop=True)
+    assert len(a) == 2  # bucket C vanished
+    assert a.iloc[0]["min_y"] == 5.0 and a.iloc[0]["first_y"] == 9.0  # min/first rebuilt
+    assert a.iloc[1]["cnt"] == 2  # untouched bucket intact
