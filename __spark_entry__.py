@@ -2574,6 +2574,26 @@ def q_auto_seasonal_qof(spark, sf_dir):
     )
 
 
+def q_arch1_vol(spark, sf_dir):
+    """ARCH(1) conditional-variance forecast per source on the hourly tier
+    (the volatility MODEL beside q_arch_lm's TEST — nothing else emits a
+    variance band that widens after a shock): squared persistence
+    residuals regressed on their lag by exact 2×2 Cramer, σ²_{T+1}
+    folded into ONE division (num0 + u_T·num1)/det. Signal floor(mean/8)
+    keeps every normal-equation product ≥45× inside int64 (ANSI-safe)."""
+    from forecaster_spark.operators.stats_tests import arch1_vol_forecast
+
+    t = rollup_raw(_events_series(spark, sf_dir), "1h", exact=True)
+    s = t.select(
+        "source",
+        F.col("bucket_start").alias("ts"),
+        F.floor(F.col("mean_y") / 8.0).cast("long").alias("v"),
+    )
+    return arch1_vol_forecast(s).select(
+        "source", "n", "u_last", "a0", "a1", "sigma2_next"
+    )
+
+
 def q_arch_lm(spark, sf_dir):
     """Engle ARCH-LM volatility-clustering test per source on the hourly
     tier (u=dy^2 on its lag by exact 2x2 Cramer; milli-quantized RSS/TSS
@@ -3227,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_events": q_ljung_box,
         "auto_seasonal_qof_events_1h": q_auto_seasonal_qof,
         "arch_lm_events_1h": q_arch_lm,
+        "arch1_vol_forecast_events_1h": q_arch1_vol,
         "demand_class_events": q_demand_class,
         "contamination_flags_documents": q_contamination,
         "bloom_contamination_documents": q_bloom_contamination,
@@ -4740,6 +4761,43 @@ SELECT source, n_nz, span, adi_milli, cv2,
             WHEN cv2 < 0.49 THEN 'intermittent'
             ELSE 'lumpy' END AS demand_class
 FROM b""",
+        "arch1_vol_forecast_events_1h": """
+WITH series AS (SELECT event_type AS source, ts, value FROM events),
+th AS (
+  SELECT source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*) / 8.0) AS yd
+  FROM series GROUP BY 1, 2
+),
+d AS (
+  SELECT source, b,
+         v - lag(v) OVER (PARTITION BY source ORDER BY b) AS dy
+  FROM (SELECT source, b, CAST(yd AS BIGINT) AS v FROM th)
+),
+u AS (SELECT source, b, dy * dy AS u FROM d WHERE dy IS NOT NULL),
+uz AS (
+  SELECT source, b, u,
+         lag(u) OVER (PARTITION BY source ORDER BY b) AS z
+  FROM u
+),
+ag AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(z) AS BIGINT) AS sz, CAST(sum(u) AS BIGINT) AS sy,
+         CAST(sum(z * z) AS BIGINT) AS szz, CAST(sum(u * z) AS BIGINT) AS syz,
+         arg_max(u, b) AS u_last
+  FROM uz WHERE z IS NOT NULL GROUP BY source
+)
+SELECT source, n, u_last,
+       CASE WHEN n*szz - sz*sz = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE CAST(sy*szz - sz*syz AS DOUBLE) / CAST(n*szz - sz*sz AS DOUBLE)
+       END AS a0,
+       CASE WHEN n*szz - sz*sz = 0 THEN 0.0
+            ELSE CAST(n*syz - sz*sy AS DOUBLE) / CAST(n*szz - sz*sz AS DOUBLE)
+       END AS a1,
+       CASE WHEN n*szz - sz*sz = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+            ELSE CAST((sy*szz - sz*syz) + u_last * (n*syz - sz*sy) AS DOUBLE)
+                 / CAST(n*szz - sz*sz AS DOUBLE)
+       END AS sigma2_next
+FROM ag""",
         "arch_lm_events_1h": """
 WITH th AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b,

@@ -2388,3 +2388,73 @@ def markov_transitions(
         "n_from",
         (F.col("n").cast("double") / F.col("n_from").cast("double")).alias("p"),
     )
+
+
+def arch1_vol_forecast(
+    df: DataFrame,
+    value: str = "v",
+    partition: str = "source",
+    order: str = "ts",
+) -> DataFrame:
+    """ARCH(1) conditional-variance forecast per series (Engle 1982 — the
+    volatility MODEL beside :func:`arch_lm`'s volatility TEST): regress
+    squared persistence residuals u_t = (v_t − v_{t−1})² on [1, u_{t−1}]
+    by exact 2×2 Cramer, then forecast the next-step conditional variance
+    σ²_{T+1} = a0 + a1·u_T. Nothing else in the engine emits a variance
+    band that widens after a shock; this is the missing heteroskedastic
+    companion of the conformal/OLS interval operators.
+
+    Exactness: the caller feeds an INTEGER-quantized signal whose scale
+    bounds every normal-equation product inside int64 — with |v| ≤ V:
+    u ≤ 4V², and the largest term sy·szz ≤ (n·4V²)·(n·16V⁴) must stay
+    < 2^63 (the hourly contract feed uses floor(mean/8), V ≤ 42, n ≤ 10³:
+    ≤ 2·10^17, ≥ 45× headroom; ANSI-safe). Every emitted float is ONE
+    division of BIGINT-exact numerators: a0 = num0/det, a1 = num1/det,
+    and σ²_{T+1} = (num0 + u_T·num1)/det — the predict chain folded into
+    a single ratio so no cross-engine addition order exists. det = 0
+    (constant u) degrades to the intercept-only fit a0 = Σu/n, a1 = 0.
+
+    Plan shape: two lag windows + one hash aggregate riding the series
+    key — one shuffle, all codegen, no kernel.
+
+    Output: (partition, n, u_last, a0, a1, sigma2_next)."""
+    b = df.select(
+        F.col(partition).alias("_p"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("_p").orderBy("_b")
+    u = (
+        b.withColumn("_dy", F.col("_v") - F.lag("_v", 1).over(w))
+        .where(F.col("_dy").isNotNull())
+        .select("_p", "_b", (F.col("_dy") * F.col("_dy")).alias("_u"))
+    )
+    uz = u.withColumn("_z", F.lag("_u", 1).over(w)).where(F.col("_z").isNotNull())
+    ag = uz.groupBy("_p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_z").alias("sz"),
+        F.sum("_u").alias("sy"),
+        F.sum(F.col("_z") * F.col("_z")).alias("szz"),
+        F.sum(F.col("_u") * F.col("_z")).alias("syz"),
+        F.max_by("_u", "_b").alias("u_last"),
+    )
+    det = F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")
+    num1 = F.col("n") * F.col("syz") - F.col("sz") * F.col("sy")
+    num0 = F.col("sy") * F.col("szz") - F.col("sz") * F.col("syz")
+    mean_u = F.col("sy").cast("double") / F.col("n").cast("double")
+    return ag.select(
+        F.col("_p").alias(partition),
+        "n",
+        "u_last",
+        F.when(det == 0, mean_u)
+        .otherwise(num0.cast("double") / det.cast("double"))
+        .alias("a0"),
+        F.when(det == 0, F.lit(0.0))
+        .otherwise(num1.cast("double") / det.cast("double"))
+        .alias("a1"),
+        F.when(det == 0, mean_u)
+        .otherwise(
+            (num0 + F.col("u_last") * num1).cast("double") / det.cast("double")
+        )
+        .alias("sigma2_next"),
+    )
