@@ -41,6 +41,8 @@ SUBSET = [
     "cosine_topk_ivf_embeddings",
     "tpch_q1_lineitem",
     "data_loader_batches_events",
+    "retract_rebuild_1m_events",
+    "arch1_vol_forecast_events_1h",
 ]
 
 SRC = "/root/testdata/sf0.001"
