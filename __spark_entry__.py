@@ -46,6 +46,7 @@ from forecaster_spark.operators.similarity import (
 )
 from forecaster_spark.operators.textops import (
     STOPWORDS,
+    WS_SPLIT,
     quality_funnel_sql,
     with_fingerprint,
     with_lang_id,
@@ -269,7 +270,7 @@ def q_jaccard_consecutive(spark, sf_dir):
     can reproduce it; the k-shingle variants are pytest-covered)."""
     docs = read_table(spark, sf_dir, "documents")
     wset = docs.select(
-        "doc_id", F.array_distinct(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+")).alias("ws")
+        "doc_id", F.array_distinct(F.split(F.lower("text"), WS_SPLIT)).alias("ws")
     )
     a = wset.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa"))
     b = wset.select((F.col("doc_id") - 1).alias("id_a"), F.col("ws").alias("wb"))
@@ -426,7 +427,7 @@ def q_pack_sequences(spark, sf_dir):
     from forecaster_spark.operators.packing import pack_sequences
 
     docs = read_table(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
+    ws = F.size(F.split(F.trim(F.col("text")), WS_SPLIT))
     src = docs.select("doc_id", "lang", ws.cast("long").alias("n_tok"))
     return pack_sequences(src, budget=512, n_tok="n_tok", partition="lang").select(
         "lang", "doc_id", "n_tok", "bin_id", "bin_fill"
@@ -3011,7 +3012,13 @@ def q_sparse_cosine_pairs(spark, sf_dir):
     from forecaster_spark.operators.dedup import sparse_cosine_pairs
 
     return sparse_cosine_pairs(
-        read_table(spark, sf_dir, "documents"), df_cap_ppm=900_000, min_shared=2
+        read_table(spark, sf_dir, "documents"),
+        df_cap_ppm=900_000,
+        min_shared=2,
+        # pinned: the oracle has no top-k trim, so the query must not
+        # inherit a future doc_top_k default change (today's 256 is a no-op
+        # on the <=31-distinct-word synthetic docs, but pin it anyway)
+        doc_top_k=None,
     )
 
 

@@ -293,9 +293,11 @@ def pooled_ar_forecast(
     ).collect()[0]
     if int(s["n"] or 0) == 0:
         # no series has >= 3 points: every lag sum is NULL — degrade to an
-        # empty result like the SQL oracle does instead of int(None) raising
+        # empty result like the SQL oracle does instead of int(None) raising.
+        # Schema matches the non-empty path exactly (n_pool: F.lit(int) →
+        # IntegerType; h: the stack()'s long literals → LongType)
         return df.sparkSession.createDataFrame(
-            [], f"{partition} string, n_pool long, h int, y_hat double"
+            [], f"{partition} string, n_pool int, h long, y_hat double"
         )
     n, s1, s2 = int(s["n"]), int(s["s1"]), int(s["s2"])
     s11, s12, s22 = int(s["s11"]), int(s["s12"]), int(s["s22"])

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from forecaster_spark.functions import xhash
+from forecaster_spark.operators.textops import WS_SPLIT
 from forecaster_spark.functions.xhash import splitmix64 as _splitmix
 
 
@@ -52,7 +53,7 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataF
 
 
 def _lower_words(text_col: str):
-    return F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    return F.split(F.lower(F.col(text_col)), WS_SPLIT)
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles") -> DataFrame:
@@ -1178,7 +1179,7 @@ def sparse_cosine_pairs(
     """
     words = corpus.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")).alias("w"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)).alias("w"),
     )
     tf = words.groupBy("_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from forecaster_spark.functions import xhash
-from forecaster_spark.operators.textops import BPE_ISH
+from forecaster_spark.operators.textops import BPE_ISH, WS_SPLIT
 
 
 def pack_sequences(
@@ -260,7 +260,7 @@ def span_corruption_layout(
     positions are 0-based whitespace-token indices.
     """
     mult = np.uint64(2 * seed + 1)
-    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"))
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT))
     b = (
         df.select(F.col(id_col), n_tok.cast("long").alias("n_tok"))
         .where(F.col("n_tok") >= span_len)
@@ -344,7 +344,7 @@ def ul2_denoiser_layout(
         w = widths.to_numpy(dtype=np.int64).view(np.uint64)
         return pd.Series((h % w).view(np.int64))
 
-    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+"))
+    n_tok = F.size(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT))
     d = F.col("_d")
     b = (
         df.where(F.col(text_col).isNotNull())

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from forecaster_spark.functions import xhash
+from forecaster_spark.operators.textops import WS_SPLIT
 
 # ---------------------------------------------------------------------------
 # HyperLogLog-style distinct registers
@@ -208,7 +209,7 @@ def cm_sketch(
         )
 
     words = df.where(F.col(text_col).isNotNull()).select(
-        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+").alias("_ws")
+        F.split(F.lower(F.col(text_col)), WS_SPLIT).alias("_ws")
     )
     return (
         words.mapInPandas(kernel, schema=out_schema)

@@ -1677,6 +1677,11 @@ def kruskal_wallis_stats(
     )
     pv = b.groupBy("source", "_vm").agg(F.count(F.lit(1)).alias("_c_sv"))
     tv = pv.groupBy("_vm").agg(F.sum("_c_sv").cast("long").alias("_c_v"))
+    # the quantile sketch, the shard-totals collect, AND the final job each
+    # consume tv — pin the tiny distinct-value table after ONE evaluation of
+    # the raw scan + two aggregations (the eager-localCheckpoint-of-a-tiny-
+    # derived-table pattern), instead of re-executing the upstream 3×
+    tv = tv.localCheckpoint(eager=True)
     # pass 1: equi-depth boundaries over the distinct-value table (sketch;
     # boundary placement only balances work — every distinct value lands
     # in exactly one shard, so ties never straddle shards)

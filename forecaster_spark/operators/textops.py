@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: THE engine-wide tokenizer whitespace class — the explicit spelling of
+#: Java's ``\s`` ([ \t\n\x0B\f\r]), which RE2/DuckDB's ``\s`` does NOT match
+#: (no U+000B). Every Spark-side split imports this; the DuckDB oracle SQL
+#: strings carry the identical literal, enforced by
+#: tests/test_contract_oracles.py::test_whitespace_class_consistency.
+WS_SPLIT = r"[ \t\n\x0B\f\r]+"
+
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
@@ -29,7 +36,7 @@ BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def _words(text_col: str):
-    return F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    return F.split(F.lower(F.col(text_col)), WS_SPLIT)
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
@@ -82,7 +89,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex segment count (letters runs,
     single digits, single punctuation — a proxy for subword token cost)."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"))
+    ws = F.size(F.split(F.trim(F.col(text_col)), WS_SPLIT))
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0))
     return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_bpe", bpe)
 
@@ -115,7 +122,7 @@ def quality_funnel(
     # explicit whitespace class, NOT \s: Java's \s includes vertical tab
     # (U+000B), RE2's does not — \s-split counts diverge between the engines
     # on texts containing \x0B (found by the adversarial-text fuzz test).
-    ws = r"[ \t\n\x0B\f\r]+"
+    ws = WS_SPLIT
     t = F.trim(F.col(text_col))
     wc = F.size(F.split(t, ws))
     wchars = F.length(F.regexp_replace(t, ws, ""))
@@ -237,7 +244,7 @@ def bigram_collocations(df: DataFrame, text_col: str = "text", topk: int = 50) -
     corpus work, no all-pairs anywhere.
 
     Output: (w1, w2, pair_n, w1_n, w2_n), ties broken lexicographically."""
-    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), "")
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), WS_SPLIT), "")
     d = df.select(ws.alias("ws"))
     pairs = d.select(
         F.explode(
@@ -292,7 +299,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     id (same-key shuffles, AQE-coalesced).
 
     Output: one row per input document."""
-    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), "")
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), WS_SPLIT), "")
     d = df.select(id_col, ws.alias("ws"))
     word_stats = (
         d.select(id_col, F.explode("ws").alias("w"))
@@ -369,7 +376,7 @@ def simpson_diversity(
     Plan shape: one explode→hash-agg chain, map-side combinable on
     (id, word) — corpus-linear. Output: (doc_id, n_words,
     n_distinct_words, collision_mass, inv_simpson)."""
-    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), "")
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), WS_SPLIT), "")
     stats = (
         df.select(id_col, F.explode(ws).alias("w"))
         .groupBy(id_col, "w")
@@ -432,7 +439,7 @@ def text_tokens(
             [toks[s:e] for s, e in zip(starts, ends)], dtype=object
         )
 
-    w = F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    w = F.split(F.lower(F.col(text_col)), WS_SPLIT)
     out = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), _tokens(w).alias("tokens")
     )
@@ -461,7 +468,7 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
     Output: (doc_id, term, tf, df, score, rnk ≤ k)."""
     from pyspark.sql import Window
 
-    ws = F.array_remove(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), "")
+    ws = F.array_remove(F.split(F.lower(F.col(text_col)), WS_SPLIT), "")
     tok = docs.select("doc_id", F.explode(ws).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -504,7 +511,7 @@ def vocab_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") 
     """
     words = df.select(
         F.col(group_col).alias("grp"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")).alias("w"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)).alias("w"),
     )
     freq = words.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("f"))
     return freq.groupBy("grp").agg(
@@ -782,7 +789,7 @@ def trending_tokens(
     den = D * sum_d2 - sum_d * sum_d
     words = df.select(
         (F.col(id_col) % D).cast("long").alias("d"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")).alias("w"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)).alias("w"),
     )
     per_snap = words.groupBy("w", "d").agg(F.count(F.lit(1)).alias("c"))
     per_word = (
@@ -843,7 +850,7 @@ def readability(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     re_num, re_den, reading_ease).
     """
     t = F.col(text_col)
-    W_ = F.size(F.split(F.trim(t), r"[ \t\n\x0B\f\r]+")).cast("long")
+    W_ = F.size(F.split(F.trim(t), WS_SPLIT)).cast("long")
     S_ = F.greatest(F.lit(1), F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0))).cast("long")
     Y_ = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), 0)).cast("long")
     b = (
@@ -971,7 +978,7 @@ def winnowing_fingerprint(
 
     src = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("_id"),
-        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+").alias("_ws"),
+        F.split(F.lower(F.col(text_col)), WS_SPLIT).alias("_ws"),
     )
     return src.mapInPandas(gen, out_schema)
 

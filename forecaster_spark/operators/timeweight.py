@@ -1005,8 +1005,10 @@ def ccf(
     # every lag row (gxy/r NULL, n_used 0) — the SQL mirror's UNION of
     # per-lag selects is total by construction, and at tiny SF the joined
     # grid genuinely is that short
+    # broadcast the aggregated RIGHT side: a LeftOuter BroadcastHashJoin can
+    # only build-right, so a hint on the left spine would be silently dropped
     spine = df.sparkSession.createDataFrame([(k,) for k in lags], "lag int")
-    g = F.broadcast(spine).join(g, "lag", "left")
+    g = spine.join(F.broadcast(g), "lag", "left")
     return (
         g.crossJoin(F.broadcast(tot))
         .select(

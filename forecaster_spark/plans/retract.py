@@ -18,6 +18,11 @@ row. The correct incremental plan therefore:
    raw scan);
 4. unions the kept rows with the recomputed rows.
 
+Steps 2-4 are incremental only when the stored tier is supplied
+(``base_tier=``); the self-contained contract query runs in harness mode
+(base recomputed from raw) because the driver gives it no storage, which
+certifies the SAME dataflow without the cost advantage.
+
 The contract certifies the strong property: the incremental result must be
 BIT-IDENTICAL to a full recompute over the surviving rows (the DuckDB
 oracle is exactly that full recompute) — including buckets that vanish
@@ -42,23 +47,37 @@ def retract_rebuild_tier(
     tier: str = "1m",
     exact: bool = True,
     tie_break: bool = True,
+    base_tier: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally corrected tier after retracting ``retract_ids`` rows.
 
     ``series``: long-format raw rows (source, ts, y, ``id_col``).
     ``retract_ids``: one column ``id_col`` — the rows to retract. Must be
     small enough to broadcast (retraction batches are, by nature).
+    ``base_tier``: the EXISTING stored tier (the output of a prior
+    ``rollup_raw(series, tier)`` read back from storage). This is the
+    argument that makes the plan incremental at scale — untouched tier
+    rows come from it via the anti-join and raw data is only scanned for
+    the retraction semi-join and the affected-bucket re-aggregation. When
+    None (certification/harness mode, e.g. the self-contained contract
+    query), the base is recomputed from ``series`` — correct but NOT
+    cheaper than a full recompute; a real deployment always passes the
+    stored tier.
 
     Returns the same schema as ``rollup_raw(series', tier)`` where
-    ``series'`` excludes the retracted rows — computed by touching only
-    affected buckets.
+    ``series'`` excludes the retracted rows — affected buckets recomputed,
+    everything else passed through.
     """
     unit = TIERS[tier]
     retr = series.join(F.broadcast(retract_ids), id_col, "left_semi")
     affected = retr.select(
         "source", F.date_trunc(unit, F.col("ts")).alias("bucket_start")
     ).distinct()
-    base = rollup_raw(series.drop(id_col), tier, exact=exact, tie_break=tie_break)
+    base = (
+        base_tier
+        if base_tier is not None
+        else rollup_raw(series.drop(id_col), tier, exact=exact, tie_break=tie_break)
+    )
     keep = base.join(
         F.broadcast(affected), ["source", "bucket_start"], "left_anti"
     )

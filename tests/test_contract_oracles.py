@@ -200,3 +200,35 @@ def test_sparse_cosine_dense_and_inverted_paths_agree(spark, synth_dir):
             assert (a == b).all(), c
         else:
             assert (pd.Series(a) == pd.Series(b)).all(), c
+
+
+def test_whitespace_class_consistency():
+    """Every tokenizer whitespace class in the repo — the Spark-side
+    WS_SPLIT constant and every DuckDB-oracle SQL literal — must be the one
+    canonical spelling [ \\t\\n\\x0B\\f\\r]+ (Java's \\s; RE2's \\s lacks
+    U+000B). A drifted or typo'd copy silently desyncs a Spark leg from
+    its oracle on vertical-tab text, so this pins all of them, and also
+    bans any resurgence of bare \\s+ splits."""
+    import pathlib
+    import re
+
+    from forecaster_spark.operators.textops import WS_SPLIT
+
+    assert WS_SPLIT == r"[ \t\n\x0B\f\r]+"
+    files = [
+        "__spark_entry__.py",
+        "forecaster_spark/functions/xhash_sql.py",
+        "forecaster_spark/operators/textops.py",
+        "forecaster_spark/operators/dedup.py",
+        "forecaster_spark/operators/packing.py",
+        "forecaster_spark/operators/sketches.py",
+    ]
+    # the class as it appears in source SQL strings (escaped backslashes)
+    canon_sql = r"[ \\t\\n\\x0B\\f\\r]+"
+    approx = re.compile(r"\[[^\]]*x0B[^\]]*\]\+")  # any ws-class-looking literal
+    for f in files:
+        src = pathlib.Path("/root/repo").joinpath(f).read_text()
+        for m in approx.finditer(src):
+            assert m.group(0) in (canon_sql, WS_SPLIT), (f, m.group(0))
+        # no split/string_split_regex on bare \s+ anywhere
+        assert not re.search(r"""split[^\n]{0,80}['"]\\+s\+['"]""", src), f
