@@ -45,6 +45,7 @@ from forecaster_spark.operators.similarity import (
     embedding_neardup_pairs_sql,
 )
 from forecaster_spark.operators.textops import (
+    BPE_ISH,
     STOPWORDS,
     WS_SPLIT,
     quality_funnel_sql,
@@ -3430,7 +3431,7 @@ def _sw_list(lang):
 
 _ALL_SW = "[" + ", ".join(f"'{w}'" for w in sorted({w for sws in STOPWORDS.values() for w in sws})) + "]"
 
-_BPE_SQL = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_BPE_SQL = BPE_ISH  # identical explicit-class value on both engines
 
 
 def _cm_sketch_oracle() -> str:
@@ -3858,7 +3859,7 @@ WITH feats AS (
   SELECT doc_id,
          len(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_words,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct,
          len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          w -> list_contains({_ALL_SW}, w))) AS sw_hits
   FROM documents

@@ -72,6 +72,20 @@ class _BitWriter:
         return out
 
 
+def _word_table(data: bytes) -> np.ndarray:
+    """``U[j]`` = the big-endian 64-bit word starting at byte j, with 16
+    zero-pad bytes so any ≤64-bit window read past the end sees 0s — the
+    shared table behind both the scalar bit cursor and the vectorized
+    decoder (one definition; the padding/bounds arithmetic must never
+    drift between them)."""
+    b = np.frombuffer(data, np.uint8).astype(np.uint64)
+    bb = np.concatenate([b, np.zeros(16, np.uint64)])
+    w = np.zeros(len(bb) - 7, np.uint64)
+    for k in range(8):
+        w |= bb[k : len(bb) - 7 + k] << np.uint64(56 - 8 * k)
+    return w
+
+
 class _BitReader:
     """O(1)-per-read bit cursor: one vectorized pass precomputes ``w[j]`` =
     the big-endian 64-bit word starting at byte j (8 shifted adds over the
@@ -82,12 +96,7 @@ class _BitReader:
     __slots__ = ("w", "pos")
 
     def __init__(self, data: bytes):
-        b = np.frombuffer(data, np.uint8).astype(np.uint64)
-        bb = np.concatenate([b, np.zeros(16, np.uint64)])  # pad: peeks past end read 0s
-        w = np.zeros(len(bb) - 7, np.uint64)
-        for k in range(8):
-            w |= bb[k : len(bb) - 7 + k] << np.uint64(56 - 8 * k)
-        self.w = w.tolist()  # python ints: cheaper scalar access than numpy
+        self.w = _word_table(data).tolist()  # python ints: cheap scalar access
         self.pos = 0
 
     def peek(self, nbits: int) -> int:
@@ -327,12 +336,7 @@ def gorilla_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     ts0, v0 = struct.unpack_from("<qd", blob, 4)
     if n == 1:
         return np.array([ts0], np.int64), np.array([v0], np.float64)
-    data = blob[20:]
-    b8 = np.frombuffer(data, np.uint8).astype(np.uint64)
-    bb = np.concatenate([b8, np.zeros(16, np.uint64)])  # pad: reads past end see 0s
-    U = np.zeros(len(bb) - 7, np.uint64)
-    for k in range(8):
-        U |= bb[k : len(bb) - 7 + k] << np.uint64(56 - 8 * k)
+    U = _word_table(blob[20:])
     w = U.tolist()  # python ints: cheaper scalar access in the walk
     M64 = (1 << 64) - 1
     TOP = 1 << 63

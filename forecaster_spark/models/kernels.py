@@ -294,11 +294,21 @@ def pooled_ar_forecast(
     if int(s["n"] or 0) == 0:
         # no series has >= 3 points: every lag sum is NULL — degrade to an
         # empty result like the SQL oracle does instead of int(None) raising.
-        # Schema matches the non-empty path exactly (n_pool: F.lit(int) →
-        # IntegerType; h: the stack()'s long literals → LongType)
-        return df.sparkSession.createDataFrame(
-            [], f"{partition} string, n_pool int, h long, y_hat double"
+        # Schema matches the non-empty path: the partition field keeps the
+        # INPUT column's type; n_pool int (F.lit of a small count) and h
+        # long (the stack()'s long literals)
+        from pyspark.sql import types as T
+
+        part_field = df.select(partition).schema.fields[0]
+        empty_schema = T.StructType(
+            [
+                part_field,
+                T.StructField("n_pool", T.IntegerType()),
+                T.StructField("h", T.LongType()),
+                T.StructField("y_hat", T.DoubleType()),
+            ]
         )
+        return df.sparkSession.createDataFrame([], empty_schema)
     n, s1, s2 = int(s["n"]), int(s["s1"]), int(s["s2"])
     s11, s12, s22 = int(s["s11"]), int(s["s12"]), int(s["s22"])
     sy, sy1, sy2 = int(s["sy"]), int(s["sy1"]), int(s["sy2"])

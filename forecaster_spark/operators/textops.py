@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 #: (no U+000B). Every Spark-side split imports this; the DuckDB oracle SQL
 #: strings carry the identical literal, enforced by
 #: tests/test_contract_oracles.py::test_whitespace_class_consistency.
-WS_SPLIT = r"[ \t\n\x0B\f\r]+"
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_SPLIT = rf"[{WS_CHARS}]+"
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
@@ -32,7 +33,7 @@ STOPWORDS = {
     "es": ["el", "la", "los", "de", "que", "y", "es", "en", "un", "por"],
 }
 
-BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_ISH = rf"[A-Za-z]+|[0-9]|[^A-Za-z0-9{WS_CHARS}]"
 
 
 def _words(text_col: str):
@@ -63,7 +64,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = _words(text_col)
     n_chars = F.length(t)
     n_words = F.size(words)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, rf"[^\w{WS_CHARS}]", ""))
     all_sw = sorted({w for sws in STOPWORDS.values() for w in sws})
     sw_hits = F.size(F.filter(words, lambda w: w.isin(*all_sw)))
     mean_wlen = (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1))
@@ -129,7 +130,7 @@ def quality_funnel(
     ndig = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     c1 = wc >= min_words
     c2 = wchars <= max_mean_wlen * wc
-    c3 = ~F.col(text_col).rlike(r"\S{%d}" % (max_word_len + 1))
+    c3 = ~F.col(text_col).rlike(rf"[^{WS_CHARS}]{{%d}}" % (max_word_len + 1))
     c4 = 100 * ndig <= max_digit_pct * wchars
 
     def n(cond):
@@ -165,7 +166,7 @@ f AS (SELECT len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS wc,
              length(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS wchars,
              length(trim(text))
                - length(regexp_replace(trim(text), '[0-9]', '', 'g')) AS ndig,
-             NOT regexp_matches(text, '\\S{{{max_word_len + 1}}}') AS ok_wlen
+             NOT regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]{{{max_word_len + 1}}}') AS ok_wlen
       FROM src),
 c AS (SELECT wc >= {min_words} AS c1,
              wchars <= {max_mean_wlen} * wc AS c2,

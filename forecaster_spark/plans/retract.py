@@ -78,15 +78,25 @@ def retract_rebuild_tier(
         if base_tier is not None
         else rollup_raw(series.drop(id_col), tier, exact=exact, tie_break=tie_break)
     )
+    # null-SAFE bucket equality: a retracted row with NULL ts lands in the
+    # NULL bucket, and plain = would never match it in the anti/semi joins —
+    # the retracted contribution would silently survive in the tier
+    aff_keep = affected.select(
+        F.col("source").alias("_as"), F.col("bucket_start").alias("_ab")
+    )
     keep = base.join(
-        F.broadcast(affected), ["source", "bucket_start"], "left_anti"
+        F.broadcast(aff_keep),
+        F.col("source").eqNullSafe(F.col("_as"))
+        & F.col("bucket_start").eqNullSafe(F.col("_ab")),
+        "left_anti",
     )
     survivors = series.join(F.broadcast(retract_ids), id_col, "left_anti")
     aff_rows = (
         survivors.withColumn("_bk", F.date_trunc(unit, F.col("ts")))
         .join(
-            F.broadcast(affected.withColumnRenamed("bucket_start", "_bk")),
-            ["source", "_bk"],
+            F.broadcast(aff_keep),
+            F.col("source").eqNullSafe(F.col("_as"))
+            & F.col("_bk").eqNullSafe(F.col("_ab")),
             "left_semi",
         )
         .drop("_bk")

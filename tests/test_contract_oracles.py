@@ -204,31 +204,94 @@ def test_sparse_cosine_dense_and_inverted_paths_agree(spark, synth_dir):
 
 def test_whitespace_class_consistency():
     """Every tokenizer whitespace class in the repo — the Spark-side
-    WS_SPLIT constant and every DuckDB-oracle SQL literal — must be the one
-    canonical spelling [ \\t\\n\\x0B\\f\\r]+ (Java's \\s; RE2's \\s lacks
-    U+000B). A drifted or typo'd copy silently desyncs a Spark leg from
-    its oracle on vertical-tab text, so this pins all of them, and also
-    bans any resurgence of bare \\s+ splits."""
+    WS_SPLIT/WS_CHARS constants and every DuckDB-oracle SQL literal — must
+    be the one canonical spelling [ \\t\\n\\x0B\\f\\r] (Java's \\s; RE2's
+    \\s lacks U+000B). A drifted or typo'd copy silently desyncs a Spark
+    leg from its oracle on vertical-tab text. Also bans the divergent
+    shorthands outright: no split on bare \\s+, and no \\s or \\S inside any
+    regex-class literal (their Java/RE2 semantics differ on U+000B — the
+    BPE_ISH/[^\\w\\s]/\\S{{n}} bug class found in the r4 review). Files are
+    discovered by globbing the repo, not a hardcoded list."""
     import pathlib
     import re
 
-    from forecaster_spark.operators.textops import WS_SPLIT
+    from forecaster_spark.operators.textops import WS_CHARS, WS_SPLIT
 
+    assert WS_CHARS == r" \t\n\x0B\f\r"
     assert WS_SPLIT == r"[ \t\n\x0B\f\r]+"
-    files = [
-        "__spark_entry__.py",
-        "forecaster_spark/functions/xhash_sql.py",
-        "forecaster_spark/operators/textops.py",
-        "forecaster_spark/operators/dedup.py",
-        "forecaster_spark/operators/packing.py",
-        "forecaster_spark/operators/sketches.py",
-    ]
-    # the class as it appears in source SQL strings (escaped backslashes)
-    canon_sql = r"[ \\t\\n\\x0B\\f\\r]+"
-    approx = re.compile(r"\[[^\]]*x0B[^\]]*\]\+")  # any ws-class-looking literal
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    files = [repo / "__spark_entry__.py", repo / "bench.py"]
+    for sub in ("forecaster_spark", "jobs", "tools"):
+        files += sorted((repo / sub).rglob("*.py"))
+    canon_sql = r"[ \\t\\n\\x0B\\f\\r]"  # the class as escaped source literal
+    canon_raw = r"[ \t\n\x0B\f\r]"
+    approx = re.compile(r"\[[^\]]*x0B[^\]]*\]")  # any ws-class-looking literal
     for f in files:
-        src = pathlib.Path("/root/repo").joinpath(f).read_text()
+        src = f.read_text()
         for m in approx.finditer(src):
-            assert m.group(0) in (canon_sql, WS_SPLIT), (f, m.group(0))
+            lit = m.group(0)
+            assert lit in (canon_sql, canon_raw) or lit.startswith("[^"), (f.name, lit)
+            if lit.startswith("[^"):
+                # negated classes must end with the same canonical tail
+                assert lit.endswith(canon_sql[1:]) or lit.endswith(canon_raw[1:]), (
+                    f.name,
+                    lit,
+                )
         # no split/string_split_regex on bare \s+ anywhere
-        assert not re.search(r"""split[^\n]{0,80}['"]\\+s\+['"]""", src), f
+        assert not re.search(r"""split[^\n]{0,80}['"]\\+s\+['"]""", src), f.name
+        # no \s or \S inside character classes in any string literal
+        # (two-backslash source form = the form that reaches a regex engine)
+        assert not re.search(r"\[[^\]\n]*\\+[sS][^\]\n]*\]", src), f.name
+
+
+def test_vertical_tab_text_cross_engine(spark, tmp_path):
+    """Adversarial \\x0B corpus through the BPE/punct/long-token regex
+    paths: with the explicit character classes (Java \\s ≠ RE2 \\s on
+    U+000B, and their complements \\S also differ) the Spark legs and the
+    DuckDB oracles must agree on vertical-tab text — the r4 review found
+    BPE_ISH/[^\\w\\s]/\\S{n} still carried the divergent shorthands."""
+    import __spark_entry__ as entry
+
+    texts = [
+        "plain words only here",
+        "tab\x0Bseparated\x0Btokens and more text",
+        "punct!,;\x0B:? mixed with\x0Bvt",
+        ("x" * 20 + "\x0B" + "y" * 20) + " short tail words",  # \x0B splits a 41-run
+        "digits 1 2 3\x0B4 5 and words to pad the doc length",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["vt"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    qs, osql = entry.queries(), entry.oracle_sql()
+    for name in (
+        "token_counts_documents",
+        "quality_documents",
+        "quality_funnel_documents",
+        "token_histogram_documents",
+    ):
+        got = _normalize(qs[name](spark, d).toPandas())
+        want = _normalize(con.execute(osql[name]).df())
+        assert len(got) == len(want), name
+        for c in got.columns:
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            if np.issubdtype(a.dtype, np.floating):
+                assert (a == np.asarray(b, dtype=float)).all(), (name, c)
+            else:
+                assert (pd.Series(a).fillna("~N") == pd.Series(b).fillna("~N")).all(), (
+                    name,
+                    c,
+                )

@@ -235,3 +235,42 @@ def test_retract_rebuild_tier_edges(spark):
     assert len(a) == 2  # bucket C vanished
     assert a.iloc[0]["min_y"] == 5.0 and a.iloc[0]["first_y"] == 9.0  # min/first rebuilt
     assert a.iloc[1]["cnt"] == 2  # untouched bucket intact
+
+
+def test_retract_rebuild_null_ts_row(spark):
+    """Retracting a NULL-ts row (it lives in the NULL bucket) must actually
+    remove its contribution — the bucket joins are null-SAFE; with plain
+    equality the NULL-bucket tier row would silently survive the anti-join
+    (r4 review finding)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from forecaster_spark.operators.rollup import rollup_raw
+    from forecaster_spark.plans.retract import retract_rebuild_tier
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "source": ["s1", "s1", "s1", "s1"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:05", "2024-01-01 00:00:30", pd.NaT, pd.NaT]
+            ),
+            "y": [1.0, 9.0, 5.0, 7.0],
+        }
+    )
+    ev = spark.createDataFrame(pdf)
+    retr = spark.createDataFrame(pd.DataFrame({"event_id": [3]}))
+    got = retract_rebuild_tier(ev, retr, tier="1m", exact=True).toPandas()
+    want = rollup_raw(
+        ev.join(F.broadcast(retr), "event_id", "left_anti").drop("event_id"),
+        "1m",
+        exact=True,
+    ).toPandas()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, na_position="last").reset_index(drop=True),
+        want[cols].sort_values(cols, na_position="last").reset_index(drop=True),
+    )
+    # the NULL bucket still exists (row 4 survives) with row 3's value gone
+    nullb = got[got.bucket_start.isna()]
+    assert len(nullb) == 1 and nullb.iloc[0]["cnt"] == 1 and nullb.iloc[0]["min_y"] == 7.0

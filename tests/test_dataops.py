@@ -956,7 +956,9 @@ def test_minhash_hot_bucket_10k_cluster_completes(spark):
     """The verdict scenario: a 10^4-member exact-duplicate cluster (routine
     on web crawls). The blocked path spreads the C(m,2) ≈ 5·10^7 pair
     stream across ~12k bounded block-pair tasks instead of serializing it
-    in the one task holding the bucket row."""
+    in the one task holding the bucket row. Costs ~25 s of suite time —
+    kept at 10^4 deliberately: the r3 verdict's done-criterion for the
+    hot-bucket fix names a 10^4-member cluster explicitly."""
     n = 10_000
     pdf = pd.DataFrame(
         {
@@ -993,8 +995,10 @@ def test_sparse_cosine_zipf_df_cap_binds(spark):
     df = spark.createDataFrame(pdf)
 
     # fanout ledger straight from the df table (same tokenization)
+    from forecaster_spark.operators.textops import WS_SPLIT
+
     words = df.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), WS_SPLIT)).alias("w")
     )
     dfreq = (
         words.groupBy("doc_id", "w").count().groupBy("w")
