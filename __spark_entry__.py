@@ -2576,6 +2576,20 @@ def q_auto_seasonal_qof(spark, sf_dir):
     )
 
 
+def q_mbb_mean_ci(spark, sf_dir):
+    """Moving-block-bootstrap 95% CI for the per-source hourly mean
+    (Künsch 1989) — dependence-aware uncertainty for tier statistics,
+    with DETERMINISTIC splitmix resampling (block starts =
+    splitmix64((2·seed+1)·(r·2^20+j)) mod (n−w+1)) so the SQL oracle
+    replays every one of the B=200 replicates bit-for-bit: integer
+    prefix-sum block totals, order-statistic bounds at the
+    (B+1)-convention ranks, one exactly-representable division per
+    emitted mean."""
+    from forecaster_spark.operators.stats_tests import mbb_mean_ci
+
+    return mbb_mean_ci(_hourly_micro_buckets(spark, sf_dir), w=24, B=200, seed=11)
+
+
 def q_arch1_vol(spark, sf_dir):
     """ARCH(1) conditional-variance forecast per source on the hourly tier
     (the volatility MODEL beside q_arch_lm's TEST — nothing else emits a
@@ -3256,6 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_seasonal_qof_events_1h": q_auto_seasonal_qof,
         "arch_lm_events_1h": q_arch_lm,
         "arch1_vol_forecast_events_1h": q_arch1_vol,
+        "mbb_mean_ci_events_1h": q_mbb_mean_ci,
         "demand_class_events": q_demand_class,
         "contamination_flags_documents": q_contamination,
         "bloom_contamination_documents": q_bloom_contamination,
@@ -4769,6 +4784,62 @@ SELECT source, n_nz, span, adi_milli, cv2,
             WHEN cv2 < 0.49 THEN 'intermittent'
             ELSE 'lumpy' END AS demand_class
 FROM b""",
+        "mbb_mean_ci_events_1h": f"""
+WITH mb AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS bucket_start,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS v_micro
+  FROM events GROUP BY 1, 2
+),
+meta AS (
+  SELECT source, count(*) AS n, CAST(sum(v_micro) AS BIGINT) AS tot
+  FROM mb GROUP BY source HAVING count(*) > 24
+),
+pre AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY bucket_start) - 1 AS t,
+         CAST(sum(v_micro) OVER (PARTITION BY source ORDER BY bucket_start) AS BIGINT) AS p
+  FROM mb
+),
+spine AS (
+  SELECT source, n, k, r, unnest(range(k)) AS j
+  FROM (SELECT source, n, (n + 23) // 24 AS k, unnest(range(200)) AS r FROM meta)
+),
+sx AS (
+  SELECT source, n, k, r, j,
+         CAST((r * 1048576 + j) * 23 AS HUGEINT) % {xhash_sql.W} AS x0
+  FROM spine
+),
+sh AS (SELECT source, n, k, r, j, {xhash_sql.splitmix_cols("x0", "h")} FROM sx),
+st AS (
+  SELECT source, r,
+         CAST(h % (n - 23) AS BIGINT) AS s,
+         CASE WHEN j = k - 1 THEN n - (k - 1) * 24 ELSE 24 END AS L
+  FROM sh
+),
+c AS (
+  SELECT st.source, st.r, hi.p - COALESCE(lo.p, 0) AS contrib
+  FROM st
+  JOIN pre hi ON hi.source = st.source AND hi.t = st.s + st.L - 1
+  LEFT JOIN pre lo ON lo.source = st.source AND lo.t = st.s - 1
+),
+tr AS (SELECT source, r, CAST(sum(contrib) AS BIGINT) AS tt FROM c GROUP BY 1, 2),
+rk AS (
+  SELECT source, tt,
+         row_number() OVER (PARTITION BY source ORDER BY tt, r) AS rnk
+  FROM tr
+),
+bounds AS (
+  SELECT source,
+         max(CASE WHEN rnk = 5 THEN tt END) AS lo_total,
+         max(CASE WHEN rnk = 196 THEN tt END) AS hi_total
+  FROM rk GROUP BY source
+)
+SELECT m.source, CAST(m.n AS BIGINT) AS n, CAST(200 AS BIGINT) AS n_boot,
+       m.tot AS total, CAST(m.tot AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean,
+       b.lo_total, b.hi_total,
+       CAST(b.lo_total AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_lo,
+       CAST(b.hi_total AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_hi
+FROM meta m JOIN bounds b USING (source)""",
         "arch1_vol_forecast_events_1h": """
 WITH series AS (SELECT event_type AS source, ts, value FROM events),
 th AS (

@@ -2463,3 +2463,96 @@ def arch1_vol_forecast(
         )
         .alias("sigma2_next"),
     )
+
+
+def mbb_mean_ci(
+    df: DataFrame,
+    value: str = "v_micro",
+    partition: str = "source",
+    order: str = "bucket_start",
+    w: int = 24,
+    B: int = 200,
+    seed: int = 11,
+) -> DataFrame:
+    """Moving-block-bootstrap confidence interval for the per-series mean
+    (Künsch 1989; percentile bootstrap at 95%) — the uncertainty number a
+    rollup report should print next to every tier mean, which no point
+    statistic in the engine provides. Dependence-aware: blocks of ``w``
+    consecutive points preserve the autocorrelation an iid bootstrap
+    destroys.
+
+    DETERMINISTIC resampling: replicate r's block j starts at
+    ``splitmix64((2·seed+1)·(r·2^20 + j)) mod (n−w+1)`` — the repo's
+    order-invariant splitmix discipline, replayed bit-for-bit by the SQL
+    oracle (no RNG state, no partition dependence). Replicates concatenate
+    k = ceil(n/w) blocks trimmed to n points (the last block contributes
+    n−(k−1)·w values).
+
+    Exactness: block sums are differences of integer prefix sums; replicate
+    totals are exact int64 (micro-unit values × tier-bounded n stay ≪ 2^53,
+    so each emitted mean is ONE exactly-representable-integer division).
+    Bounds are ORDER STATISTICS of the replicate totals (sorted by
+    (total, r) — total order equals mean order since n is fixed), picked at
+    ranks max(1, ⌊25·(B+1)/1000⌋) and B+1−that (the (B+1)-convention
+    percentile bootstrap). Sources with n ≤ w emit nothing (no valid block
+    start).
+
+    Plan shape: one shuffle on the series key into a per-series Arrow
+    kernel (tier-bounded series; B·k ≈ 6.4k resample indices per source as
+    vectorized numpy gathers).
+
+    Output: (partition, n, n_boot, total, mean, lo_total, hi_total,
+    mean_lo, mean_hi)."""
+    import numpy as np
+    import pandas as pd
+
+    from forecaster_spark.functions import xhash
+
+    mult = np.uint64(2 * seed + 1)
+    cols = [
+        "n", "n_boot", "total", "mean", "lo_total", "hi_total", "mean_lo", "mean_hi",
+    ]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_b")
+        v = pdf["_v"].to_numpy(np.int64)
+        n = len(v)
+        if n <= w:
+            return pd.DataFrame(columns=["_p", *cols])
+        pre = np.concatenate(([0], np.cumsum(v)))
+        k = -(-n // w)
+        r = np.repeat(np.arange(B, dtype=np.uint64), k)
+        j = np.tile(np.arange(k, dtype=np.uint64), B)
+        h = xhash.splitmix64((r * np.uint64(1 << 20) + j) * mult)
+        s = (h % np.uint64(n - w + 1)).astype(np.int64)
+        L = np.where(j.astype(np.int64) == k - 1, n - (k - 1) * w, w)
+        T = (pre[s + L] - pre[s]).reshape(B, k).sum(axis=1)
+        ordT = np.lexsort((np.arange(B), T))  # (total, r) ascending
+        lo_rank = max(1, (25 * (B + 1)) // 1000)
+        hi_rank = B + 1 - lo_rank
+        lo_t = int(T[ordT[lo_rank - 1]])
+        hi_t = int(T[ordT[hi_rank - 1]])
+        tot = int(pre[n])
+        return pd.DataFrame(
+            [
+                (
+                    pdf["_p"].iat[0], n, B, tot, float(tot) / float(n),
+                    lo_t, hi_t, float(lo_t) / float(n), float(hi_t) / float(n),
+                )
+            ],
+            columns=["_p", *cols],
+        )
+
+    b = df.select(
+        F.col(partition).alias("_p"),
+        F.col(order).alias("_b"),
+        F.col(value).cast("long").alias("_v"),
+    )
+    out = b.groupBy("_p").applyInPandas(
+        kernel,
+        schema=(
+            "_p string, n long, n_boot long, total long, mean double, "
+            "lo_total long, hi_total long, mean_lo double, mean_hi double"
+        ),
+    )
+    return out.withColumnRenamed("_p", partition)

@@ -101,3 +101,56 @@ def test_retract_rebuild_oracle_is_filtered_rollup(series, mod):
     g = got.sort_values(key).reset_index(drop=True)
     w = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 600_000), min_size=60, max_size=120))
+def test_mbb_mean_ci_oracle_vs_brute(series):
+    """Independent replay of the deterministic moving-block bootstrap:
+    hourly micro-mean signal, splitmix starts, trimmed block sums from
+    prefix sums, (total, r) order statistics at ranks 5/196 of B=200."""
+    import numpy as np
+
+    from forecaster_spark.functions import xhash
+
+    pdf = _events_pdf(series)
+    got = _run("mbb_mean_ci_events_1h", pdf)
+
+    buckets = {}
+    for i, mv in enumerate(series):
+        h = (20 * i) // 60
+        buckets.setdefault(h, []).append(int(round((mv / 1000.0) * 1e6)))
+    v = [sum(b) // len(b) for _, b in sorted(buckets.items())]
+    n, w, B = len(v), 24, 200
+    if n <= w:
+        assert len(got) == 0
+        return
+    pre = [0]
+    for x in v:
+        pre.append(pre[-1] + x)
+    k = -(-n // w)
+    totals = []
+    for r in range(B):
+        t = 0
+        for j in range(k):
+            h64 = int(
+                xhash.splitmix64(np.array([np.uint64((r * (1 << 20) + j) * 23)]))[0]
+            )
+            s = h64 % (n - w + 1)
+            L = n - (k - 1) * w if j == k - 1 else w
+            t += pre[s + L] - pre[s]
+        totals.append((t, r))
+    totals.sort()
+    lo_t, hi_t = totals[4][0], totals[195][0]
+    tot = pre[n]
+    assert len(got) == 1
+    r0 = got.iloc[0]
+    assert (int(r0["n"]), int(r0["total"])) == (n, tot)
+    assert (int(r0["lo_total"]), int(r0["hi_total"])) == (lo_t, hi_t)
+    assert r0["mean"] == float(tot) / float(n)
+    assert r0["mean_lo"] == float(lo_t) / float(n)
+    assert r0["mean_hi"] == float(hi_t) / float(n)
+    # percentile bootstrap is NOT anchored at the plug-in mean (a lone
+    # spike can push the whole resampling distribution past it) — the
+    # guaranteed invariant is ordering of the order statistics
+    assert r0["mean_lo"] <= r0["mean_hi"]
