@@ -2576,6 +2576,19 @@ def q_auto_seasonal_qof(spark, sf_dir):
     )
 
 
+def q_prewhitened_ccf(spark, sf_dir):
+    """Prewhitened click-vs-view cross-correlation (Box-Jenkins exo
+    identification): AR(2) fitted to the input series by driver-side exact
+    Cramer (coefficients = single divisions through the HUGEINT→DOUBLE
+    mimic), both series filtered with the identical affine operator,
+    residuals floor-quantized ×256, signed-safe floor-of-division
+    centering, integer CCF over the total lag spine — every step a
+    certified recipe, composed."""
+    from forecaster_spark.operators.timeweight import prewhitened_ccf
+
+    return prewhitened_ccf(_ev(spark, sf_dir), "click", "view", max_lag=3)
+
+
 def q_mbb_mean_ci(spark, sf_dir):
     """Moving-block-bootstrap 95% CI for the per-source hourly mean
     (Künsch 1989) — dependence-aware uncertainty for tier statistics,
@@ -3349,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_events": q_acf,
         "pacf_events": q_pacf,
         "ccf_events": q_ccf,
+        "prewhitened_ccf_events": q_prewhitened_ccf,
         "hdr_quantiles_events": q_hdr_quantiles,
         "trimmed_mean_events": q_trimmed_mean,
         "seasonal_decompose_events": q_seasonal_decompose,
@@ -3442,6 +3456,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _sw_list(lang):
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _pw_cramer() -> str:
+    """Cramer SELECT items for the prewhitening AR(2)+intercept fit in the
+    [1, l1, l2] layout (most-recent lag first — matching the driver-side
+    exact fit in operators/timeweight.prewhitened_ccf): aliases dd, d0-d2
+    and the b0/f1/f2 coefficient divisions through the HUGEINT→DOUBLE
+    cast, with the dd=0 intercept-only fallback."""
+    from forecaster_spark.models.exact_sql import _det3
+
+    A = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    c = ["sy", "sy1", "sy2"]
+    items = [f"{_det3(A)} AS dd"]
+    for k in range(3):
+        Ak = [[c[i] if jj == k else A[i][jj] for jj in range(3)] for i in range(3)]
+        items.append(f"{_det3(Ak)} AS d{k}")
+    items.append(
+        "CASE WHEN dd = 0 THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) "
+        "ELSE CAST(d0 AS DOUBLE) / CAST(dd AS DOUBLE) END AS b0"
+    )
+    items.append("CASE WHEN dd = 0 THEN 0.0 ELSE CAST(d1 AS DOUBLE) / CAST(dd AS DOUBLE) END AS f1")
+    items.append("CASE WHEN dd = 0 THEN 0.0 ELSE CAST(d2 AS DOUBLE) / CAST(dd AS DOUBLE) END AS f2")
+    return ", ".join(items)
 
 
 _ALL_SW = "[" + ", ".join(f"'{w}'" for w in sorted({w for sws in STOPWORDS.values() for w in sws})) + "]"
@@ -4059,6 +4096,81 @@ UNION ALL SELECT source, 2, CAST(g2 AS BIGINT),
 UNION ALL SELECT source, 3, CAST(g3 AS BIGINT),
        CASE WHEN den3 = 0 THEN NULL
             ELSE CAST(num3 AS DOUBLE) / CAST(den3 AS DOUBLE) END, n3 FROM d""",
+        # prewhitened CCF: AR(2) Cramer in the [1, l1, l2] layout (most-
+        # recent lag first, matching the driver-side fit), residual chain
+        # and centering parenthesized identically to the Spark leg
+        "prewhitened_ccf_events": f"""
+WITH b AS (
+  SELECT event_type AS s, date_trunc('minute', ts) AS bk,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+), gx AS (
+  SELECT bk, CAST(CAST(CAST(sum(vc) AS BIGINT) // count(*) AS BIGINT) // 100 AS BIGINT) AS xv
+  FROM b WHERE s = 'click' GROUP BY 1
+), gy AS (
+  SELECT bk, CAST(CAST(CAST(sum(vc) AS BIGINT) // count(*) AS BIGINT) // 100 AS BIGINT) AS yv
+  FROM b WHERE s = 'view' GROUP BY 1
+), j AS (
+  SELECT gx.bk, xv, yv FROM gx JOIN gy USING (bk)
+), lg AS (
+  SELECT bk, xv, yv,
+         lag(xv, 1) OVER w AS l1x, lag(xv, 2) OVER w AS l2x,
+         lag(yv, 1) OVER w AS l1y, lag(yv, 2) OVER w AS l2y
+  FROM j WINDOW w AS (ORDER BY bk)
+), cond AS (
+  SELECT * FROM lg WHERE l2x IS NOT NULL AND l2y IS NOT NULL
+), sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1x) AS HUGEINT) AS s1, CAST(sum(l2x) AS HUGEINT) AS s2,
+         CAST(sum(l1x*l1x) AS HUGEINT) AS s11, CAST(sum(l1x*l2x) AS HUGEINT) AS s12,
+         CAST(sum(l2x*l2x) AS HUGEINT) AS s22,
+         CAST(sum(xv) AS HUGEINT) AS sy, CAST(sum(xv*l1x) AS HUGEINT) AS sy1,
+         CAST(sum(xv*l2x) AS HUGEINT) AS sy2
+  FROM cond
+), params AS (
+  SELECT {_pw_cramer()} FROM sums
+), eqt AS (
+  SELECT c.bk,
+         CAST(floor((c.xv - ((p.b0 + c.l1x*p.f1) + c.l2x*p.f2)) * 256.0) AS BIGINT) AS ex,
+         CAST(floor((c.yv - ((p.b0 + c.l1y*p.f1) + c.l2y*p.f2)) * 256.0) AS BIGINT) AS ey
+  FROM cond c, params p
+), ctr AS (
+  SELECT CAST(sum(ex) AS BIGINT) AS sx, CAST(sum(ey) AS BIGINT) AS sq,
+         count(*) AS cnt
+  FROM eqt
+), d AS (
+  SELECT bk,
+         ex - CAST(floor(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS dx,
+         ey - CAST(floor(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT) AS dy
+  FROM eqt, ctr
+), l AS (
+  SELECT dx, dy,
+         lead(dy, 3) OVER w AS dm3, lead(dy, 2) OVER w AS dm2,
+         lead(dy, 1) OVER w AS dm1,
+         lag(dy, 1) OVER w AS dp1, lag(dy, 2) OVER w AS dp2,
+         lag(dy, 3) OVER w AS dp3
+  FROM d WINDOW w AS (ORDER BY bk)
+), t AS (
+  SELECT CAST(sum(dx * dx) AS BIGINT) AS gx0,
+         CAST(sum(dy * dy) AS BIGINT) AS gy0,
+         CAST(sum(dx * dm3) AS BIGINT) AS gm3, count(dm3) AS nm3,
+         CAST(sum(dx * dm2) AS BIGINT) AS gm2, count(dm2) AS nm2,
+         CAST(sum(dx * dm1) AS BIGINT) AS gm1, count(dm1) AS nm1,
+         CAST(sum(dx * dy) AS BIGINT) AS g00, count(dy) AS n00,
+         CAST(sum(dx * dp1) AS BIGINT) AS gp1, count(dp1) AS np1,
+         CAST(sum(dx * dp2) AS BIGINT) AS gp2, count(dp2) AS np2,
+         CAST(sum(dx * dp3) AS BIGINT) AS gp3, count(dp3) AS np3
+  FROM l
+)
+SELECT CAST(-3 AS BIGINT) AS lag, gm3 AS gxy,
+       CAST(gm3 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)) AS r,
+       nm3 AS n_used FROM t
+UNION ALL SELECT -2, gm2, CAST(gm2 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), nm2 FROM t
+UNION ALL SELECT -1, gm1, CAST(gm1 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), nm1 FROM t
+UNION ALL SELECT 0, g00, CAST(g00 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), n00 FROM t
+UNION ALL SELECT 1, gp1, CAST(gp1 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np1 FROM t
+UNION ALL SELECT 2, gp2, CAST(gp2 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np2 FROM t
+UNION ALL SELECT 3, gp3, CAST(gp3 AS DOUBLE) / sqrt(CAST(gx0 AS DOUBLE) * CAST(gy0 AS DOUBLE)), np3 FROM t""",
         "ccf_events": """
 WITH b AS (
   SELECT event_type AS s, date_trunc('minute', ts) AS bk,

@@ -2400,3 +2400,179 @@ def siegel_slopes(
         .agg(F.avg("r").alias("intercept"))
         .select("source", "n_points", "slope", "intercept")
     )
+
+
+def prewhitened_ccf(
+    df: DataFrame,
+    x_source: str,
+    y_source: str,
+    partition: str = "source",
+    ts: str = "ts",
+    value: str = "y",
+    bucket: str = "minute",
+    max_lag: int = 3,
+    q_scale: int = 256,
+) -> DataFrame:
+    """Prewhitened cross-correlation (Box-Jenkins exo identification,
+    the textbook companion of :func:`ccf`): plain CCF on autocorrelated
+    series shows spurious peaks at every lag; the procedure fits an AR(2)
+    to the INPUT series x, filters BOTH series with the identical affine
+    operator, and cross-correlates the residuals — surviving peaks
+    identify genuine lead/lag structure.
+
+    Exactness chain (each step a certified repo recipe):
+
+    1. shared minute grid, truncating centi-unit means, then WHOLE units
+       (``_m div 100``) so the AR normal equations stay far inside int64
+       and the SQL oracle's 3×3 HUGEINT Cramer determinants inside int128;
+    2. conditional AR(2)+intercept fit on x (rows t ≥ 2, most-recent lag
+       first) by exact integer Cramer — the 9 sums collect driver-side
+       (ONE bounded row, the pooled_ar pattern) and each coefficient is
+       ONE division through the DuckDB HUGEINT→DOUBLE cast mimic, so the
+       float64 literals re-entering the plan equal the oracle's own
+       divisions bit-for-bit; degenerate det → intercept-only;
+    3. residuals e = v − ((b0 + l1·φ1) + l2·φ2) — fixed left-assoc chain
+       of correctly-rounded IEEE ops on exactly-representable inputs —
+       quantized eq = floor(e·q_scale) with q_scale a power of two;
+    4. centering by m = floor(double(Σeq)/double(n)) (signed-safe: Spark
+       ``div`` truncates toward zero while DuckDB ``//`` floors, so the
+       negative-capable residual means go through ONE identical IEEE
+       division + floor on both engines instead);
+    5. integer CCF on the centered quantized residuals over the lag spine
+       (total like :func:`ccf`: short grids still emit every lag row);
+       ``r = gxy / sqrt(double(gx0)·double(gy0))``.
+
+    Output: (lag, gxy, r, n_used) — gxy in quantized-residual units².
+    """
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    vc = F.round(F.col(value) * 100).cast("long")
+    b = df.select(
+        F.col(partition).alias("_s"),
+        F.date_trunc(bucket, F.col(ts)).alias("_b"),
+        vc.alias("_vc"),
+    )
+
+    def grid(src):
+        return (
+            b.where(F.col("_s") == src)
+            .groupBy("_b")
+            .agg((F.sum("_vc").cast("long")).alias("_sum"), F.count(F.lit(1)).alias("_n"))
+            .select("_b", F.expr("(_sum div _n) div 100").alias("_m"))
+        )
+
+    j = (
+        grid(x_source)
+        .withColumnRenamed("_m", "_xv")
+        .join(grid(y_source).withColumnRenamed("_m", "_yv"), "_b")
+    )
+    w = Window.orderBy("_b")
+    lg = j.select(
+        "_b",
+        "_xv",
+        "_yv",
+        F.lag("_xv", 1).over(w).alias("_l1x"),
+        F.lag("_xv", 2).over(w).alias("_l2x"),
+        F.lag("_yv", 1).over(w).alias("_l1y"),
+        F.lag("_yv", 2).over(w).alias("_l2y"),
+    ).where(F.col("_l2x").isNotNull() & F.col("_l2y").isNotNull())
+    s = lg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_l1x").alias("s1"),
+        F.sum("_l2x").alias("s2"),
+        F.sum(F.col("_l1x") * F.col("_l1x")).alias("s11"),
+        F.sum(F.col("_l1x") * F.col("_l2x")).alias("s12"),
+        F.sum(F.col("_l2x") * F.col("_l2x")).alias("s22"),
+        F.sum("_xv").alias("sy"),
+        F.sum(F.col("_xv") * F.col("_l1x")).alias("sy1"),
+        F.sum(F.col("_xv") * F.col("_l2x")).alias("sy2"),
+    ).collect()[0]
+    n = int(s["n"])
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "lag long, gxy long, r double, n_used long"
+        )
+    s1, s2 = int(s["s1"]), int(s["s2"])
+    s11, s12, s22 = int(s["s11"]), int(s["s12"]), int(s["s22"])
+    sy, sy1, sy2 = int(s["sy"]), int(s["sy1"]), int(s["sy2"])
+
+    def det3(m):
+        (a_, b_, c_), (d_, e_, f_), (g_, h_, i_) = m
+        return a_ * (e_ * i_ - f_ * h_) - b_ * (d_ * i_ - f_ * g_) + c_ * (
+            d_ * h_ - e_ * g_
+        )
+
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    c = [sy, sy1, sy2]
+    dd = det3(A)
+    if dd == 0:
+        b0, f1, f2 = h2d(sy) / h2d(n), 0.0, 0.0
+    else:
+        ds = [
+            det3([[c[i] if jj == k else A[i][jj] for jj in range(3)] for i in range(3)])
+            for k in range(3)
+        ]
+        b0, f1, f2 = (h2d(d) / h2d(dd) for d in ds)
+
+    pred_x = (F.lit(b0) + F.col("_l1x") * F.lit(f1)) + F.col("_l2x") * F.lit(f2)
+    pred_y = (F.lit(b0) + F.col("_l1y") * F.lit(f1)) + F.col("_l2y") * F.lit(f2)
+    q = F.lit(float(q_scale))
+    e = lg.select(
+        "_b",
+        F.floor((F.col("_xv") - pred_x) * q).cast("long").alias("_ex"),
+        F.floor((F.col("_yv") - pred_y) * q).cast("long").alias("_ey"),
+    )
+    tot = e.agg(
+        F.sum("_ex").alias("sx"), F.sum("_ey").alias("syq"), F.count(F.lit(1)).alias("cnt")
+    )
+    e = e.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.col("_ex")
+            - F.floor(F.col("sx").cast("double") / F.col("cnt").cast("double")).cast("long")
+        ).alias("_dx"),
+        (
+            F.col("_ey")
+            - F.floor(F.col("syq").cast("double") / F.col("cnt").cast("double")).cast("long")
+        ).alias("_dy"),
+    )
+    lags = list(range(-max_lag, max_lag + 1))
+    prods = e.select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    (
+                        F.col("_dx")
+                        * (F.lag("_dy", k).over(w) if k >= 0 else F.lead("_dy", -k).over(w))
+                    ).alias("p"),
+                )
+                for k in lags
+            ]
+        ).alias("_ps"),
+        (F.col("_dx") * F.col("_dx")).alias("_dx2"),
+        (F.col("_dy") * F.col("_dy")).alias("_dy2"),
+    )
+    tot2 = prods.select(F.sum("_dx2").alias("gx0"), F.sum("_dy2").alias("gy0"))
+    g = (
+        prods.select(F.explode("_ps").alias("kp"))
+        .where(F.col("kp.p").isNotNull())
+        .groupBy(F.col("kp.lag").alias("lag"))
+        .agg(F.sum("kp.p").alias("gxy"), F.count(F.lit(1)).alias("n_used"))
+    )
+    spine = spark.createDataFrame([(k,) for k in lags], "lag int")
+    g = spine.join(F.broadcast(g), "lag", "left")
+    return (
+        g.crossJoin(F.broadcast(tot2))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "gxy",
+            (
+                F.col("gxy").cast("double")
+                / F.sqrt(F.col("gx0").cast("double") * F.col("gy0").cast("double"))
+            ).alias("r"),
+            F.coalesce("n_used", F.lit(0)).cast("long").alias("n_used"),
+        )
+        .orderBy("lag")
+    )

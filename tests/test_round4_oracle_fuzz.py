@@ -154,3 +154,104 @@ def test_mbb_mean_ci_oracle_vs_brute(series):
     # spike can push the whole resampling distribution past it) — the
     # guaranteed invariant is ordering of the order statistics
     assert r0["mean_lo"] <= r0["mean_hi"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(0, 600_000), min_size=12, max_size=60),
+    st.data(),
+)
+def test_prewhitened_ccf_oracle_vs_brute(xs, data):
+    """Independent replay of the full prewhitening chain: whole-unit
+    grid, conditional AR(2) Cramer through the HUGEINT→DOUBLE mimic,
+    fixed-order residual filtering, ×256 floor quantization,
+    floor-of-division centering, integer CCF at lags −3..3."""
+    import math
+    from datetime import timedelta
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    ys = data.draw(
+        st.lists(st.integers(0, 600_000), min_size=len(xs), max_size=len(xs))
+    )
+    rows, eid = [], 0
+    for i, (a, b) in enumerate(zip(xs, ys)):
+        ts = (_T0 + timedelta(minutes=i)).replace(tzinfo=None)
+        for src, mv in (("click", a), ("view", b)):
+            rows.append(
+                {
+                    "event_id": eid, "ts": ts, "user_id": 0,
+                    "event_type": src, "value": mv / 1000.0,
+                }
+            )
+            eid += 1
+    got = _run("prewhitened_ccf_events", pd.DataFrame(rows)).sort_values("lag")
+
+    xv = [int(round((a / 1000.0) * 100)) // 100 for a in xs]
+    yv = [int(round((b / 1000.0) * 100)) // 100 for b in ys]
+    n_all = len(xv)
+    cond = list(range(2, n_all))
+    n = len(cond)
+    l1x = [xv[t - 1] for t in cond]
+    l2x = [xv[t - 2] for t in cond]
+    xc = [xv[t] for t in cond]
+    s1, s2 = sum(l1x), sum(l2x)
+    s11 = sum(a * a for a in l1x)
+    s12 = sum(a * b for a, b in zip(l1x, l2x))
+    s22 = sum(b * b for b in l2x)
+    sy = sum(xc)
+    sy1 = sum(y * a for y, a in zip(xc, l1x))
+    sy2 = sum(y * b for y, b in zip(xc, l2x))
+
+    def det3(m):
+        (a_, b_, c_), (d_, e_, f_), (g_, h_, i_) = m
+        return a_ * (e_ * i_ - f_ * h_) - b_ * (d_ * i_ - f_ * g_) + c_ * (
+            d_ * h_ - e_ * g_
+        )
+
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    c = [sy, sy1, sy2]
+    dd = det3(A)
+    if dd == 0:
+        b0, f1, f2 = h2d(sy) / h2d(n), 0.0, 0.0
+    else:
+        ds = [
+            det3([[c[i] if jj == k else A[i][jj] for jj in range(3)] for i in range(3)])
+            for k in range(3)
+        ]
+        b0, f1, f2 = (h2d(d) / h2d(dd) for d in ds)
+    ex = [
+        int(math.floor((xv[t] - ((b0 + xv[t - 1] * f1) + xv[t - 2] * f2)) * 256.0))
+        for t in cond
+    ]
+    ey = [
+        int(math.floor((yv[t] - ((b0 + yv[t - 1] * f1) + yv[t - 2] * f2)) * 256.0))
+        for t in cond
+    ]
+    mx = int(math.floor(float(sum(ex)) / float(n)))
+    my = int(math.floor(float(sum(ey)) / float(n)))
+    dx = [e - mx for e in ex]
+    dy = [e - my for e in ey]
+    gx0 = sum(d * d for d in dx)
+    gy0 = sum(d * d for d in dy)
+    want = {}
+    for k in range(-3, 4):
+        ps = [
+            dx[t] * dy[t - k]
+            for t in range(n)
+            if 0 <= t - k < n
+        ]
+        want[k] = (sum(ps), len(ps))
+    assert list(got["lag"]) == list(range(-3, 4))
+    for _, r0 in got.iterrows():
+        k = int(r0["lag"])
+        g, m = want[k]
+        if m == 0:
+            assert pd.isna(r0["gxy"]) and int(r0["n_used"]) == 0
+        else:
+            assert int(r0["gxy"]) == g and int(r0["n_used"]) == m
+            den = math.sqrt(float(gx0) * float(gy0))
+            if den == 0.0:  # constant residuals: 0/0 → NaN on both engines
+                assert math.isnan(r0["r"])
+            else:
+                assert r0["r"] == float(g) / den

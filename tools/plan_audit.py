@@ -49,6 +49,8 @@ BNLJ_OK = {
     "funnel_conversion_events": "1-row base-population count broadcast",
     "tfidf_topk_documents": "1-row corpus doc-count broadcast for IDF",
     "ccf_events": "1-row total-gamma broadcast for normalization",
+    # audited 2026-08-21:
+    "prewhitened_ccf_events": "two 1-row broadcasts: the residual-sum centering totals and the (gx0, gy0) normalization totals — the ccf pattern on the filtered series",
     # audited 2026-08-19:
     "friedman_events_1h": "two 1-row broadcasts: global distinct-source count k (completeness filter) and the global sum(R2^2) for chi2",
     "kruskal_wallis_events": "1-row global (n_total, tie_cubes) broadcast onto the per-source rank sums",
