@@ -688,22 +688,41 @@ def q_arx_cross_forecast(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary columns: deterministic synthetic assets (real BMP/
-    WAV payloads + opaque video bytes) → Arrow feature-extraction kernel in
-    ``auto`` mode — BMP and WAV are REALLY decoded (pure-numpy codecs).
+    WAV/AVI payloads) → Arrow feature-extraction kernel in ``auto`` mode —
+    all three formats are REALLY decoded (pure-numpy codecs; the r4 video
+    stub is gone: uncompressed RIFF-AVI encode/decode landed in r5).
 
     The contract exposes the SQL-checkable subset: every value here is a
-    *parsed-from-payload* fact (byte counts, BMP dimensions, WAV sample
-    rate/frame count, decode flags) that the oracle recomputes from the
-    generator's closed-form size arithmetic over ``range(400)`` — so the
-    driver certifies the decode path end-to-end, not just row counts. The
-    RNG-dependent signal features (mean_luma, rms, block vectors) stay
-    pytest-certified against the codec round-trip fixtures."""
+    *parsed-from-payload* fact (byte counts, BMP/AVI dimensions + frame
+    counts, WAV sample rate/frame count, decode flags) that the oracle
+    recomputes from the generator's closed-form size arithmetic over
+    ``range(400)`` — so the driver certifies the decode path end-to-end, not
+    just row counts. RNG-dependent signal features (mean_luma, rms, block
+    vectors) stay pytest-certified against codec round-trip fixtures, and
+    the decoded video PIXELS are certified by video_frame_luma_synth."""
     from forecaster_spark.operators.multimodal import extract_features, synth_assets
 
     assets = synth_assets(spark, 400)
     return extract_features(assets, decode="auto", dim=8).select(
         "asset_id", "mime", "n_bytes", "width", "height", "n_frames",
         "sample_rate", "decoded",
+    )
+
+
+def q_video_frame_luma(spark, sf_dir):
+    """Video frame decode certified on PIXEL CONTENT: synthetic AVI assets
+    carry formula pixels (pixel[f,y,x,c] = (13i+41f+5y+3x+17c) mod 256, see
+    multimodal._video_pixels), decode_frames really demuxes + decodes each
+    RIFF '00db' frame and emits per-frame integer luma sums
+    Σ(299R + 587G + 114B) — pure int64, so the DuckDB oracle recomputes the
+    decoded bytes' luma from the closed form. A wrong pixel anywhere in the
+    container walk (row padding, bottom-up order, BGR swap, chunk offsets)
+    breaks the hash. every_n=2 also certifies the sampling stride."""
+    from forecaster_spark.operators.multimodal import decode_frames, synth_assets
+
+    assets = synth_assets(spark, 300)
+    return decode_frames(assets, every_n=2).select(
+        "asset_id", "frame_idx", "width", "height", "luma_milli"
     )
 
 
@@ -3308,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arx_exo_forecast_events_1h": q_arx_exo_forecast,
         "arx_qof_rollvalidate_events_1h": q_arx_qof_roll,
         "multimodal_features_synth": q_multimodal_features,
+        "video_frame_luma_synth": q_video_frame_luma,
         "gorilla_pack_events_1m": q_gorilla_pack,
         "gorilla_roundtrip_events_1m": q_gorilla_roundtrip,
         "retention_1m_events": q_retention_1m,
@@ -5138,24 +5158,44 @@ FROM j WHERE 64 * dot * dot >= 49 * n2_a * n2_b""",
         # multimodal: the synthetic generator's payload sizes are closed-form
         # arithmetic in the asset index, so every parsed-from-payload fact
         # (BMP header math incl. 4-byte row padding, RIFF/WAV 44-byte header
-        # + PCM16 data, truncated video blob length) is recomputable in SQL —
-        # a real value check on the decode path; only RNG-dependent signal
-        # stats (luma/rms) are excluded (pytest codec fixtures cover those)
+        # + PCM16 data, RIFF-AVI container math: 232-byte fixed headers +
+        # n_frames*(8-byte chunk hdr + padded DIB + 16-byte idx1 entry)) is
+        # recomputable in SQL — a real value check on the decode path; only
+        # RNG-dependent signal stats (luma/rms) are excluded (pytest codec
+        # fixtures cover those; video PIXELS: video_frame_luma_synth)
         "multimodal_features_synth": """
 WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(400))
 SELECT
   'asset-' || lpad(CAST(i AS VARCHAR), 8, '0') AS asset_id,
-  CASE i % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+  CASE i % 3 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav' ELSE 'video/avi' END AS mime,
   CAST(CASE i % 3
     WHEN 0 THEN 54 + ((3 * (8 + i % 24) + 3) // 4 * 4) * (8 + (i * 7) % 24)
     WHEN 1 THEN 44 + 2 * (256 + i % 256)
-    ELSE least(32 * (8 + i % 17), 64 + (i % 512)) END AS BIGINT) AS n_bytes,
-  CAST(CASE WHEN i % 3 = 0 THEN 8 + i % 24 END AS INTEGER) AS width,
-  CAST(CASE WHEN i % 3 = 0 THEN 8 + (i * 7) % 24 END AS INTEGER) AS height,
-  CAST(CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 256 + i % 256 ELSE 1 + i % 24 END AS INTEGER) AS n_frames,
+    ELSE 232 + (1 + i % 6) * (24 + ((3 * (4 + i % 9) + 3) // 4 * 4) * (4 + (i * 5) % 9))
+    END AS BIGINT) AS n_bytes,
+  CAST(CASE i % 3 WHEN 0 THEN 8 + i % 24 WHEN 2 THEN 4 + i % 9 END AS INTEGER) AS width,
+  CAST(CASE i % 3 WHEN 0 THEN 8 + (i * 7) % 24 WHEN 2 THEN 4 + (i * 5) % 9 END AS INTEGER) AS height,
+  CAST(CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 256 + i % 256 ELSE 1 + i % 6 END AS INTEGER) AS n_frames,
   CAST(CASE WHEN i % 3 = 1 THEN CASE WHEN i % 2 = 0 THEN 8000 ELSE 16000 END END AS INTEGER) AS sample_rate,
-  i % 3 < 2 AS decoded
+  TRUE AS decoded
 FROM ids""",
+        # video decode certified on PIXELS: the oracle regenerates every
+        # kept frame's integer luma sum from the generator's pixel formula
+        "video_frame_luma_synth": """
+WITH ids AS (SELECT CAST(range AS BIGINT) AS i FROM range(300) WHERE range % 3 = 2),
+dims AS (SELECT i, 1 + i % 6 AS nf, 4 + i % 9 AS w, 4 + (i*5) % 9 AS h FROM ids),
+fr AS (SELECT i, nf, w, h, CAST(f.range AS BIGINT) AS f FROM dims, range(6) f
+       WHERE f.range < nf AND f.range % 2 = 0),
+px AS (SELECT i, f, w, h, CAST(y.range AS BIGINT) AS y, CAST(x.range AS BIGINT) AS x
+       FROM fr, range(12) y, range(12) x WHERE y.range < h AND x.range < w)
+SELECT 'asset-' || lpad(CAST(i AS VARCHAR), 8, '0') AS asset_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(299*((i*13 + f*41 + y*5 + x*3) % 256)
+              + 587*((i*13 + f*41 + y*5 + x*3 + 17) % 256)
+              + 114*((i*13 + f*41 + y*5 + x*3 + 34) % 256)) AS BIGINT) AS luma_milli
+FROM px GROUP BY i, f, w, h""",
         "cosine_topk_brute_embeddings": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8

@@ -10,8 +10,12 @@ shapes — is real and tested, and two decoders are REAL pure-numpy codecs
                    block-averaged luma thumbnail vector.
 - ``audio/wav``  : RIFF PCM16 mono — parsed sample rate/samples; features =
                    RMS + per-block RMS energy vector.
-- ``video/mp4``  : still a stubbed seam (container demuxing genuinely needs
-                   pyav); ``decode="strict"`` raises on it.
+- ``video/avi``  : uncompressed RIFF-AVI ('DIB ' stream, raw bottom-up BGR
+                   ``00db`` frames + idx1) — parsed per-frame pixels;
+                   features = mean luma over all frames + a per-frame
+                   mean-luma temporal vector. Compressed containers
+                   (``video/mp4``) genuinely need pyav and raise in
+                   ``strict`` mode.
 
 Decode modes: ``"strict"`` (decode or raise), ``"auto"`` (decode supported
 formats, deterministic fake features otherwise), ``"fake"`` (all fake —
@@ -113,9 +117,102 @@ def wav_decode(blob: bytes) -> tuple[np.ndarray, int]:
     return samples, sr
 
 
+def _dib_rows(frame: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → raw DIB bytes (bottom-up BGR, 4-byte row pad)."""
+    h, w, _ = frame.shape
+    row_size = (w * 3 + 3) & ~3
+    pad = np.zeros((h, row_size - w * 3), dtype=np.uint8)
+    bgr = frame[::-1, :, ::-1].reshape(h, w * 3)
+    return np.concatenate([bgr, pad], axis=1).tobytes()
+
+
+def _dib_undo(body: bytes, w: int, h: int) -> np.ndarray:
+    """Inverse of :func:`_dib_rows` → (h, w, 3) uint8 RGB."""
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(body, np.uint8, count=row_size * h).reshape(h, row_size)
+    return rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1][::-1]
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → uncompressed RIFF-AVI bytes: one
+    'vids'/'DIB ' stream, raw bottom-up-BGR ``00db`` chunks, idx1 index.
+
+    Layout (all sizes closed-form in n/w/h — the contract oracle recomputes
+    them): 12-byte RIFF header + 200-byte hdrl LIST (avih 56 + strl[strh 56,
+    strf 40]) + movi LIST (12 + n·(8 + row_size·h)) + idx1 (8 + 16·n)."""
+    n, h, w, _ = frames.shape
+    row_size = (w * 3 + 3) & ~3
+    fsize = row_size * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, fsize * fps, 0, 0x10,  # usec/frame, bytes/sec, pad, HASINDEX
+        n, 0, 1, fsize, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, fsize, 0, 0, 0, 0, 0, 0,
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 2835, 2835, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) + b"strl" \
+        + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + len(avih) + len(strl)) + b"hdrl" \
+        + b"avih" + struct.pack("<I", len(avih)) + avih + strl
+    chunks = b"".join(
+        b"00db" + struct.pack("<I", fsize) + _dib_rows(frames[i]) for i in range(n)
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+    idx = b"idx1" + struct.pack("<I", 16 * n) + b"".join(
+        b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + fsize), fsize)
+        for i in range(n)
+    )
+    body = b"AVI " + hdrl + movi + idx
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(blob: bytes) -> tuple[np.ndarray, int]:
+    """Inverse of :func:`avi_encode` → ((n, h, w, 3) uint8 RGB, fps); walks
+    RIFF chunks, uncompressed 24-bit 'DIB ' streams only."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = None
+    fps = 10
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            cid, sz = struct.unpack_from("<4sI", blob, pos)
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + sz)  # skip the list-type fourcc
+            elif cid == b"strh":
+                fcc, handler = struct.unpack_from("<4s4s", blob, body_at)
+                if fcc == b"vids":
+                    if handler not in (b"DIB ", b"\0\0\0\0", b"RGB "):
+                        raise ValueError(f"unsupported AVI codec {handler!r}")
+                    scale, rate = struct.unpack_from("<II", blob, body_at + 20)
+                    fps = rate // max(scale, 1)
+            elif cid == b"strf" and w is None:
+                _hs, w, h, _planes, bpp = struct.unpack_from("<IiiHH", blob, body_at)
+                if bpp != 24:
+                    raise ValueError(f"unsupported AVI bit depth {bpp}")
+            elif cid in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("AVI frame chunk before strf header")
+                frames.append(_dib_undo(blob[body_at : body_at + sz], w, abs(h)))
+            pos = body_at + sz + (sz & 1)
+
+    walk(12, len(blob))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return np.stack(frames), fps
+
+
 def _luma(img: np.ndarray) -> np.ndarray:
-    """Rec.601 luma plane (float64) of an (h, w, 3) RGB image."""
-    return img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    """Rec.601 luma (float64) over the trailing RGB axis — works on a single
+    (h, w, 3) image or an (n, h, w, 3) frame stack."""
+    return img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
 
 
 def _block_means(v: np.ndarray, dim: int) -> np.ndarray:
@@ -131,10 +228,22 @@ def _block_means(v: np.ndarray, dim: int) -> np.ndarray:
 
 # -- synthetic asset corpus --------------------------------------------------
 
+def _video_pixels(i: int) -> np.ndarray:
+    """Closed-form (n_frames, h, w, 3) uint8 pixel block for asset index
+    ``i``: pixel[f,y,x,c] = (13i + 41f + 5y + 3x + 17c) mod 256. Every
+    derived fact (dims, byte counts, integer luma sums) is therefore
+    recomputable in plain SQL — the contract oracle certifies the decoded
+    PIXELS, not just container sizes."""
+    nf, h, w = 1 + i % 6, 4 + (i * 5) % 9, 4 + i % 9
+    f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+    return ((i * 13 + f * 41 + y * 5 + x * 3 + c * 17) % 256).astype(np.uint8)
+
+
 def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     """Deterministic synthetic asset table with REAL format payloads: BMP
     images and WAV audio (content seeded per id — no RNG state, partition-
-    invariant), plus opaque video/mp4 stand-in bytes for the stubbed seam."""
+    invariant), plus uncompressed AVI video with formula pixels (see
+    :func:`_video_pixels`)."""
 
     def gen(batches):
         for pdf in batches:
@@ -158,8 +267,9 @@ def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                     )
                     mime, meta = "audio/wav", {"sr": str(sr)}
                 else:
-                    payload = (h * (8 + i % 17))[: 64 + (i % 512)]
-                    mime, meta = "video/mp4", {"frames": str(1 + i % 24)}
+                    frames = _video_pixels(i)
+                    payload = avi_encode(frames, fps=10)
+                    mime, meta = "video/avi", {"frames": str(frames.shape[0])}
                 rows.append((f"asset-{i:08d}", mime, payload, meta))
             yield pd.DataFrame(rows, columns=["asset_id", "mime", "payload", "meta"])
 
@@ -177,9 +287,11 @@ def extract_features(df: DataFrame, decode: str = "auto", dim: int = 16) -> Data
     (asset_id, mime, payload, meta) in → one batch of typed features out.
 
     Per mime: BMP → parsed width/height + mean luma + block-luma thumbnail;
-    WAV → parsed sample_rate + RMS + block-energy vector; video (and any
-    undecodable payload in ``auto``) → deterministic content-hash fake
-    features. ``strict`` raises where no real decoder exists."""
+    WAV → parsed sample_rate + RMS + block-energy vector; AVI → parsed
+    dims/frame count + mean luma over all frames + per-frame mean-luma
+    temporal vector. Any undecodable payload in ``auto`` → deterministic
+    content-hash fake features; ``strict`` raises where no real decoder
+    exists (compressed containers: mp4/webm need pyav)."""
     if decode not in ("strict", "auto", "fake"):
         raise ValueError(f"unknown decode mode {decode!r}")
 
@@ -207,10 +319,19 @@ def extract_features(df: DataFrame, decode: str = "auto", dim: int = 16) -> Data
                 decoded=True, feature=_block_means(np.abs(x), dim),
             )
             return out
+        if decode != "fake" and mime == "video/avi":
+            frames, _fps = avi_decode(payload)
+            per_frame = _luma(frames.astype(np.float64)).mean(axis=(1, 2))
+            out.update(
+                width=frames.shape[2], height=frames.shape[1],
+                n_frames=frames.shape[0], mean_luma=float(per_frame.mean()),
+                decoded=True, feature=_block_means(per_frame, dim),
+            )
+            return out
         if decode == "strict":
-            raise NotImplementedError(
+            raise ValueError(
                 f"media decode for {mime} requires pyav/PIL — not in this "
-                "container; decoded formats: image/bmp, audio/wav"
+                "container; decoded formats: image/bmp, audio/wav, video/avi"
             )
         meta = meta or {}
         out.update(
@@ -241,12 +362,63 @@ def extract_features(df: DataFrame, decode: str = "auto", dim: int = 16) -> Data
 
 def frame_sample(df: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame sampling plan: explode per-frame rows (frame indices from
-    metadata), keeping every ``every_n``-th frame. The decode of the frame
-    itself stays behind the extract_features seam."""
+    metadata), keeping every ``every_n``-th frame — the cheap metadata-only
+    path (no payload read). :func:`decode_frames` is the real-decode path."""
     frames = F.sequence(F.lit(0), F.col("n_frames") - 1)
     sampled = F.filter(frames, lambda i: i % every_n == 0)
     return (
-        df.where(F.col("mime") == "video/mp4")
+        df.where(F.col("mime").startswith("video/"))
         .withColumn("n_frames", F.element_at(F.col("meta"), "frames").cast("int"))
         .select("asset_id", F.explode(sampled).alias("frame_idx"))
+    )
+
+
+FRAME_SCHEMA = (
+    "asset_id string, frame_idx int, width int, height int, luma_milli long"
+)
+
+
+def decode_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling: Arrow kernel decodes each AVI payload and emits
+    one row per kept frame (every ``every_n``-th) with the frame's exact
+    integer luma sum ``luma_milli`` = Σ_pixels (299·R + 587·G + 114·B) —
+    pure int64 arithmetic, so a SQL oracle can recompute it bit-exactly from
+    the synthetic generator's pixel formula.
+
+    Scale: decode is per-asset embarrassingly parallel (same repartition-by-
+    asset-hash layout as extract_features); output rows ≤ frames/every_n per
+    asset, no shuffle after the kernel."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, fidx, ws, hs, lumas = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames, _fps = avi_decode(payload)
+                n, h, w, _ = frames.shape
+                px = frames.astype(np.int64)
+                milli = (
+                    299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                ).sum(axis=(1, 2))
+                for f in range(0, n, every_n):
+                    ids.append(aid)
+                    fidx.append(f)
+                    ws.append(w)
+                    hs.append(h)
+                    lumas.append(int(milli[f]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": np.array(fidx, dtype=np.int32),
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                    "luma_milli": np.array(lumas, dtype=np.int64),
+                }
+            )
+
+    return (
+        df.where(F.col("mime") == "video/avi")
+        .repartition(F.crc32(F.col("asset_id")))
+        .mapInPandas(kernel, schema=FRAME_SCHEMA)
     )

@@ -300,7 +300,7 @@ def test_embedding_neardup(spark, emb):
 def test_multimodal_plumbing(spark):
     assets = synth_assets(spark, 60)
     pdf = assets.toPandas()
-    assert len(pdf) == 60 and set(pdf.mime) == {"image/bmp", "audio/wav", "video/mp4"}
+    assert len(pdf) == 60 and set(pdf.mime) == {"image/bmp", "audio/wav", "video/avi"}
     feats = extract_features(assets, decode="fake", dim=8).toPandas()
     assert len(feats) == 60
     assert feats.feature.map(len).eq(8).all()
@@ -310,13 +310,16 @@ def test_multimodal_plumbing(spark):
     a = feats.sort_values("asset_id").feature.map(tuple).tolist()
     b = f2.sort_values("asset_id").feature.map(tuple).tolist()
     assert a == b
-    # strict mode decodes bmp/wav for real and surfaces the video stub seam
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        extract_features(assets, decode="strict").collect()
-    strict = extract_features(
-        assets.where(F.col("mime") != "video/mp4"), decode="strict", dim=8
-    ).toPandas()
+    # strict mode now decodes ALL three formats for real (r5: AVI landed);
+    # a compressed container still surfaces the honest pyav seam
+    strict = extract_features(assets, decode="strict", dim=8).toPandas()
     assert strict.decoded.all()
+    mp4 = spark.createDataFrame(
+        [("v-0", "video/mp4", bytearray(b"\0\0\0\x18ftypmp42"), {})],
+        schema="asset_id string, mime string, payload binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="media decode"):
+        extract_features(mp4, decode="strict").collect()
     fs = frame_sample(assets, every_n=4).toPandas()
     assert len(fs) > 0
     assert (fs.frame_idx % 4 == 0).all()
@@ -362,6 +365,68 @@ def test_multimodal_real_decode(spark):
     assert out.loc["wav-0", "rms"] == pytest.approx(1000.0)
     assert out.loc["wav-0", "n_frames"] == 64
     assert list(out.loc["wav-0", "feature"]) == [1000.0] * 4
+
+
+def test_video_codec_roundtrip(spark):
+    """AVI encode/decode round-trips bit-exactly (incl. odd widths → row
+    padding), strict extract computes true dims/frame count/mean luma, and
+    decode_frames' integer luma matches a direct numpy recompute."""
+    import pandas as _pd
+
+    from forecaster_spark.operators.multimodal import (
+        _video_pixels,
+        avi_decode,
+        avi_encode,
+        decode_frames,
+        extract_features,
+        frame_sample,
+        synth_assets,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 4, 4), (5, 7, 9), (6, 12, 5)]:  # odd widths pad rows
+        fr = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        out, fps = avi_decode(avi_encode(fr, fps=12))
+        assert fps == 12 and np.array_equal(out, fr), shape
+
+    flat = np.full((4, 4, 4, 3), 100, dtype=np.uint8)  # luma exactly 100
+    assets = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "asset_id": ["vid-0"],
+                "mime": ["video/avi"],
+                "payload": [avi_encode(flat)],
+                "meta": [{"frames": "4"}],
+            }
+        ),
+        schema="asset_id string, mime string, payload binary, meta map<string,string>",
+    )
+    out = extract_features(assets, decode="strict", dim=4).toPandas().iloc[0]
+    assert (out.width, out.height, out.n_frames) == (4, 4, 4)
+    assert out.mean_luma == pytest.approx(100.0)
+    assert list(out.feature) == [100.0] * 4
+
+    # decode_frames ≡ numpy truth on the synthetic corpus, incl. stride
+    synth = synth_assets(spark, 45)
+    got = (
+        decode_frames(synth, every_n=2)
+        .toPandas()
+        .sort_values(["asset_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    truth = []
+    for i in range(45):
+        if i % 3 != 2:
+            continue
+        fr = _video_pixels(i)
+        px = fr.astype(np.int64)
+        milli = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]).sum(axis=(1, 2))
+        for f in range(0, fr.shape[0], 2):
+            truth.append((f"asset-{i:08d}", f, fr.shape[2], fr.shape[1], int(milli[f])))
+    assert list(map(tuple, got.itertuples(index=False))) == sorted(truth)
+    # metadata-plan frame_sample agrees with the real-decode path on counts
+    fs = frame_sample(synth, every_n=2).toPandas()
+    assert len(fs) == len(got)
 
 
 def test_pack_sequences_greedy_semantics(spark):
