@@ -2505,6 +2505,36 @@ def q_duplicated_spans(spark, sf_dir):
     )
 
 
+_BOILER = (
+    "all rights reserved this material is provided without warranty of any "
+    "kind reproduction or distribution without prior written consent is prohibited"
+)
+
+
+def q_duplicated_spans_k16(spark, sf_dir):
+    """LONG-SPAN exact-substring dedup (r5): Lee et al. 2021 run their
+    suffix-array pass at ~50-token windows, not 3-grams — this certifies
+    the span-length-parameterized ledger at k=16. Boilerplate is planted
+    deterministically (a fixed 21-word license preamble prepended to every
+    doc_id % 5 == 0 document, mirrored verbatim in the oracle's
+    doc_source_sql), so the ledger's top spans are the 6 fully-in-preamble
+    16-gram windows shared by all planted docs, plus whatever
+    preamble→body windows collide on equal body prefixes — all replayed
+    value-for-value by the generalized O(N·k) relational shingle mirror."""
+    from forecaster_spark.operators.dedup import duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(_BOILER + " "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return duplicated_spans(planted, k=16, top_n=20).select(
+        "rnk", "span_hash", "n_docs", "first_doc", "last_doc"
+    )
+
+
 def q_span_removal(spark, sf_dir):
     """Exact-substring dedup APPLIED (Lee et al. 2021 second half): every
     word position covered by any occurrence of a top-20 duplicated span is
@@ -3293,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits_events": q_benford_digits,
         "pinball_qof_events_1h": q_pinball_qof,
         "duplicated_spans_documents": q_duplicated_spans,
+        "duplicated_spans_k16_documents": q_duplicated_spans_k16,
         "span_removal_documents": q_span_removal,
         "granger_pairs_events_1h": q_granger_pairs,
         "dickey_fuller_events_1h": q_dickey_fuller,
@@ -4794,6 +4825,15 @@ SELECT source, tau_num, tau_den, count(*) AS n,
        (1000 * CAST(sum(dl) AS BIGINT)) // (count(*) * tau_den) AS mean_milli
 FROM l GROUP BY 1, 2, 3""",
         "duplicated_spans_documents": xhash_sql.duplicated_spans_sql(top_n=20),
+        "duplicated_spans_k16_documents": xhash_sql.duplicated_spans_sql(
+            top_n=20,
+            k=16,
+            doc_source_sql=(
+                "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '"
+                + _BOILER
+                + " ' || text ELSE text END AS text FROM documents"
+            ),
+        ),
         "span_removal_documents": xhash_sql.span_removal_sql(top_n=20),
         "granger_pairs_events_1h": exact_sql.granger_sql(),
         "ar_order_select_events_1h": exact_sql.ar_order_select_sql(),

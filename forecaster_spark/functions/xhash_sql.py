@@ -147,8 +147,34 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 def shingle_ctes(k: int = 3) -> str:
     """wh → ``shd(doc_id, sh)``: distinct word-k-shingle hashes
     sh = splitmix64(Σ_{{j<k}} h_{{i+j}}·C^j); docs with <k words combine all
-    their words into one shingle (mirroring the kernel's short-doc path)."""
-    assert k == 3, "SQL mirror unrolled for k=3"
+    their words into one shingle (mirroring the kernel's short-doc path).
+
+    k=3 keeps the original lead()-unrolled chain (certified oracles stay
+    byte-identical); any other k (r5: long-span exact-substring dedup,
+    Lee et al. 2021 use ~50-token windows) takes a general relational
+    form — a bounded offset self-join on wpos against a k-row power table
+    (O(N·k) rows), full windows selected by exact term count, short docs
+    by their wpos=0 whole-doc prefix sum."""
+    if k != 3:
+        return f"""
+pwk AS (SELECT j, ({_pow_list(k)})[j + 1] AS p
+        FROM (SELECT unnest(range({k})) AS j)),
+wm AS (SELECT doc_id, count(*) AS m FROM wh GROUP BY doc_id),
+gterm AS (
+  SELECT a.doc_id, a.wpos, {umul("b.h", "pw.p")} AS term
+  FROM wh a JOIN wh b ON b.doc_id = a.doc_id
+       AND b.wpos >= a.wpos AND b.wpos < a.wpos + {k}
+  JOIN pwk pw ON pw.j = b.wpos - a.wpos
+),
+gsum AS (SELECT doc_id, wpos, sum(term) % {W} AS g0, count(*) AS cnt
+         FROM gterm GROUP BY doc_id, wpos),
+gall AS (
+  SELECT g.doc_id, g.g0 FROM gsum g JOIN wm USING (doc_id)
+  WHERE (wm.m >= {k} AND g.cnt = {k}) OR (wm.m < {k} AND g.wpos = 0)
+),
+gsm AS (SELECT doc_id, {splitmix_cols("g0", "sh")} FROM gall),
+shd AS (SELECT DISTINCT doc_id, sh FROM gsm)
+"""
     return f"""
 led AS (
   SELECT doc_id, wpos, h AS h0_, lead(h, 1) OVER w AS h1_, lead(h, 2) OVER w AS h2_,
@@ -472,15 +498,16 @@ GROUP BY s.doc_id"""
 def duplicated_spans_sql(
     top_n: int = 20,
     doc_source_sql: str = "SELECT doc_id, text FROM documents",
+    k: int = 3,
 ) -> str:
     """Oracle for ``dedup.duplicated_spans``: replay the distinct word
-    3-gram shingles per doc, count docs per span hash, keep spans in >= 2
+    k-gram shingles per doc, count docs per span hash, keep spans in >= 2
     docs, and take the deterministic (n_docs desc, unsigned-hash asc)
     top-N; the hash is emitted as its int64 two's-complement value to
     match the kernel's signed long."""
     return f"""
 WITH {word_hash_ctes(doc_source_sql)},
-{shingle_ctes()},
+{shingle_ctes(k)},
 agg AS (
   SELECT sh, CAST(count(*) AS BIGINT) AS n_docs,
          min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -226,6 +226,31 @@ class TestDuplicatedSpans:
         top = got[got["n_docs"] == 10]
         assert (top["first_doc"] == 0).all() and (top["last_doc"] == 18).all()
 
+    def test_long_span_k16_planted_boilerplate(self, spark):
+        """r5 span-length parameter: at k=16 (the Lee-et-al-scale window)
+        a 21-word license preamble planted in 4 of 8 docs yields EXACTLY
+        the 6 fully-in-preamble 16-gram windows as duplicated spans (every
+        preamble→body window is doc-unique), all with n_docs = 4."""
+        from forecaster_spark.operators.dedup import duplicated_spans
+
+        boiler = (
+            "all rights reserved this material is provided without warranty "
+            "of any kind reproduction or distribution without prior written "
+            "consent is prohibited"
+        )  # 21 words -> 21-16+1 = 6 full 16-gram windows
+        docs = [
+            (i, (boiler + " " if i % 2 == 0 else "") + f"u{i}a u{i}b u{i}c u{i}d")
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = duplicated_spans(df, k=16, top_n=50).toPandas()
+        assert len(got) == 6
+        assert (got["n_docs"] == 4).all()
+        assert (got["first_doc"] == 0).all() and (got["last_doc"] == 6).all()
+        # and at k=3 the same corpus flags many more (shorter) spans
+        got3 = duplicated_spans(df, k=3, top_n=50).toPandas()
+        assert len(got3) == 19  # 21-3+1 boiler 3-grams, all in the 4 docs
+
     def test_no_duplicates_empty(self, spark):
         from forecaster_spark.operators.dedup import duplicated_spans
 
