@@ -43,6 +43,7 @@ from forecaster_spark.operators.similarity import (
     cosine_topk_sq8,
     cosine_topk_sq8_sql,
     embedding_neardup_pairs_sql,
+    semantic_dedup_sql,
 )
 from forecaster_spark.operators.textops import (
     BPE_ISH,
@@ -505,6 +506,22 @@ def q_cosine_topk_ivf(spark, sf_dir):
     return cosine_topk_ivf(
         emb, queries_df, dim=dim, k=10, n_centroids=16, n_probe=4, exact=True
     ).select("query_id", "neighbor_id", "rank")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (r5, VERDICT #3): spherical-k-means
+    cells (the certified exact-Lloyd quantizer) → within-cell exact-cosine
+    pairs ≥ 0.2 → connected-components keep list. Output is all
+    integer/boolean (cell id, component label, keep verdict) — the float
+    math only makes decisions, whose cross-engine margins are pinned in
+    tests/test_dataops.py::test_semantic_dedup_margins."""
+    from forecaster_spark.operators.similarity import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_dedup(emb, dim=dim, threshold=0.2, n_centroids=16).select(
+        "vec_id", "cell", "dup_cluster", "keep"
+    )
 
 
 def q_cosine_topk_sq8(spark, sf_dir):
@@ -3343,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_brute_embeddings": q_cosine_topk_brute,
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
         "cosine_topk_ivf_embeddings": q_cosine_topk_ivf,
+        "semantic_dedup_embeddings": q_semantic_dedup,
         "cosine_topk_sq8_embeddings": q_cosine_topk_sq8,
         "embedding_neardup_pairs_embeddings": q_embedding_neardup,
         "arx_forecast_events_1h": q_arx_forecast,
@@ -4743,6 +4761,9 @@ FROM events GROUP BY 1""",
         # inlined as literals; testdata embeddings are dim=64 at every SF
         "cosine_topk_lsh_embeddings": cosine_topk_lsh_sql(dim=64, k=10, n_planes=8, seed=42),
         "cosine_topk_ivf_embeddings": cosine_topk_ivf_sql(dim=64, k=10, n_centroids=16, n_probe=4),
+        "semantic_dedup_embeddings": semantic_dedup_sql(
+            dim=64, threshold=0.2, n_centroids=16
+        ),
         "cosine_topk_sq8_embeddings": cosine_topk_sq8_sql(k=10, n_queries=8),
         "embedding_neardup_pairs_embeddings": embedding_neardup_pairs_sql(
             dim=64, threshold=0.2, n_planes=10, seed=42

@@ -352,6 +352,30 @@ def cosine_topk_ivf(
     )
 
 
+def _lloyd_cte(i: int, cin: str) -> str:
+    """One unrolled Lloyd iteration of the exact-centroid SQL mirror
+    (shared by :func:`cosine_topk_ivf_sql` and :func:`semantic_dedup_sql`):
+    assign by argmax dot, re-estimate from floor-quantized integer cell
+    sums, carry previous centroids for empty cells."""
+    return f"""
+d{i} AS (SELECT v.vec_id, c.cl, sum(v.x * c.val) AS dot
+        FROM vx v JOIN {cin} c USING (pos) GROUP BY v.vec_id, c.cl),
+a{i} AS (SELECT vec_id, cl FROM (
+          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cl ASC) AS rn
+          FROM d{i}) WHERE rn = 1),
+u{i} AS (SELECT a.cl, q.pos, CAST(sum(q.q) AS DOUBLE) / count(*) AS avgq
+        FROM a{i} a JOIN vq q USING (vec_id) GROUP BY a.cl, q.pos),
+u{i}n AS (SELECT cl, sqrt(list_reduce(list(avgq*avgq ORDER BY pos), (a, b) -> a + b)) AS nrm
+         FROM u{i} GROUP BY cl),
+c{i} AS (
+  SELECT p.cl, p.pos,
+         CASE WHEN u.avgq IS NOT NULL AND n.nrm > 0 THEN u.avgq / n.nrm ELSE p.val END AS val
+  FROM {cin} p
+  LEFT JOIN u{i} u ON u.cl = p.cl AND u.pos = p.pos
+  LEFT JOIN u{i}n n ON n.cl = p.cl
+)"""
+
+
 def cosine_topk_ivf_sql(
     dim: int = 64,
     k: int = 10,
@@ -370,25 +394,7 @@ def cosine_topk_ivf_sql(
     rerank. Dot products are unordered double sums (same near-tie ulp
     caveat as the LSH oracle — decisions, not values, must agree)."""
     assert n_iter == 2, "SQL mirror unrolled for n_iter=2"
-
-    def lloyd(i: int, cin: str) -> str:
-        return f"""
-d{i} AS (SELECT v.vec_id, c.cl, sum(v.x * c.val) AS dot
-        FROM vx v JOIN {cin} c USING (pos) GROUP BY v.vec_id, c.cl),
-a{i} AS (SELECT vec_id, cl FROM (
-          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cl ASC) AS rn
-          FROM d{i}) WHERE rn = 1),
-u{i} AS (SELECT a.cl, q.pos, CAST(sum(q.q) AS DOUBLE) / count(*) AS avgq
-        FROM a{i} a JOIN vq q USING (vec_id) GROUP BY a.cl, q.pos),
-u{i}n AS (SELECT cl, sqrt(list_reduce(list(avgq*avgq ORDER BY pos), (a, b) -> a + b)) AS nrm
-         FROM u{i} GROUP BY cl),
-c{i} AS (
-  SELECT p.cl, p.pos,
-         CASE WHEN u.avgq IS NOT NULL AND n.nrm > 0 THEN u.avgq / n.nrm ELSE p.val END AS val
-  FROM {cin} p
-  LEFT JOIN u{i} u ON u.cl = p.cl AND u.pos = p.pos
-  LEFT JOIN u{i}n n ON n.cl = p.cl
-)"""
+    lloyd = _lloyd_cte
 
     return f"""
 WITH ev AS (SELECT vec_id, embedding FROM embeddings),
@@ -484,6 +490,124 @@ def embedding_neardup_pairs(
     return pairs.withColumn("cosine", cos).where(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.2,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with spherical k-means, compare
+    cosines ONLY within each cluster, and keep one canonical member per
+    connected component of the ≥-threshold pair graph.
+
+    Composition of three certified pieces: :func:`ivf_centroids`
+    (``exact=True`` — SQL-reproducible quantizer) + :func:`ivf_assign` for
+    the cells, within-cell exact-cosine pairs (the
+    :func:`embedding_neardup_pairs` shape with cells instead of LSH
+    buckets), and ``dedup.dedup_keep_list`` connected components for the
+    keep verdicts.
+
+    Scale (100-TB lens): the clustering IS the scalability trick — pair
+    candidates are bounded per cell (SemDeDup's point: within-cluster
+    comparison makes semantic dedup linear-ish at web scale; use
+    n_centroids ≈ √n and ``train_fraction`` ≪ 1 there). One shuffle on
+    cell id for the pair join, CC contraction runs ~log_P(n) rounds on
+    the duplicate-bounded edge set.
+
+    Output: (id_col, cell, dup_cluster, keep) — cell = k-means cell,
+    dup_cluster = min reachable id in the near-dup component (own id if
+    unpaired), keep = id equals its component's canonical member. All
+    integer/boolean columns: the float work (assignment argmax, threshold
+    compare) only makes DECISIONS, certified by margin pytests, so the
+    contract row hash is drift-free by construction."""
+    from forecaster_spark.operators.dedup import dedup_keep_list
+
+    C = ivf_centroids(
+        corpus, dim, n_centroids, n_iter, id_col, vec_col, train_fraction, exact=True
+    )
+    cells = ivf_assign(corpus, C, vec_col, out="cell")
+    sig = cells.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "cell"
+    )
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell")
+    pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    edges = (
+        pairs.withColumn("cosine", _cosine_arrow(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    keep = dedup_keep_list(corpus, edges, id_col=id_col).withColumnRenamed(
+        "cluster_id", "dup_cluster"
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(keep, id_col)
+        .select(id_col, "cell", "dup_cluster", "keep")
+    )
+
+
+def semantic_dedup_sql(
+    dim: int = 64,
+    threshold: float = 0.2,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`semantic_dedup`: the exact-centroid Lloyd
+    chain (shared :func:`_lloyd_cte` stages — identical to the certified
+    cosine_topk_ivf oracle), within-cell brute pairs via
+    ``list_cosine_similarity`` ≥ threshold, then a recursive-CTE
+    transitive closure (deliberately NOT the engine's contraction loop —
+    the fixpoint cross-checks it). Expensive feeder CTEs are forced
+    MATERIALIZED: DuckDB otherwise re-inlines the whole Lloyd chain into
+    every closure iteration (the dtw_pairs lesson)."""
+    assert n_iter == 2, "SQL mirror unrolled for n_iter=2"
+    return f"""
+WITH RECURSIVE ev AS (SELECT vec_id, embedding FROM embeddings),
+posx AS (SELECT vec_id, unnest(range({dim})) AS pos, embedding FROM ev),
+vx AS (SELECT vec_id, pos, CAST(embedding[pos+1] AS DOUBLE) AS x FROM posx),
+vq AS (SELECT vec_id, pos, CAST(floor(x * 1024.0) AS BIGINT) AS q FROM vx),
+init_ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+             FROM ev ORDER BY vec_id LIMIT {n_centroids}),
+c0r AS (SELECT i.cl, v.pos, v.x FROM init_ids i JOIN vx v USING (vec_id)),
+c0n AS (SELECT cl, sqrt(list_reduce(list(x*x ORDER BY pos), (a, b) -> a + b)) AS nrm
+        FROM c0r GROUP BY cl),
+c0 AS (SELECT r.cl, r.pos, r.x / n.nrm AS val FROM c0r r JOIN c0n n USING (cl)),
+{_lloyd_cte(1, "c0")},
+{_lloyd_cte(2, "c1")},
+dfin AS (SELECT v.vec_id, c.cl, sum(v.x * c.val) AS dot
+         FROM vx v JOIN c2 c USING (pos) GROUP BY v.vec_id, c.cl),
+cells AS MATERIALIZED (SELECT vec_id, cl FROM (
+           SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cl ASC) AS rn
+           FROM dfin) WHERE rn = 1),
+prs AS MATERIALIZED (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM cells a JOIN cells b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                               CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+),
+e AS MATERIALIZED (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+nn AS (SELECT DISTINCT u AS id FROM e),
+r AS (
+  SELECT id, id AS reach FROM nn
+  UNION
+  SELECT r.id, e.v FROM r JOIN e ON e.u = r.reach
+),
+cc AS (SELECT id, min(reach) AS lbl FROM r GROUP BY id)
+SELECT s.vec_id, CAST(s.cl AS INTEGER) AS cell,
+       coalesce(cc.lbl, s.vec_id) AS dup_cluster,
+       (cc.lbl IS NULL OR cc.lbl = s.vec_id) AS keep
+FROM cells s LEFT JOIN cc ON cc.id = s.vec_id"""
 
 
 def sq8_quantize_np(M: np.ndarray, scale_bits: int = 7) -> np.ndarray:

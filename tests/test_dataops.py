@@ -297,6 +297,92 @@ def test_embedding_neardup(spark, emb):
     assert (0, 1) in set(zip(out.id_a, out.id_b))
 
 
+def test_semantic_dedup_planted_recall(spark):
+    """SemDeDup composition on a planted near-dup set: 3 groups of vectors
+    within cosine ≥ 0.999 of each other plus isolated noise vectors. Every
+    planted group must collapse to ONE kept canonical member, isolated
+    vectors all keep, and the verdicts must equal brute-force all-pairs
+    connected components (recall 1.0 — planted dups co-cluster by
+    construction, the SemDeDup within-cell assumption)."""
+    from forecaster_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(17)
+    dim, rows = 16, []
+    for g in range(3):  # groups of 4 near-identical vectors
+        base = rng.standard_normal(dim)
+        for j in range(4):
+            v = base + rng.standard_normal(dim) * 1e-3
+            rows.append((g * 100 + j, (v / np.linalg.norm(v)).astype(np.float32)))
+    for i in range(20):  # isolated noise
+        v = rng.standard_normal(dim)
+        rows.append((1000 + i, (v / np.linalg.norm(v)).astype(np.float32)))
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [list(map(float, r[1])) for r in rows]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    out = (
+        semantic_dedup(df, dim=dim, threshold=0.95, n_centroids=4)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == 32
+    for g in range(3):
+        ids = [g * 100 + j for j in range(4)]
+        assert (out.loc[ids, "dup_cluster"] == g * 100).all()
+        assert out.loc[ids, "keep"].tolist() == [True, False, False, False]
+    iso = out.loc[[1000 + i for i in range(20)]]
+    assert iso.keep.all() and (iso.dup_cluster == iso.index).all()
+    # brute-force cross-check: all-pairs cosine >= threshold -> union-find
+    M = np.stack([np.array(r[1], dtype=np.float64) for r in rows])
+    ids = np.array([r[0] for r in rows])
+    cos = M @ M.T
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if cos[a, b] >= 0.95:
+                ra, rb = find(int(ids[a])), find(int(ids[b]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    brute = {int(i): find(int(i)) for i in ids}
+    assert {i: int(c) for i, c in out.dup_cluster.items()} == brute
+
+
+def test_semantic_dedup_margins(spark):
+    """Pin the decision margins that make semantic_dedup_embeddings'
+    integer contract drift-free on the driver data: (a) the winning
+    centroid's dot lead over the runner-up, (b) the distance of every
+    within-cell candidate cosine from the 0.2 threshold. Cross-engine
+    float drift is ~1e-12; both margins must sit orders of magnitude
+    above it."""
+    from forecaster_spark.operators.similarity import ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    C = ivf_centroids(emb, dim=64, n_centroids=16, n_iter=2, exact=True)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    M = np.stack(pdf.embedding.map(lambda v: np.asarray(v, dtype=np.float64)))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    dots = Mn @ np.asarray(C).T
+    srt = np.sort(dots, axis=1)
+    assign_gap = float((srt[:, -1] - srt[:, -2]).min())
+    assert assign_gap > 1e-6, assign_gap
+    cells = np.argmax(dots, axis=1)
+    norm = np.linalg.norm(M, axis=1)
+    thr_margin = np.inf
+    for c in np.unique(cells):
+        idx = np.flatnonzero(cells == c)
+        sub = M[idx] @ M[idx].T / np.outer(norm[idx], norm[idx])
+        iu = np.triu_indices(len(idx), 1)
+        if len(iu[0]):
+            thr_margin = min(thr_margin, float(np.abs(sub[iu] - 0.2).min()))
+    assert thr_margin > 1e-6, thr_margin  # measured ~1.9e-5 at sf0.01
+
+
 def test_multimodal_plumbing(spark):
     assets = synth_assets(spark, 60)
     pdf = assets.toPandas()
