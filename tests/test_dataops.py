@@ -297,6 +297,65 @@ def test_embedding_neardup(spark, emb):
     assert (0, 1) in set(zip(out.id_a, out.id_b))
 
 
+def test_bpe_learn_matches_sennrich_reference(spark):
+    """Iterated BPE merge learning ≡ the classic single-machine Sennrich
+    algorithm (counts off the word-frequency vocab, overlapping pair
+    stats, left-to-right non-overlapping merge application, count-desc /
+    pair-asc tie-break) — merge-for-merge, count-for-count."""
+    from collections import Counter
+
+    from forecaster_spark.operators.textops import bpe_learn, bpe_merge_round
+
+    texts = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest new new news",
+        "lowly lowly holo holo holo wide wide wider",
+        None,
+    ]
+
+    def ref_bpe(texts, n):
+        vocab = Counter()
+        for t in texts:
+            if t is None:
+                continue
+            for w in t.lower().split():
+                vocab[tuple(w)] += 1
+        merges = []
+        for _ in range(n):
+            stats = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] += f
+            if not stats:
+                break
+            (l, r), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            merges.append((l, r, cnt))
+            nv = Counter()
+            for syms, f in vocab.items():
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nv[tuple(res)] += f
+            vocab = nv
+        return merges
+
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    expected = ref_bpe(texts, 8)
+    assert len(expected) == 8  # corpus rich enough for all rounds
+    got = bpe_learn(df, n_merges=8)
+    assert got == expected
+    # and the contract-surface single round picks the same first merge
+    first = bpe_merge_round(df, topk=1).collect()[0]
+    assert (first["left_s"], first["right_s"], first["pair_n"]) == expected[0]
+
+
 def test_semantic_dedup_planted_recall(spark):
     """SemDeDup composition on a planted near-dup set: 3 groups of vectors
     within cosine ≥ 0.999 of each other plus isolated noise vectors. Every
