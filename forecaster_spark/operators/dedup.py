@@ -318,6 +318,11 @@ def minhash_lsh_pairs(
     # upstream (standard practice) — this cap bounds task memory and
     # serialization, not output semantics.
     cap = int(bucket_block)
+    if cap < 1:
+        # a non-positive cap would reach SQL as `div 0`, which under the
+        # engine's non-ANSI sessions yields NULL -> sequence(NULL) -> zero
+        # chunk rows: every candidate pair silently dropped. Fail loudly.
+        raise ValueError("bucket_block must be >= 1")
     buckets = (
         bandt.groupBy("band_id", "band_hash")
         .agg(F.collect_list(id_col).alias("_ids"))
@@ -1144,6 +1149,13 @@ def sparse_cosine_pairs(
     vocabularies can restore the permissive behavior explicitly
     (``df_cap_ppm=900_000`` as the contract query does; every doc there
     has ≤ 31 distinct words so ``doc_top_k`` is a no-op).
+
+    .. note:: **Behavior change in r4** — the defaults moved from
+       ``df_cap_ppm=900_000`` / no truncation to ``50_000`` /
+       ``doc_top_k=256``: default-calling code now computes cosines on
+       DF-pruned, top-k-truncated vectors and may emit a different pair
+       set than r3. Pass ``df_cap_ppm=900_000, doc_top_k=None`` to
+       reproduce the old semantics exactly.
 
     Exactness: tf are integer counts; ``dot = Σ tf_a·tf_b`` and the
     norms ``n2 = Σ tf²`` are BIGINTs; the similarity THRESHOLD is the

@@ -109,6 +109,29 @@ def test_rollup_cube_single_scan(spark):
     assert "Expand" in p
 
 
+def test_bnlj_structural_whitelist(spark):
+    """r5: the plan-audit BNLJ exemption is structural, not name-keyed —
+    a scalar (1-row global aggregate) broadcast passes, while a degraded
+    plan broadcasting a multi-row table trips the check automatically."""
+    from forecaster_spark.plans.audit import bnlj_all_scalar, bnlj_report
+
+    big = spark.range(100).withColumnRenamed("id", "x")
+    scalar = spark.range(50).agg(F.max("id").alias("mx"))
+    good = big.join(F.broadcast(scalar), big.x >= F.col("mx") - 10)
+    rep = bnlj_report(good)
+    assert rep and all(ok for _s, ok in rep)
+    assert bnlj_all_scalar(good)
+
+    # the degraded shape: same join, but the broadcast side is a TABLE
+    table = spark.range(20).withColumnRenamed("id", "y")
+    bad = big.join(F.broadcast(table), big.x >= F.col("y") + 5)
+    rep_bad = bnlj_report(bad)
+    assert rep_bad and not any(ok for _s, ok in rep_bad)
+    assert not bnlj_all_scalar(bad)
+    # no-BNLJ plans are vacuously fine
+    assert bnlj_all_scalar(big.join(table, big.x == F.col("y")))
+
+
 def test_heatmap_bmp_sink(spark, tmp_path):
     """S4 image-sink analogue: a QoF table renders to a decodable BMP with
     deterministic layout; min/max cells map to blue/red."""

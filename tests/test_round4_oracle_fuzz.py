@@ -8,6 +8,7 @@ oracle replay on a retraction-filtered frame)."""
 
 import importlib.util
 import math
+import pathlib
 from datetime import datetime, timedelta, timezone
 
 import duckdb
@@ -15,7 +16,9 @@ import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-spec = importlib.util.spec_from_file_location("entry_fuzz_r4", "/root/repo/__spark_entry__.py")
+spec = importlib.util.spec_from_file_location(
+    "entry_fuzz_r4", str(pathlib.Path(__file__).resolve().parents[1] / "__spark_entry__.py")
+)
 _entry = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(_entry)
 ORACLES = _entry.oracle_sql()

@@ -34,28 +34,19 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from forecaster_spark.plans.audit import bnlj_all_scalar  # noqa: E402
 from forecaster_spark.session import get_spark  # noqa: E402
 
 HARD = ("CartesianProduct", "BroadcastNestedLoopJoin")
 
-# BroadcastNestedLoopJoin is allowed ONLY where the broadcast side is a
-# single-row global aggregate (a scalar join — constant-size broadcast at
-# any corpus scale) or the join IS the operator's documented semantics.
-# Audited by hand 2026-08-18; a NEW query sprouting a BNLJ still hard-flags.
-BNLJ_OK = {
+# r5: the BNLJ exemption is STRUCTURAL — plans/audit.py walks each BNLJ's
+# broadcast subtree and accepts it only if it is a 1-row GLOBAL aggregate
+# (constant-size broadcast at any corpus scale). A refactor that turns a
+# scalar broadcast into a table broadcast now hard-flags automatically,
+# whatever the query is called. Name-keyed entries remain ONLY for joins
+# whose non-scalar shape IS the operator's documented semantics:
+BNLJ_SEMANTIC_OK = {
     "cosine_topk_brute_embeddings": "brute-force baseline — broadcast cross join IS the operator (labeled non-scale path; LSH/IVF are the scale paths)",
-    "drift_chi2_events": "1-row global (min,max)→mid bounds broadcast for binning",
-    "temperature_mixture_documents": "1-row min(group count) broadcast for mixture rates",
-    "funnel_conversion_events": "1-row base-population count broadcast",
-    "tfidf_topk_documents": "1-row corpus doc-count broadcast for IDF",
-    "ccf_events": "1-row total-gamma broadcast for normalization",
-    # audited 2026-08-21:
-    "prewhitened_ccf_events": "two 1-row broadcasts: the residual-sum centering totals and the (gx0, gy0) normalization totals — the ccf pattern on the filtered series",
-    # audited 2026-08-19:
-    "friedman_events_1h": "two 1-row broadcasts: global distinct-source count k (completeness filter) and the global sum(R2^2) for chi2",
-    "kruskal_wallis_events": "1-row global (n_total, tie_cubes) broadcast onto the per-source rank sums",
-    # audited 2026-08-20:
-    "sparse_cosine_pairs_documents": "1-row corpus doc-count broadcast for the corpus-relative df-pruning predicate (df*1e6 <= N*ppm) — the tfidf_topk pattern; applies to the large-vocab inverted-index leg (the small-vocab dense-GEMM leg has no BNLJ — its plan is the collect_list shuffle + block-pair equi-joins + applyInPandas)",
     "dtw_pairs_events_1h": "pair generation over the per-SOURCE array table (one row per series, series-count-bounded like spearman/pearson pair queries) — the a.source < b.source inequality join is the operator's documented semantics; the DP runs downstream in the kernel",
 }
 COUNTED = (
@@ -94,8 +85,11 @@ def main() -> int:
         counts = {k: len(re.findall(p, plan)) for k, p in COUNTED}
         counts["codegen"] = spans
         hard = [h for h in HARD if h in plan]
-        if hard == ["BroadcastNestedLoopJoin"] and name in BNLJ_OK:
-            hard = []  # audited scalar-broadcast / documented-baseline join
+        if hard == ["BroadcastNestedLoopJoin"]:
+            if name in BNLJ_SEMANTIC_OK:
+                hard = []  # documented-semantics join (see whitelist comment)
+            elif bnlj_all_scalar(df):
+                hard = []  # every BNLJ broadcasts a 1-row global aggregate
         if hard:
             failures.append(f"{name}: {hard}")
         print(
@@ -110,8 +104,9 @@ def main() -> int:
             print(" ", f)
         return 1
     print(
-        f"\n{len(qs)} plans audited; no CartesianProduct anywhere, no "
-        "BroadcastNestedLoopJoin outside the audited scalar-broadcast whitelist."
+        f"\n{len(qs)} plans audited; no CartesianProduct anywhere, every "
+        "BroadcastNestedLoopJoin structurally verified to broadcast a 1-row "
+        "global aggregate (or documented-semantics whitelisted)."
     )
     return 0
 
