@@ -3218,6 +3218,20 @@ def q_pooled_ar_forecast(spark, sf_dir):
     return pooled_ar_forecast(_hourly_int_series(spark, sf_dir))
 
 
+def q_pooled_ar_fe_forecast(spark, sf_dir):
+    """Per-source FIXED-EFFECTS pooled AR(2) (r5, VERDICT #8): shared
+    slopes from the within/FE panel estimator, per-source intercepts —
+    the cross-learning regime between the global pooled model and the
+    per-series fits. Balance enforced on the common bucket spine so the
+    scaled-deviation cross-products make the slope Cramer exact integers
+    (1/n cancels); α_s and the recursion are fixed left-assoc chains."""
+    from forecaster_spark.models.kernels import pooled_ar_fe_forecast
+
+    return pooled_ar_fe_forecast(_hourly_int_series(spark, sf_dir)).select(
+        "source", "n_obs", "h", "y_hat"
+    )
+
+
 def q_mixture_allocation(spark, sf_dir):
     """Training-mixture budget apportionment by largest remainder (Hare
     quota): split a 10k sample budget across sources ∝ character mass,
@@ -3529,6 +3543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ul2_denoiser_mix_documents": q_ul2_denoiser_mix,
         "var1_pairs_events_1h": q_var1_pairs,
         "pooled_ar_forecast_events_1h": q_pooled_ar_forecast,
+        "pooled_ar_fe_forecast_events_1h": q_pooled_ar_fe_forecast,
         "mixture_allocation_documents": q_mixture_allocation,
         "winnowing_neardup_pairs_documents": q_winnowing_neardup_pairs,
         "arima210_forecast_events_1h": q_arima210_forecast,
@@ -6884,6 +6899,7 @@ FROM ag""",
         "ul2_denoiser_mix_documents": xhash_sql.ul2_denoiser_sql(),
         "var1_pairs_events_1h": exact_sql.var1_pairs_sql(),
         "pooled_ar_forecast_events_1h": exact_sql.pooled_ar_sql(),
+        "pooled_ar_fe_forecast_events_1h": exact_sql.pooled_ar_fe_sql(),
         "arima210_forecast_events_1h": exact_sql.arima210_sql(),
         "epoch_shuffle_documents": epoch_shuffle_sql(),
         "siegel_slopes_events_1h": "\nWITH th AS (\n  SELECT event_type AS source, date_trunc('hour', ts) AS b,\n         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd\n  FROM events GROUP BY 1, 2\n), o AS (\n  SELECT source, CAST(yd AS BIGINT) AS v,\n         row_number() OVER (PARTITION BY source ORDER BY b) - 1 AS i\n  FROM th\n), pr AS (\n  SELECT a.source, a.i AS ia, b2.i AS ib,\n         ((b2.v - a.v) * 1000\n            - ((((b2.v - a.v) * 1000) % (b2.i - a.i) + (b2.i - a.i)) % (b2.i - a.i))\n         ) // (b2.i - a.i) * 2 AS s2\n  FROM o a JOIN o b2 ON a.source = b2.source AND a.i < b2.i\n), ep AS (\n  SELECT source, ia AS i, s2 FROM pr\n  UNION ALL\n  SELECT source, ib AS i, s2 FROM pr\n), rmed AS (\n  SELECT source, i, s2,\n         row_number() OVER (PARTITION BY source, i ORDER BY s2) AS rn,\n         count(*) OVER (PARTITION BY source, i) AS cnt\n  FROM ep\n), medi AS (\n  SELECT source, i, avg(s2) AS medq FROM rmed\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1, 2\n), l2 AS (\n  SELECT source, medq,\n         row_number() OVER (PARTITION BY source ORDER BY medq) AS rn,\n         count(*) OVER (PARTITION BY source) AS cnt\n  FROM medi\n), sl AS (\n  SELECT source, avg(medq) / 2000.0 AS slope FROM l2\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1\n), res AS (\n  SELECT o.source, CAST(o.v AS DOUBLE) - sl.slope * o.i AS r\n  FROM o JOIN sl ON sl.source = o.source\n), rr AS (\n  SELECT source, r,\n         row_number() OVER (PARTITION BY source ORDER BY r) AS rn,\n         count(*) OVER (PARTITION BY source) AS cnt\n  FROM res\n), ic AS (\n  SELECT source, avg(r) AS intercept FROM rr\n  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1\n), np_ AS (\n  SELECT source, CAST(count(*) AS BIGINT) AS n_points FROM o GROUP BY 1\n)\nSELECT np_.source, np_.n_points, sl.slope, ic.intercept\nFROM np_ JOIN sl ON sl.source = np_.source JOIN ic ON ic.source = np_.source",

@@ -1096,6 +1096,84 @@ SELECT r.source, CAST(r.n AS BIGINT) AS n_pool, CAST(hs.h AS BIGINT) AS h,
 FROM r{hh} r CROSS JOIN hs"""
 
 
+def pooled_ar_fe_sql(hh: int = 4) -> str:
+    """Oracle for ``kernels.pooled_ar_fe_forecast``: restrict the hourly
+    integer tier to the common bucket spine (balanced panel), build the
+    per-source HUGEINT scaled-deviation cross-products
+    ``T_ab,s = n·Σab − Σa·Σb``, sum them, solve the 2×2 within-slope
+    Cramer (1/n factors cancel on a balanced panel), per-source intercepts
+    as the same fixed left-assoc chain the kernel writes, then the
+    recursive forecast from each source's last two spine values."""
+    rec, px, p2 = [], "y1", "y2"
+    for h in range(1, hh + 1):
+        src = "j0" if h == 1 else f"r{h-1}"
+        rec.append(f"r{h} AS (SELECT *, (a + {px} * b1) + {p2} * b2 AS xh{h} FROM {src})")
+        p2, px = px, f"xh{h}"
+    rec_sql = ", ".join(rec)
+    case_x = " ".join(f"WHEN {h} THEN xh{h}" for h in range(1, hh + 1))
+    return f"""
+WITH th AS (
+  SELECT event_type AS source, date_trunc('hour', ts) AS b,
+         floor(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 / count(*)) AS yd
+  FROM events GROUP BY 1, 2
+), o AS (
+  SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
+), spine AS (
+  SELECT b FROM o GROUP BY b
+  HAVING count(DISTINCT source) = (SELECT count(DISTINCT source) FROM o)
+), rs AS (
+  SELECT o.* FROM o JOIN spine USING (b)
+), lg AS (
+  SELECT source, v, lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2
+  FROM rs WINDOW w AS (PARTITION BY source ORDER BY b)
+), e AS (
+  SELECT * FROM lg WHERE l2 IS NOT NULL
+), per AS (
+  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(l1) AS HUGEINT) AS s1, CAST(sum(l2) AS HUGEINT) AS s2,
+         CAST(sum(l1*l1) AS HUGEINT) AS s11, CAST(sum(l1*l2) AS HUGEINT) AS s12,
+         CAST(sum(l2*l2) AS HUGEINT) AS s22,
+         CAST(sum(v) AS HUGEINT) AS sy,
+         CAST(sum(v*l1) AS HUGEINT) AS sy1, CAST(sum(v*l2) AS HUGEINT) AS sy2
+  FROM e GROUP BY source
+), tt AS (
+  SELECT source, n, s1, s2, sy,
+         n*s11 - s1*s1 AS t11, n*s12 - s1*s2 AS t12, n*s22 - s2*s2 AS t22,
+         n*sy1 - s1*sy AS t1y, n*sy2 - s2*sy AS t2y
+  FROM per
+), tot AS (
+  SELECT sum(t11) AS w11, sum(t12) AS w12, sum(t22) AS w22,
+         sum(t1y) AS w1y, sum(t2y) AS w2y
+  FROM tt
+), cf AS (
+  SELECT CASE WHEN den = 0 THEN 0.0
+              ELSE CAST(w1y*w22 - w2y*w12 AS DOUBLE) / CAST(den AS DOUBLE) END AS b1,
+         CASE WHEN den = 0 THEN 0.0
+              ELSE CAST(w11*w2y - w12*w1y AS DOUBLE) / CAST(den AS DOUBLE) END AS b2
+  FROM (SELECT *, w11*w22 - w12*w12 AS den FROM tot)
+), al AS (
+  SELECT t.source, t.n,
+         ((CAST(t.sy AS DOUBLE) - CAST(t.s1 AS DOUBLE) * cf.b1)
+            - CAST(t.s2 AS DOUBLE) * cf.b2) / CAST(t.n AS DOUBLE) AS a,
+         cf.b1, cf.b2
+  FROM tt t CROSS JOIN cf
+), rn AS (
+  SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY b DESC) AS r FROM rs
+), lastv AS (
+  SELECT source,
+         CAST(max(CASE WHEN r = 1 THEN v END) AS DOUBLE) AS y1,
+         CAST(max(CASE WHEN r = 2 THEN v END) AS DOUBLE) AS y2,
+         count(*) AS c
+  FROM rn WHERE r <= 2 GROUP BY source HAVING count(*) = 2
+), j0 AS (
+  SELECT lastv.source, lastv.y1, lastv.y2, al.n, al.a, al.b1, al.b2
+  FROM lastv JOIN al USING (source)
+), {rec_sql}, hs AS (SELECT unnest(range(1, {hh + 1})) AS h)
+SELECT r.source, CAST(r.n AS BIGINT) AS n_obs, CAST(hs.h AS BIGINT) AS h,
+       CASE hs.h {case_x} END AS y_hat
+FROM r{hh} r CROSS JOIN hs"""
+
+
 def arima210_sql(hh: int = 4) -> str:
     """Oracle for ``kernels.arima210_forecast``: per-source first diffs of
     the hourly integer tier, HUGEINT normal equations on the diff lags,

@@ -355,6 +355,151 @@ def pooled_ar_forecast(
     )
 
 
+def pooled_ar_fe_forecast(
+    df: DataFrame,
+    partition: str = "source",
+    order: str = "ts",
+    y: str = "y",
+    hh: int = 4,
+) -> DataFrame:
+    """Per-source FIXED-EFFECTS pooled AR(2) — the cross-learning regime
+    between :func:`pooled_ar_forecast` (one global model) and the per-series
+    ARX family (|sources| independent models): shared slopes b1, b2 learned
+    from ALL series, per-source intercepts α_s (the classic within/FE panel
+    estimator — one dummy column per series, eliminated by block
+    elimination rather than materialized).
+
+    Exactness without division: on a BALANCED panel the within-estimator's
+    per-source centered cross-products scale to integers,
+    ``T_ab,s = n_s·Σab − Σa·Σb`` (the kpss scaled-deviation trick), and the
+    1/n_s factors cancel in the 2×2 slope Cramer — so b1, b2 are ratios of
+    exact Python-int determinants through the HUGEINT→DOUBLE cast mimic,
+    and α_s is the fixed left-assoc chain ``((sy − s1·b1) − s2·b2)/n``.
+    Balance is ENFORCED relationally: the series is restricted to the
+    common bucket spine (buckets present in every source) before lagging —
+    deterministic and SQL-mirrorable; the spine membership test is a 1-row
+    distinct-source-count broadcast (the friedman scalar-join pattern,
+    structurally whitelisted).
+
+    Plan shape (100-TB lens): same as pooled_ar — lag windows ride the
+    tier's (source) layout, partial aggregation to |sources| rows collected
+    parameter-server style, coefficients re-enter as literals/one tiny
+    broadcast alpha table; the spine table is calendar-bounded (grows with
+    retention, not corpus).
+
+    Output: (source, n_obs, h, y_hat); singular pooled design degrades to
+    b1 = b2 = 0 with α_s = each source's mean (the formula's own limit).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from forecaster_spark.oracle.ref import hugeint_to_double as h2d
+
+    t = df.select(
+        F.col(partition).alias("_s"), F.col(order).alias("_b"), F.col(y).cast("long").alias("_v")
+    )
+    k1 = t.select(F.countDistinct("_s").alias("_k"))
+    spine = (
+        t.groupBy("_b")
+        .agg(F.countDistinct("_s").alias("_c"))
+        .join(F.broadcast(k1), F.col("_c") == F.col("_k"))
+        .select("_b")
+    )
+    r = t.join(F.broadcast(spine), "_b")
+    w = Window.partitionBy("_s").orderBy("_b")
+    lg = (
+        r.withColumn("_l1", F.lag("_v", 1).over(w))
+        .withColumn("_l2", F.lag("_v", 2).over(w))
+        .where(F.col("_l2").isNotNull())
+    )
+    per = (
+        lg.groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_l1").alias("s1"),
+            F.sum("_l2").alias("s2"),
+            F.sum(F.col("_l1") * F.col("_l1")).alias("s11"),
+            F.sum(F.col("_l1") * F.col("_l2")).alias("s12"),
+            F.sum(F.col("_l2") * F.col("_l2")).alias("s22"),
+            F.sum("_v").alias("sy"),
+            F.sum(F.col("_v") * F.col("_l1")).alias("sy1"),
+            F.sum(F.col("_v") * F.col("_l2")).alias("sy2"),
+        )
+        .collect()
+    )
+    part_field = df.select(partition).schema.fields[0]
+    if not per:
+        empty_schema = T.StructType(
+            [
+                part_field,
+                T.StructField("n_obs", T.LongType()),
+                T.StructField("h", T.LongType()),
+                T.StructField("y_hat", T.DoubleType()),
+            ]
+        )
+        return df.sparkSession.createDataFrame([], empty_schema)
+    T11 = T12 = T22 = T1y = T2y = 0
+    stats = {}
+    for row in per:
+        n, s1, s2 = int(row["n"]), int(row["s1"]), int(row["s2"])
+        s11, s12, s22 = int(row["s11"]), int(row["s12"]), int(row["s22"])
+        sy, sy1, sy2 = int(row["sy"]), int(row["sy1"]), int(row["sy2"])
+        T11 += n * s11 - s1 * s1
+        T12 += n * s12 - s1 * s2
+        T22 += n * s22 - s2 * s2
+        T1y += n * sy1 - s1 * sy
+        T2y += n * sy2 - s2 * sy
+        stats[row["_s"]] = (n, s1, s2, sy)
+    den = T11 * T22 - T12 * T12
+    if den == 0:
+        b1 = b2 = 0.0
+    else:
+        b1 = h2d(T1y * T22 - T2y * T12) / h2d(den)
+        b2 = h2d(T11 * T2y - T12 * T1y) / h2d(den)
+    alpha_rows = [
+        (s, ((float(sy) - float(s1) * b1) - float(s2) * b2) / float(n), n)
+        for s, (n, s1, s2, sy) in stats.items()
+    ]
+    fe = df.sparkSession.createDataFrame(
+        alpha_rows,
+        T.StructType(
+            [
+                T.StructField("_s", part_field.dataType),
+                T.StructField("_a", T.DoubleType()),
+                T.StructField("_n", T.LongType()),
+            ]
+        ),
+    )
+    wd = Window.partitionBy("_s").orderBy(F.col("_b").desc())
+    lastv = (
+        r.withColumn("_rn", F.row_number().over(wd))
+        .where(F.col("_rn") <= 2)
+        .groupBy("_s")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("_v"))).cast("double").alias("_y1"),
+            F.max(F.when(F.col("_rn") == 2, F.col("_v"))).cast("double").alias("_y2"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .where(F.col("_c") == 2)
+    )
+    j = lastv.join(F.broadcast(fe), "_s")
+    prev, prev2 = F.col("_y1"), F.col("_y2")
+    hcols = []
+    for h in range(1, hh + 1):
+        cur = (F.col("_a") + prev * F.lit(b1)) + prev2 * F.lit(b2)
+        hcols.append(cur.alias(f"_h{h}"))
+        prev, prev2 = cur, prev
+    stacked = ", ".join(f"{h}L, _h{h}" for h in range(1, hh + 1))
+    return (
+        j.select("_s", "_n", *hcols)
+        .selectExpr("_s", "_n", f"stack({hh}, {stacked}) AS (h, y_hat)")
+        .select(
+            F.col("_s").alias(partition), F.col("_n").alias("n_obs"), "h", "y_hat"
+        )
+    )
+
+
 def arima210_forecast(
     df: DataFrame,
     partition: str = "source",

@@ -59,6 +59,11 @@ QUERIES = [
     "epoch_shuffle_documents",
     "siegel_slopes_events_1h",
     "markov_transitions_events",
+    # r5 additions
+    "pooled_ar_fe_forecast_events_1h",
+    "semantic_dedup_embeddings",
+    "bpe_merge_round_documents",
+    "duplicated_spans_k16_documents",
 ]
 
 

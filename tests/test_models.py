@@ -164,3 +164,67 @@ def test_exact_solver_rejects_non_integer_inputs():
 
     with _pytest.raises(ValueError, match="integer-valued"):
         ref.ols_fit_exact(np.array([[1.5], [2.0], [3.0]]), np.array([1.0, 2.0, 3.0]))
+
+
+def test_pooled_ar_fe_matches_dummy_design_lstsq(spark):
+    """The FE panel estimator's integer-Cramer slopes and per-source
+    intercepts equal the full dummy-design least-squares solution (one
+    indicator column per source + shared lag slopes) computed by numpy —
+    an algebraically different route to the same estimator, certifying
+    the within/scaled-deviation derivation itself."""
+    import pandas as _pd
+
+    from forecaster_spark.models.kernels import pooled_ar_fe_forecast
+
+    rng = np.random.default_rng(23)
+    base = _pd.Timestamp("2030-01-01")
+    rows = []
+    series = {}
+    for si, src in enumerate(["a", "b", "c"]):
+        v = np.floor(rng.uniform(0, 200, 60)).astype(np.int64)
+        series[src] = v
+        for t, val in enumerate(v):
+            rows.append((src, base + _pd.Timedelta(hours=t), float(val)))
+    df = spark.createDataFrame(_pd.DataFrame(rows, columns=["source", "ts", "y"]))
+    got = pooled_ar_fe_forecast(df, hh=2).toPandas().set_index(["source", "h"])
+
+    # numpy dummy design: columns [1_a, 1_b, 1_c, l1, l2] over pooled rows
+    X, Y = [], []
+    for si, src in enumerate(["a", "b", "c"]):
+        v = series[src]
+        for t in range(2, len(v)):
+            d = [0.0, 0.0, 0.0]
+            d[si] = 1.0
+            X.append(d + [float(v[t - 1]), float(v[t - 2])])
+            Y.append(float(v[t]))
+    beta, *_ = np.linalg.lstsq(np.array(X), np.array(Y), rcond=None)
+    alphas, b1, b2 = beta[:3], beta[3], beta[4]
+    for si, src in enumerate(["a", "b", "c"]):
+        v = series[src]
+        prev, prev2 = float(v[-1]), float(v[-2])
+        for h in (1, 2):
+            cur = (alphas[si] + prev * b1) + prev2 * b2
+            assert got.loc[(src, h), "y_hat"] == pytest.approx(cur, rel=1e-9), (src, h)
+            prev, prev2 = cur, prev
+    # balanced by construction: n_obs = 58 everywhere
+    assert (got["n_obs"] == 58).all()
+
+
+def test_pooled_ar_fe_common_spine_balance(spark):
+    """Unbalanced input: a source missing some buckets forces the panel
+    onto the common spine — every source's n_obs equals |common| - 2, and
+    sources are NOT silently dropped."""
+    import pandas as _pd
+
+    from forecaster_spark.models.kernels import pooled_ar_fe_forecast
+
+    rng = np.random.default_rng(5)
+    base = _pd.Timestamp("2030-01-01")
+    rows = []
+    for src, hours in (("a", range(50)), ("b", list(range(10)) + list(range(20, 50)))):
+        for t in hours:
+            rows.append((src, base + _pd.Timedelta(hours=t), float(rng.integers(0, 100))))
+    df = spark.createDataFrame(_pd.DataFrame(rows, columns=["source", "ts", "y"]))
+    got = pooled_ar_fe_forecast(df, hh=3).toPandas()
+    assert set(got["source"]) == {"a", "b"}
+    assert (got["n_obs"] == 38).all()  # |common| = 40 buckets, minus 2 lags
