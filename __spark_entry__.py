@@ -50,6 +50,7 @@ from forecaster_spark.operators.textops import (
     STOPWORDS,
     WS_SPLIT,
     bpe_merge_round_sql,
+    quality_classifier_sql,
     quality_funnel_sql,
     with_fingerprint,
     with_lang_id,
@@ -1632,6 +1633,18 @@ def q_bigram_collocations(spark, sf_dir):
     from forecaster_spark.operators.textops import bigram_collocations
 
     return bigram_collocations(read_table(spark, sf_dir, "documents"), topk=50)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Linear quality-classifier scoring (r5, VERDICT #8): exact integer
+    features, binary-exact weights, power-of-two length cap, fixed
+    left-assoc score chain — the DOUBLE score and the keep verdict are
+    bit-identical cross-engine (no margin analysis needed)."""
+    from forecaster_spark.operators.textops import quality_classifier
+
+    return quality_classifier(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "sw_hits", "n_punct", "n_digits", "score", "keep"
+    )
 
 
 def q_bpe_merge_round(spark, sf_dir):
@@ -3455,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_events": q_seasonal_profile,
         "bigram_collocations_documents": q_bigram_collocations,
         "bpe_merge_round_documents": q_bpe_merge_round,
+        "quality_classifier_documents": q_quality_classifier,
         "interval_join_events_1h": q_interval_join,
         "dedup_keep_list_documents": q_dedup_keep_list,
         "mad_anomaly_events": q_mad_anomaly,
@@ -4684,6 +4698,7 @@ WITH w AS (
 SELECT pc.w1, pc.w2, pc.pair_n, a.n AS w1_n, b.n AS w2_n
 FROM pc JOIN u a ON a.w = pc.w1 JOIN u b ON b.w = pc.w2""",
         "bpe_merge_round_documents": bpe_merge_round_sql(topk=20),
+        "quality_classifier_documents": quality_classifier_sql(),
         "interval_join_events_1h": """
 WITH hb AS (
   SELECT event_type AS source, date_trunc('hour', ts) AS b, count(*) AS c

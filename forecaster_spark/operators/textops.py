@@ -274,6 +274,110 @@ def bigram_collocations(df: DataFrame, text_col: str = "text", topk: int = 50) -
     )
 
 
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w_len: float = 0.25,
+    w_sw: float = 0.5,
+    w_punct: float = -0.5,
+    w_dig: float = -0.25,
+    len_cap: int = 64,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Linear quality-classifier scoring stage (r5, VERDICT #8): the
+    fastText-style keep/toss scorer a curation pipeline runs after the
+    hard funnel filters — a weighted combination of the corpus quality
+    signals, producing a per-document score and verdict.
+
+    Exactness discipline: every feature is an exact integer (word count,
+    non-ws chars, stopword hits, punct chars via the EXPLICIT non-alnum
+    class — never ``\\w``/``\\s``, the r4 divergence family; digit
+    chars), every ratio is ONE IEEE division of exact small integers,
+    ``len_cap`` is a power of two (exact division), all weights and the
+    threshold are binary-exact literals (the ewma lesson), and the score
+    is a fixed left-assoc chain — so the DOUBLE score itself is
+    bit-identical cross-engine and the keep decision needs no margin
+    analysis at all (unlike the cosine-threshold operators).
+
+    Scale: one scan, all row-local codegen expressions except the
+    stopword membership filter (interpreted array lambda over a ~40-word
+    list — bounded per row), zero shuffles, zero joins.
+
+    Output: (id_col, n_words, sw_hits, n_punct, n_digits, score, keep).
+    """
+    t = F.trim(F.col(text_col))
+    words = F.array_remove(F.split(F.lower(t), WS_SPLIT), "")
+    all_sw = sorted({w for sws in STOPWORDS.values() for w in sws})
+    wc = F.size(words)
+    nchars = F.length(t)
+    npunct = nchars - F.length(F.regexp_replace(t, rf"[^A-Za-z0-9{WS_CHARS}]", ""))
+    ndig = nchars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    sw_hits = F.size(F.filter(words, lambda w: w.isin(*all_sw)))
+    len_r = F.least(wc, F.lit(len_cap)).cast("double") / F.lit(float(len_cap))
+    sw_r = sw_hits.cast("double") / F.greatest(wc, F.lit(1)).cast("double")
+    p_r = npunct.cast("double") / F.greatest(nchars, F.lit(1)).cast("double")
+    d_r = ndig.cast("double") / F.greatest(nchars, F.lit(1)).cast("double")
+    score = (
+        (F.lit(w_len) * len_r + F.lit(w_sw) * sw_r) + F.lit(w_punct) * p_r
+    ) + F.lit(w_dig) * d_r
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            wc.cast("long").alias("n_words"),
+            sw_hits.cast("long").alias("sw_hits"),
+            npunct.cast("long").alias("n_punct"),
+            ndig.cast("long").alias("n_digits"),
+            score.alias("score"),
+            (score >= F.lit(threshold)).alias("keep"),
+        )
+    )
+
+
+def quality_classifier_sql(
+    w_len: float = 0.25,
+    w_sw: float = 0.5,
+    w_punct: float = -0.5,
+    w_dig: float = -0.25,
+    len_cap: int = 64,
+    threshold: float = 0.25,
+    source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB oracle for :func:`quality_classifier` — the identical
+    integer features, division order, and left-assoc score chain, so the
+    double score matches bit-for-bit."""
+    from forecaster_spark.operators.textops import STOPWORDS as _SW
+
+    all_sw = sorted({w for sws in _SW.values() for w in sws})
+    sw_list = ", ".join(f"'{w}'" for w in all_sw)
+    return f"""
+WITH src AS (SELECT doc_id, trim(text) AS t
+             FROM ({source_sql}) WHERE text IS NOT NULL),
+f AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(t), '[{WS_CHARS}]+'), x -> x != '')) AS wc,
+         length(t) AS nchars,
+         length(t) - length(regexp_replace(t, '[^A-Za-z0-9{WS_CHARS}]', '', 'g')) AS npunct,
+         length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS ndig,
+         len(list_filter(list_filter(string_split_regex(lower(t), '[{WS_CHARS}]+'), x -> x != ''),
+             x -> list_contains([{sw_list}], x))) AS swh
+  FROM src
+),
+s AS (
+  SELECT doc_id, wc, swh, npunct, ndig,
+         (({w_len!r} * (CAST(least(wc, {len_cap}) AS DOUBLE) / {float(len_cap)!r})
+           + {w_sw!r} * (CAST(swh AS DOUBLE) / CAST(greatest(wc, 1) AS DOUBLE)))
+          + {w_punct!r} * (CAST(npunct AS DOUBLE) / CAST(greatest(nchars, 1) AS DOUBLE)))
+         + {w_dig!r} * (CAST(ndig AS DOUBLE) / CAST(greatest(nchars, 1) AS DOUBLE)) AS score
+  FROM f
+)
+SELECT doc_id, CAST(wc AS BIGINT) AS n_words, CAST(swh AS BIGINT) AS sw_hits,
+       CAST(npunct AS BIGINT) AS n_punct, CAST(ndig AS BIGINT) AS n_digits,
+       score, score >= {threshold!r} AS keep
+FROM s"""
+
+
 def bpe_merge_round(df: DataFrame, text_col: str = "text", topk: int = 20) -> DataFrame:
     """ONE exact BPE merge-count round over the corpus (Sennrich et al.
     2016, "Neural Machine Translation of Rare Words with Subword Units"):

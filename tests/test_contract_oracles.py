@@ -64,6 +64,7 @@ QUERIES = [
     "semantic_dedup_embeddings",
     "bpe_merge_round_documents",
     "duplicated_spans_k16_documents",
+    "quality_classifier_documents",
 ]
 
 
