@@ -126,11 +126,13 @@ def _dib_rows(frame: np.ndarray) -> bytes:
     return np.concatenate([bgr, pad], axis=1).tobytes()
 
 
-def _dib_undo(body: bytes, w: int, h: int) -> np.ndarray:
-    """Inverse of :func:`_dib_rows` → (h, w, 3) uint8 RGB."""
+def _dib_undo(body: bytes, w: int, h: int, top_down: bool = False) -> np.ndarray:
+    """Inverse of :func:`_dib_rows` → (h, w, 3) uint8 RGB. ``top_down``
+    for negative-biHeight DIBs, whose rows are already in display order."""
     row_size = (w * 3 + 3) & ~3
     rows = np.frombuffer(body, np.uint8, count=row_size * h).reshape(h, row_size)
-    return rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1][::-1]
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return img if top_down else img[::-1]
 
 
 def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
@@ -176,11 +178,13 @@ def avi_decode(blob: bytes) -> tuple[np.ndarray, int]:
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     w = h = None
+    top_down = False
     fps = 10
+    in_vids = False  # strf chunks bind to the PRECEDING strh's stream type
     frames: list[np.ndarray] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, in_vids, top_down
         while pos + 8 <= end:
             cid, sz = struct.unpack_from("<4sI", blob, pos)
             body_at = pos + 8
@@ -188,19 +192,22 @@ def avi_decode(blob: bytes) -> tuple[np.ndarray, int]:
                 walk(body_at + 4, body_at + sz)  # skip the list-type fourcc
             elif cid == b"strh":
                 fcc, handler = struct.unpack_from("<4s4s", blob, body_at)
-                if fcc == b"vids":
+                in_vids = fcc == b"vids"
+                if in_vids:
                     if handler not in (b"DIB ", b"\0\0\0\0", b"RGB "):
                         raise ValueError(f"unsupported AVI codec {handler!r}")
                     scale, rate = struct.unpack_from("<II", blob, body_at + 20)
                     fps = rate // max(scale, 1)
-            elif cid == b"strf" and w is None:
+            elif cid == b"strf" and in_vids and w is None:
                 _hs, w, h, _planes, bpp = struct.unpack_from("<IiiHH", blob, body_at)
                 if bpp != 24:
                     raise ValueError(f"unsupported AVI bit depth {bpp}")
+                top_down = h < 0
+                h = abs(h)
             elif cid in (b"00db", b"00dc"):
                 if w is None:
                     raise ValueError("AVI frame chunk before strf header")
-                frames.append(_dib_undo(blob[body_at : body_at + sz], w, abs(h)))
+                frames.append(_dib_undo(blob[body_at : body_at + sz], w, h, top_down))
             pos = body_at + sz + (sz & 1)
 
     walk(12, len(blob))
@@ -301,33 +308,41 @@ def extract_features(df: DataFrame, decode: str = "auto", dim: int = 16) -> Data
             "n_frames": None, "mean_luma": None, "sample_rate": None,
             "rms": None, "decoded": False, "feature": None,
         }
-        if decode != "fake" and mime == "image/bmp":
-            img = bmp_decode(payload)
-            luma = _luma(img)
-            out.update(
-                width=img.shape[1], height=img.shape[0], n_frames=1,
-                mean_luma=float(luma.mean()), decoded=True,
-                feature=_block_means(luma.ravel(), dim),
-            )
-            return out
-        if decode != "fake" and mime == "audio/wav":
-            samples, sr = wav_decode(payload)
-            x = samples.astype(np.float64)
-            out.update(
-                sample_rate=sr, n_frames=len(samples),
-                rms=float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
-                decoded=True, feature=_block_means(np.abs(x), dim),
-            )
-            return out
-        if decode != "fake" and mime == "video/avi":
-            frames, _fps = avi_decode(payload)
-            per_frame = _luma(frames.astype(np.float64)).mean(axis=(1, 2))
-            out.update(
-                width=frames.shape[2], height=frames.shape[1],
-                n_frames=frames.shape[0], mean_luma=float(per_frame.mean()),
-                decoded=True, feature=_block_means(per_frame, dim),
-            )
-            return out
+        try:
+            if decode != "fake" and mime == "image/bmp":
+                img = bmp_decode(payload)
+                luma = _luma(img)
+                out.update(
+                    width=img.shape[1], height=img.shape[0], n_frames=1,
+                    mean_luma=float(luma.mean()), decoded=True,
+                    feature=_block_means(luma.ravel(), dim),
+                )
+                return out
+            if decode != "fake" and mime == "audio/wav":
+                samples, sr = wav_decode(payload)
+                x = samples.astype(np.float64)
+                out.update(
+                    sample_rate=sr, n_frames=len(samples),
+                    rms=float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                    decoded=True, feature=_block_means(np.abs(x), dim),
+                )
+                return out
+            if decode != "fake" and mime == "video/avi":
+                frames, _fps = avi_decode(payload)
+                per_frame = _luma(frames.astype(np.float64)).mean(axis=(1, 2))
+                out.update(
+                    width=frames.shape[2], height=frames.shape[1],
+                    n_frames=frames.shape[0], mean_luma=float(per_frame.mean()),
+                    decoded=True, feature=_block_means(per_frame, dim),
+                )
+                return out
+        except (ValueError, struct.error):
+            # corrupt/truncated payload: a real corpus always carries some.
+            # strict surfaces it; auto falls through to the deterministic
+            # fake-feature path below (decoded stays False) — one bad asset
+            # must not abort a 10^12-row job.
+            if decode == "strict":
+                raise
         if decode == "strict":
             raise ValueError(
                 f"media decode for {mime} requires pyav/PIL — not in this "

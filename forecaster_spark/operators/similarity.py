@@ -533,7 +533,13 @@ def semantic_dedup(
     C = ivf_centroids(
         corpus, dim, n_centroids, n_iter, id_col, vec_col, train_fraction, exact=True
     )
-    cells = ivf_assign(corpus, C, vec_col, out="cell")
+    # eager checkpoint: the assignment kernel otherwise re-executes for the
+    # pair join's a-side, b-side AND the final select (alias differences
+    # defeat exchange reuse) — A/B at sf0.1: 4.15 → 3.73 s warm. At real
+    # scale this materialized (id, vec, cell) table IS the SemDeDup
+    # pipeline's cluster-assignment artifact; swap in reliable
+    # checkpoint()/a table write on a cluster.
+    cells = ivf_assign(corpus, C, vec_col, out="cell").localCheckpoint(eager=True)
     sig = cells.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "cell"
     )

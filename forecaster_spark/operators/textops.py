@@ -274,6 +274,20 @@ def bigram_collocations(df: DataFrame, text_col: str = "text", topk: int = 50) -
     )
 
 
+def _adjacent_pairs(arr_col: str):
+    """Explodable struct column ``p(l, r)`` of adjacent element pairs of an
+    array column — the one BPE pair-semantics definition shared by the
+    contract-surface count round and the iterated learner (a future change
+    — e.g. Sennrich's ``</w>`` end-of-word marker — edits exactly one
+    place)."""
+    return F.explode(
+        F.arrays_zip(
+            F.expr(f"slice({arr_col}, 1, greatest(size({arr_col}) - 1, 0))").alias("l"),
+            F.expr(f"slice({arr_col}, 2, greatest(size({arr_col}) - 1, 0))").alias("r"),
+        )
+    ).alias("p")
+
+
 def quality_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -403,15 +417,11 @@ def bpe_merge_round(df: DataFrame, text_col: str = "text", topk: int = 20) -> Da
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    pairs = vf.select("freq", F.split(F.col("w"), "").alias("cs")).select(
-        "freq",
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(cs, 1, greatest(size(cs) - 1, 0))").alias("left_s"),
-                F.expr("slice(cs, 2, greatest(size(cs) - 1, 0))").alias("right_s"),
-            )
-        ).alias("p"),
-    ).select("p.left_s", "p.right_s", "freq")
+    pairs = (
+        vf.select("freq", F.split(F.col("w"), "").alias("cs"))
+        .select("freq", _adjacent_pairs("cs"))
+        .select(F.col("p.l").alias("left_s"), F.col("p.r").alias("right_s"), "freq")
+    )
     agg = pairs.groupBy("left_s", "right_s").agg(F.sum("freq").alias("pair_n"))
     ordr = [F.desc("pair_n"), F.asc("left_s"), F.asc("right_s")]
     top = agg.orderBy(*ordr).limit(topk)  # TakeOrderedAndProject
@@ -464,15 +474,9 @@ def bpe_learn(
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs = vocab.select(
-            "freq",
-            F.explode(
-                F.arrays_zip(
-                    F.expr("slice(syms, 1, greatest(size(syms) - 1, 0))").alias("l"),
-                    F.expr("slice(syms, 2, greatest(size(syms) - 1, 0))").alias("r"),
-                )
-            ).alias("p"),
-        ).select("p.l", "p.r", "freq")
+        pairs = vocab.select("freq", _adjacent_pairs("syms")).select(
+            "p.l", "p.r", "freq"
+        )
         best = (
             pairs.groupBy("l", "r")
             .agg(F.sum("freq").alias("n"))

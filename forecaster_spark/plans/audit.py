@@ -17,6 +17,23 @@ from pyspark.sql import DataFrame
 
 _AGG_EXECS = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
 
+# Row-count-preserving-or-reducing single-child wrappers that may sit
+# between the BNLJ's build side and the global aggregate that bounds it.
+# Anything NOT in this list (a join, a scan, a generate/explode, a union)
+# means the broadcast root is not provably 1 row — reject.
+_PASSTHROUGH = (
+    "BroadcastExchangeExec",
+    "ShuffleExchangeExec",
+    "ProjectExec",
+    "FilterExec",
+    "WholeStageCodegenExec",
+    "InputAdapter",
+    "AQEShuffleReadExec",
+    "SortExec",
+    "CoalesceExec",
+    "AdaptiveSparkPlanExec",
+)
+
 
 def _walk(jplan):
     """Depth-first nodes of a JVM SparkPlan tree (py4j traversal)."""
@@ -27,14 +44,20 @@ def _walk(jplan):
 
 
 def _has_global_agg(jplan) -> bool:
-    """True iff the subtree contains an aggregate with NO grouping keys —
-    a global aggregate, whose output is exactly one row regardless of
-    input cardinality (the only broadcast that stays constant-size at
-    any scale)."""
-    for node in _walk(jplan):
-        if node.getClass().getSimpleName() in _AGG_EXECS and node.groupingExpressions().isEmpty():
-            return True
-    return False
+    """True iff the broadcast subtree's ROOT is bounded by a global
+    aggregate: descend only through single-child row-preserving wrappers
+    until the first aggregate, which must have NO grouping keys (output
+    exactly one row at any input cardinality). Merely CONTAINING a global
+    aggregate somewhere below a join/scan is not enough — that was the
+    r5-review hole where `big_table JOIN (1-row count)` would have passed."""
+    node = jplan
+    while True:
+        name = node.getClass().getSimpleName()
+        if name in _AGG_EXECS:
+            return bool(node.groupingExpressions().isEmpty())
+        if name not in _PASSTHROUGH or node.children().size() != 1:
+            return False
+        node = node.children().apply(0)
 
 
 def bnlj_report(df: DataFrame) -> list[tuple[str, bool]]:
@@ -54,6 +77,13 @@ def bnlj_report(df: DataFrame) -> list[tuple[str, bool]]:
 
 
 def bnlj_all_scalar(df: DataFrame) -> bool:
-    """True iff the plan has no BNLJ, or every BNLJ broadcasts a 1-row
-    global aggregate (see :func:`bnlj_report`)."""
-    return all(ok for _side, ok in bnlj_report(df))
+    """True iff the tree-walk FOUND at least one BNLJ and every one of
+    them broadcasts a 1-row global aggregate (see :func:`bnlj_report`).
+
+    Deliberately NOT vacuously true: the caller (tools/plan_audit.py)
+    invokes this only after the explain string showed a BNLJ — if the
+    py4j walk then can't reach it (e.g. it hides inside a scalar-subquery
+    plan children() doesn't traverse), returning True would exempt an
+    unverified join. An unreachable BNLJ stays flagged."""
+    rep = bnlj_report(df)
+    return bool(rep) and all(ok for _side, ok in rep)

@@ -574,6 +574,98 @@ def test_video_codec_roundtrip(spark):
     assert len(fs) == len(got)
 
 
+def test_multimodal_corrupt_payload_auto_fallback(spark):
+    """auto mode must survive corrupt/truncated payloads (one bad asset
+    cannot abort a 10^12-row job): decoded=False + deterministic fake
+    features; strict surfaces the error. Also: real-world AVI layouts —
+    an audio strl BEFORE the video one, and top-down (negative-height)
+    DIB frames — decode correctly."""
+    import pandas as _pd
+
+    from forecaster_spark.operators.multimodal import (
+        avi_decode,
+        avi_encode,
+        extract_features,
+    )
+
+    good = np.full((2, 4, 4, 3), 7, dtype=np.uint8)
+    blob = avi_encode(good)
+    corrupt = blob[:60]  # truncated mid-header
+    assets = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "asset_id": ["ok", "bad-avi", "bad-bmp"],
+                "mime": ["video/avi", "video/avi", "image/bmp"],
+                "payload": [blob, corrupt, b"BMnot-a-real-bmp"],
+                "meta": [{}, {}, {}],
+            }
+        ),
+        schema="asset_id string, mime string, payload binary, meta map<string,string>",
+    )
+    out = extract_features(assets, decode="auto", dim=4).toPandas().set_index("asset_id")
+    assert out.loc["ok", "decoded"] and out.loc["ok", "n_frames"] == 2
+    assert not out.loc["bad-avi", "decoded"] and len(out.loc["bad-avi", "feature"]) == 4
+    assert not out.loc["bad-bmp", "decoded"]
+    with pytest.raises(Exception, match="AVI|BMP|payload|truncat|buffer"):
+        extract_features(
+            assets.where(F.col("asset_id") == "bad-avi"), decode="strict"
+        ).collect()
+
+    # audio strl first: strf must bind to the vids strh, not the first one
+    fr = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    vid = avi_encode(fr)
+    import struct as _st
+
+    audio_strh = _st.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"auds", b"\0\0\0\0", 0, 0, 0, 0, 1, 8000, 0, 100, 2, 0, 0, 0, 0, 0, 0,
+    )
+    audio_strf = _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = (
+        b"LIST"
+        + _st.pack("<I", 4 + 8 + len(audio_strh) + 8 + len(audio_strf))
+        + b"strl"
+        + b"strh" + _st.pack("<I", len(audio_strh)) + audio_strh
+        + b"strf" + _st.pack("<I", len(audio_strf)) + audio_strf
+    )
+    # splice the audio strl INSIDE hdrl before the video strl: hdrl starts
+    # at 12, its payload at 24 ('hdrl' fourcc at 20, avih chunk 24..88)
+    hdrl_size = _st.unpack_from("<I", vid, 16)[0]
+    patched = (
+        vid[:16]
+        + _st.pack("<I", hdrl_size + len(audio_strl))
+        + vid[20:88]
+        + audio_strl
+        + vid[88:]
+    )
+    patched = patched[:4] + _st.pack("<I", len(patched) - 8) + patched[8:]
+    out2, _fps = avi_decode(patched)
+    assert np.array_equal(out2, fr)
+
+    # top-down DIB: flip biHeight's sign and rewrite stored rows to display
+    # order — decode must NOT flip them again
+    td = bytearray(avi_encode(good))
+    sig = _st.pack("<IiiHH", 40, 4, 4, 1, 24)  # strf BITMAPINFOHEADER w=4,h=4
+    p = bytes(td).find(sig)
+    assert p > 0
+    _st.pack_into("<Iii", td, p, 40, 4, -4)
+    # stored frame bytes: bottom-up BGR; for top-down they must be display
+    # order — rewrite each 00db chunk with unflipped rows
+    q = 0
+    b = bytes(td)
+    row_size = 4 * 3  # w=4 → 12, already 4-aligned
+    while True:
+        q = b.find(b"00db", q)
+        if q < 0 or q + 8 + row_size * 4 > len(b):
+            break
+        frame_at = q + 8
+        stored = np.frombuffer(b[frame_at : frame_at + row_size * 4], np.uint8)
+        td[frame_at : frame_at + row_size * 4] = stored.reshape(4, row_size)[::-1].tobytes()
+        q = frame_at
+    out3, _ = avi_decode(bytes(td))
+    assert np.array_equal(out3, good)
+
+
 def test_pack_sequences_greedy_semantics(spark):
     """Greedy token-budget packing: exact fit stays in-bin, overflow starts
     a new bin, an oversized doc gets its own bin, order is deterministic."""

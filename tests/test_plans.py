@@ -128,8 +128,16 @@ def test_bnlj_structural_whitelist(spark):
     rep_bad = bnlj_report(bad)
     assert rep_bad and not any(ok for _s, ok in rep_bad)
     assert not bnlj_all_scalar(bad)
-    # no-BNLJ plans are vacuously fine
-    assert bnlj_all_scalar(big.join(table, big.x == F.col("y")))
+    # subtler degradation: the broadcast subtree CONTAINS a 1-row global
+    # aggregate but its root is a corpus-growing join — must still trip
+    sneaky = big.join(
+        F.broadcast(table.join(scalar, F.col("y") <= F.col("mx"))),
+        big.x >= F.col("y") + 5,
+    )
+    assert not bnlj_all_scalar(sneaky)
+    # no-BNLJ-found is NOT vacuously fine (the caller only asks after the
+    # explain string showed one — unreachable means unverified)
+    assert not bnlj_all_scalar(big.join(table, big.x == F.col("y")))
 
 
 def test_heatmap_bmp_sink(spark, tmp_path):
