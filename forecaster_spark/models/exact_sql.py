@@ -1097,13 +1097,15 @@ FROM r{hh} r CROSS JOIN hs"""
 
 
 def pooled_ar_fe_sql(hh: int = 4) -> str:
-    """Oracle for ``kernels.pooled_ar_fe_forecast``: restrict the hourly
-    integer tier to the common bucket spine (balanced panel), build the
-    per-source HUGEINT scaled-deviation cross-products
-    ``T_ab,s = n·Σab − Σa·Σb``, sum them, solve the 2×2 within-slope
-    Cramer (1/n factors cancel on a balanced panel), per-source intercepts
-    as the same fixed left-assoc chain the kernel writes, then the
-    recursive forecast from each source's last two spine values."""
+    """Oracle for ``kernels.pooled_ar_fe_forecast``: restrict each source
+    to its trailing m buckets (m = global min per-source count — equal
+    COUNTS are all within-demeaning needs, and unlike a bucket-set
+    intersection this never empties the panel), build the per-source
+    HUGEINT scaled-deviation cross-products ``T_ab,s = n·Σab − Σa·Σb``,
+    sum them, solve the 2×2 within-slope Cramer (1/n factors cancel on a
+    balanced panel), per-source intercepts as the same fixed left-assoc
+    chain the kernel writes, then the recursive forecast from each
+    source's last two kept values."""
     rec, px, p2 = [], "y1", "y2"
     for h in range(1, hh + 1):
         src = "j0" if h == 1 else f"r{h-1}"
@@ -1118,11 +1120,13 @@ WITH th AS (
   FROM events GROUP BY 1, 2
 ), o AS (
   SELECT source, b, CAST(yd AS BIGINT) AS v FROM th
-), spine AS (
-  SELECT b FROM o GROUP BY b
-  HAVING count(DISTINCT source) = (SELECT count(DISTINCT source) FROM o)
+), mm AS (
+  SELECT min(c) AS m FROM (SELECT count(*) AS c FROM o GROUP BY source)
 ), rs AS (
-  SELECT o.* FROM o JOIN spine USING (b)
+  SELECT source, b, v FROM (
+    SELECT o.*, row_number() OVER (PARTITION BY source ORDER BY b DESC) AS rd
+    FROM o)
+  WHERE rd <= (SELECT m FROM mm)
 ), lg AS (
   SELECT source, v, lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2
   FROM rs WINDOW w AS (PARTITION BY source ORDER BY b)

@@ -375,11 +375,16 @@ def pooled_ar_fe_forecast(
     1/n_s factors cancel in the 2×2 slope Cramer — so b1, b2 are ratios of
     exact Python-int determinants through the HUGEINT→DOUBLE cast mimic,
     and α_s is the fixed left-assoc chain ``((sy − s1·b1) − s2·b2)/n``.
-    Balance is ENFORCED relationally: the series is restricted to the
-    common bucket spine (buckets present in every source) before lagging —
-    deterministic and SQL-mirrorable; the spine membership test is a 1-row
-    distinct-source-count broadcast (the friedman scalar-join pattern,
-    structurally whitelisted).
+    Balance is ENFORCED relationally — and since within-demeaning never
+    compares sources at the same timestamp, balance needs equal COUNTS,
+    not aligned buckets: each source keeps its trailing ``m`` buckets
+    where ``m`` = the global minimum per-source bucket count (a 1-row
+    scalar broadcast, the friedman pattern, structurally whitelisted).
+    The r5-review's first cut — intersecting bucket sets across sources —
+    collapsed to an EMPTY panel whenever no bucket appeared in every
+    source (true at sf0.001), killing forecasts for all sources because
+    one series had patchy coverage; the trailing-window form keeps every
+    source and is just as deterministic/SQL-mirrorable.
 
     Plan shape (100-TB lens): same as pooled_ar — lag windows ride the
     tier's (source) layout, partial aggregation to |sources| rows collected
@@ -399,14 +404,15 @@ def pooled_ar_fe_forecast(
     t = df.select(
         F.col(partition).alias("_s"), F.col(order).alias("_b"), F.col(y).cast("long").alias("_v")
     )
-    k1 = t.select(F.countDistinct("_s").alias("_k"))
-    spine = (
-        t.groupBy("_b")
-        .agg(F.countDistinct("_s").alias("_c"))
-        .join(F.broadcast(k1), F.col("_c") == F.col("_k"))
-        .select("_b")
+    m1 = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_c")).agg(
+        F.min("_c").alias("_m")
     )
-    r = t.join(F.broadcast(spine), "_b")
+    wd0 = Window.partitionBy("_s").orderBy(F.col("_b").desc())
+    r = (
+        t.withColumn("_rd", F.row_number().over(wd0))
+        .join(F.broadcast(m1), F.col("_rd") <= F.col("_m"))
+        .drop("_rd", "_m")
+    )
     w = Window.partitionBy("_s").orderBy("_b")
     lg = (
         r.withColumn("_l1", F.lag("_v", 1).over(w))

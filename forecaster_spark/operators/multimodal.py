@@ -172,9 +172,11 @@ def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def avi_decode(blob: bytes) -> tuple[np.ndarray, int]:
+def avi_decode(blob: bytes) -> tuple[np.ndarray, float]:
     """Inverse of :func:`avi_encode` → ((n, h, w, 3) uint8 RGB, fps); walks
-    RIFF chunks, uncompressed 24-bit 'DIB ' streams only."""
+    RIFF chunks, uncompressed 24-bit 'DIB ' streams only. fps is
+    rate/scale as a float (fractional NTSC rates survive); dwScale=0
+    raises rather than guessing."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     w = h = None
@@ -197,7 +199,9 @@ def avi_decode(blob: bytes) -> tuple[np.ndarray, int]:
                     if handler not in (b"DIB ", b"\0\0\0\0", b"RGB "):
                         raise ValueError(f"unsupported AVI codec {handler!r}")
                     scale, rate = struct.unpack_from("<II", blob, body_at + 20)
-                    fps = rate // max(scale, 1)
+                    if scale == 0:
+                        raise ValueError("AVI strh dwScale is 0")
+                    fps = rate / scale  # float: NTSC 30000/1001 stays 29.97
             elif cid == b"strf" and in_vids and w is None:
                 _hs, w, h, _planes, bpp = struct.unpack_from("<IiiHH", blob, body_at)
                 if bpp != 24:
@@ -393,24 +397,37 @@ FRAME_SCHEMA = (
 )
 
 
-def decode_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+def decode_frames(
+    df: DataFrame, every_n: int = 1, on_error: str = "skip"
+) -> DataFrame:
     """REAL frame sampling: Arrow kernel decodes each AVI payload and emits
     one row per kept frame (every ``every_n``-th) with the frame's exact
     integer luma sum ``luma_milli`` = Σ_pixels (299·R + 587·G + 114·B) —
     pure int64 arithmetic, so a SQL oracle can recompute it bit-exactly from
     the synthetic generator's pixel formula.
 
+    ``on_error``: ``"skip"`` (default) drops corrupt/undecodable payloads —
+    the same one-bad-asset-must-not-abort-the-job posture as
+    extract_features' auto mode; ``"fail"`` re-raises for strict runs.
+
     Scale: decode is per-asset embarrassingly parallel (same repartition-by-
     asset-hash layout as extract_features); output rows ≤ frames/every_n per
     asset, no shuffle after the kernel."""
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
+    if on_error not in ("skip", "fail"):
+        raise ValueError(f"unknown on_error mode {on_error!r}")
 
     def kernel(batches):
         for pdf in batches:
             ids, fidx, ws, hs, lumas = [], [], [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                frames, _fps = avi_decode(payload)
+                try:
+                    frames, _fps = avi_decode(payload)
+                except (ValueError, struct.error):
+                    if on_error == "fail":
+                        raise
+                    continue
                 n, h, w, _ = frames.shape
                 px = frames.astype(np.int64)
                 milli = (

@@ -606,6 +606,14 @@ def test_multimodal_corrupt_payload_auto_fallback(spark):
     assert out.loc["ok", "decoded"] and out.loc["ok", "n_frames"] == 2
     assert not out.loc["bad-avi", "decoded"] and len(out.loc["bad-avi", "feature"]) == 4
     assert not out.loc["bad-bmp", "decoded"]
+    # decode_frames: same posture — skip drops the corrupt asset, fail raises
+    from forecaster_spark.operators.multimodal import decode_frames
+
+    vids = assets.where(F.col("mime") == "video/avi")
+    fr_ok = decode_frames(vids, on_error="skip").toPandas()
+    assert set(fr_ok.asset_id) == {"ok"} and len(fr_ok) == 2
+    with pytest.raises(Exception, match="AVI|payload|buffer|unpack"):
+        decode_frames(vids, on_error="fail").collect()
     with pytest.raises(Exception, match="AVI|BMP|payload|truncat|buffer"):
         extract_features(
             assets.where(F.col("asset_id") == "bad-avi"), decode="strict"

@@ -211,9 +211,10 @@ def test_pooled_ar_fe_matches_dummy_design_lstsq(spark):
 
 
 def test_pooled_ar_fe_common_spine_balance(spark):
-    """Unbalanced input: a source missing some buckets forces the panel
-    onto the common spine — every source's n_obs equals |common| - 2, and
-    sources are NOT silently dropped."""
+    """Unbalanced input: every source is trimmed to its trailing m buckets
+    (m = the global minimum per-source count) — n_obs = m - 2 for all, and
+    sources are NOT silently dropped (the r5-review lesson: a bucket-set
+    intersection emptied the whole panel on disjoint coverage)."""
     import pandas as _pd
 
     from forecaster_spark.models.kernels import pooled_ar_fe_forecast
@@ -227,4 +228,14 @@ def test_pooled_ar_fe_common_spine_balance(spark):
     df = spark.createDataFrame(_pd.DataFrame(rows, columns=["source", "ts", "y"]))
     got = pooled_ar_fe_forecast(df, hh=3).toPandas()
     assert set(got["source"]) == {"a", "b"}
-    assert (got["n_obs"] == 38).all()  # |common| = 40 buckets, minus 2 lags
+    assert (got["n_obs"] == 38).all()  # m = min(50, 40) = 40 buckets, minus 2 lags
+    # DISJOINT coverage must still produce a panel (the intersection-spine
+    # failure mode): two sources with no common bucket at all
+    rows2 = []
+    for src, hours in (("x", range(0, 30)), ("y", range(100, 140))):
+        for t in hours:
+            rows2.append((src, base + _pd.Timedelta(hours=t), float(rng.integers(0, 100))))
+    df2 = spark.createDataFrame(_pd.DataFrame(rows2, columns=["source", "ts", "y"]))
+    got2 = pooled_ar_fe_forecast(df2, hh=2).toPandas()
+    assert set(got2["source"]) == {"x", "y"}
+    assert (got2["n_obs"] == 28).all()  # m = min(30, 40) = 30, minus 2
