@@ -43,6 +43,7 @@ from forecaster_spark.operators.similarity import (
     cosine_topk_sq8,
     cosine_topk_sq8_sql,
     embedding_neardup_pairs_sql,
+    semantic_contamination_sql,
     semantic_dedup_sql,
 )
 from forecaster_spark.operators.textops import (
@@ -524,6 +525,26 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, dim=dim, threshold=0.2, n_centroids=16).select(
         "vec_id", "cell", "dup_cluster", "keep"
     )
+
+
+def q_semantic_contamination(spark, sf_dir):
+    """SEMANTIC decontamination (r5): flag training docs whose embedding
+    is within cosine 0.35 of ANY eval-bench vector — the embedding
+    analog of the n-gram/Bloom contamination guards (near-paraphrases of
+    eval items slip past verbatim shingles). Bench set closed over
+    (eval-suite-sized), corpus scanned ONCE, zero shuffles/joins; max
+    cosine micro-quantized with margins pinned in pytest (bench members
+    excluded from the corpus side — their exact 1.0 self-cosine sits on
+    a quantization boundary, and decontamination drops eval rows from
+    train anyway)."""
+    from forecaster_spark.operators.similarity import semantic_contamination
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return semantic_contamination(
+        emb.where(F.col("vec_id") >= 8), emb.where(F.col("vec_id") < 8),
+        dim=dim, threshold=0.35,
+    ).select("vec_id", "max_cos_u6", "contaminated")
 
 
 def q_cosine_topk_sq8(spark, sf_dir):
@@ -3404,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh_embeddings": q_cosine_topk_lsh,
         "cosine_topk_ivf_embeddings": q_cosine_topk_ivf,
         "semantic_dedup_embeddings": q_semantic_dedup,
+        "semantic_contamination_embeddings": q_semantic_contamination,
         "cosine_topk_sq8_embeddings": q_cosine_topk_sq8,
         "embedding_neardup_pairs_embeddings": q_embedding_neardup,
         "arx_forecast_events_1h": q_arx_forecast,
@@ -4811,6 +4833,9 @@ FROM events GROUP BY 1""",
         "cosine_topk_ivf_embeddings": cosine_topk_ivf_sql(dim=64, k=10, n_centroids=16, n_probe=4),
         "semantic_dedup_embeddings": semantic_dedup_sql(
             dim=64, threshold=0.2, n_centroids=16
+        ),
+        "semantic_contamination_embeddings": semantic_contamination_sql(
+            threshold=0.35
         ),
         "cosine_topk_sq8_embeddings": cosine_topk_sq8_sql(k=10, n_queries=8),
         "embedding_neardup_pairs_embeddings": embedding_neardup_pairs_sql(

@@ -616,6 +616,90 @@ SELECT s.vec_id, CAST(s.cl AS INTEGER) AS cell,
 FROM cells s LEFT JOIN cc ON cc.id = s.vec_id"""
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    per_unit: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding analog of the n-gram /
+    Bloom contamination guards: flag every training document whose
+    embedding is within cosine ``threshold`` of ANY eval-benchmark
+    vector (near-paraphrases of eval items slip past verbatim-shingle
+    decontamination; frontier curation runs both).
+
+    Scale shape (100-TB lens): the bench set is eval-suite-sized
+    (thousands), collected once and closed over — the corpus is scanned
+    EXACTLY ONCE with zero shuffles and zero joins (the
+    bloom_contamination posture); per Arrow batch the kernel computes the
+    full (batch × bench) cosine matrix with the same per-dimension
+    sequential left-fold as :func:`_cosine_arrow` (NOT BLAS — keeps the
+    ~1e-15 cross-engine drift class the micro-quantized contract relies
+    on) and takes the row max.
+
+    Output: (id_col, max_cos_u6, contaminated) — max cosine floor-
+    quantized to micro-units; decision/boundary margins are pinned in
+    tests/test_dataops.py::test_semantic_contamination_margins
+    (threshold distance ≥ 4e-5, floor-boundary distance ≥ 2.4e-4 on the
+    contract data vs ~1e-15 drift). The CALLER excludes bench members
+    from the corpus side (an exact self-match's cosine 1.0 sits on a
+    quantization boundary; dropping eval rows from train is what
+    decontamination does anyway)."""
+    rows = bench.select(vec_col).collect()
+    if not rows:
+        raise ValueError("bench set is empty")
+    B = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    m, d = B.shape
+    ab = np.zeros(m)
+    for j in range(d):  # sequential fold, same drift class as the oracle
+        ab = ab + B[:, j] * B[:, j]
+    sab = np.sqrt(ab)
+
+    @F.pandas_udf(T.DoubleType())
+    def max_cos(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = M.shape[0]
+        acc = np.zeros((n, m))
+        aq = np.zeros(n)
+        for j in range(d):
+            acc = acc + M[:, j, None] * B[None, :, j]
+            aq = aq + M[:, j] * M[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (np.sqrt(aq)[:, None] * sab[None, :])
+        return pd.Series(cos.max(axis=1))
+
+    mc = max_cos(F.col(vec_col))
+    return corpus.select(
+        id_col,
+        F.floor(mc * per_unit).cast("long").alias("max_cos_u6"),
+        (mc >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def semantic_contamination_sql(
+    threshold: float = 0.35,
+    per_unit: int = 1_000_000,
+    bench_filter: str = "vec_id < 8",
+    corpus_filter: str = "vec_id >= 8",
+) -> str:
+    """DuckDB oracle for :func:`semantic_contamination`: brute max cosine
+    vs the bench subset (``list_cosine_similarity``), identical floor
+    quantization and threshold decision."""
+    return f"""
+WITH b AS (SELECT embedding AS bv FROM embeddings WHERE {bench_filter}),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE {corpus_filter}),
+sc AS (SELECT c.vec_id,
+              max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                         CAST(b.bv AS DOUBLE[]))) AS mc
+       FROM c CROSS JOIN b GROUP BY c.vec_id)
+SELECT vec_id, CAST(floor(mc * {per_unit}) AS BIGINT) AS max_cos_u6,
+       mc >= {threshold!r} AS contaminated
+FROM sc"""
+
+
 def sq8_quantize_np(M: np.ndarray, scale_bits: int = 7) -> np.ndarray:
     """Symmetric int8 scalar quantization: ``clamp(floor(x * 2^scale_bits),
     -2^scale_bits, 2^scale_bits - 1)`` on float64 inputs. Every step is

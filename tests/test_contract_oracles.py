@@ -65,6 +65,7 @@ QUERIES = [
     "bpe_merge_round_documents",
     "duplicated_spans_k16_documents",
     "quality_classifier_documents",
+    "semantic_contamination_embeddings",
 ]
 
 

@@ -442,6 +442,55 @@ def test_semantic_dedup_margins(spark):
     assert thr_margin > 1e-6, thr_margin  # measured ~1.9e-5 at sf0.01
 
 
+def test_semantic_contamination_planted_and_margins(spark):
+    """Planted contamination: a near-copy of a bench vector flags, an
+    orthogonal vector doesn't, and an exact copy (cos 1.0) is why bench
+    members are excluded corpus-side. Margins on the contract data:
+    threshold distance and micro-unit floor-boundary distance both sit
+    orders of magnitude above the ~1e-15 cross-engine drift."""
+    import pandas as _pd
+
+    from forecaster_spark.operators.similarity import semantic_contamination
+
+    rng = np.random.default_rng(31)
+    b = rng.standard_normal(16)
+    near = b + rng.standard_normal(16) * 1e-2  # cos ~0.9999
+    orth = np.zeros(16)
+    orth[int(np.argmin(np.abs(b)))] = 1.0  # roughly orthogonal
+    df = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "vec_id": [100, 101],
+                "embedding": [list(map(float, near)), list(map(float, orth))],
+            }
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        _pd.DataFrame({"vec_id": [0], "embedding": [list(map(float, b))]}),
+        schema="vec_id long, embedding array<float>",
+    )
+    out = (
+        semantic_contamination(df, bench, dim=16, threshold=0.9)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert bool(out.loc[100, "contaminated"]) and not bool(out.loc[101, "contaminated"])
+
+    # contract-data margins (sf0.01, the driver gate's scale)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").toPandas()
+    M = np.stack(emb.embedding.map(lambda v: np.asarray(v, dtype=np.float64)))
+    ids = emb.vec_id.to_numpy()
+    B, C = M[ids < 8], M[ids >= 8]
+    cos = (C @ B.T) / (
+        np.linalg.norm(C, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+    )
+    mc = cos.max(axis=1)
+    assert np.abs(mc - 0.35).min() > 1e-6  # measured ~1.8e-3
+    fb = np.abs(mc * 1e6 - np.round(mc * 1e6))
+    assert fb.min() > 1e-5  # measured ~3.5e-4
+
+
 def test_multimodal_plumbing(spark):
     assets = synth_assets(spark, 60)
     pdf = assets.toPandas()
