@@ -2616,6 +2616,28 @@ def q_span_removal(spark, sf_dir):
     )
 
 
+def q_span_removal_k16(spark, sf_dir):
+    """Long-span exact-substring dedup APPLIED (r5 — the removal half of
+    the k=16 story): the same planted 21-word license preamble as
+    duplicated_spans_k16, removed. The certified output proves the
+    ledger→coverage→removal chain at the Lee-et-al span scale: planted
+    docs lose exactly their preamble-covered positions (plus any
+    colliding preamble→body windows), survivors' text is certified by
+    value via the reference polynomial token checksum."""
+    from forecaster_spark.operators.dedup import remove_duplicated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(_BOILER + " "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return remove_duplicated_spans(planted, k=16, top_n=20).select(
+        "doc_id", "n_words", "n_removed", "clean_checksum"
+    )
+
+
 def q_granger_pairs(spark, sf_dir):
     """Lag-1 Granger-causality screen over all ordered source pairs of
     the hourly tier: restricted-vs-full exact-Cramer OLS (2x2/3x3 integer
@@ -3405,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pinball_qof_events_1h": q_pinball_qof,
         "duplicated_spans_documents": q_duplicated_spans,
         "duplicated_spans_k16_documents": q_duplicated_spans_k16,
+        "span_removal_k16_documents": q_span_removal_k16,
         "span_removal_documents": q_span_removal,
         "granger_pairs_events_1h": q_granger_pairs,
         "dickey_fuller_events_1h": q_dickey_fuller,
@@ -4929,6 +4952,15 @@ FROM l GROUP BY 1, 2, 3""",
             ),
         ),
         "span_removal_documents": xhash_sql.span_removal_sql(top_n=20),
+        "span_removal_k16_documents": xhash_sql.span_removal_sql(
+            top_n=20,
+            k=16,
+            doc_source_sql=(
+                "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '"
+                + _BOILER
+                + " ' || text ELSE text END AS text FROM documents"
+            ),
+        ),
         "granger_pairs_events_1h": exact_sql.granger_sql(),
         "ar_order_select_events_1h": exact_sql.ar_order_select_sql(),
         "ljung_box_events": """

@@ -523,21 +523,26 @@ def span_removal_sql(
     top_n: int = 20,
     max_tok: int = 1024,
     doc_source_sql: str = "SELECT doc_id, text FROM documents",
+    k: int = 3,
 ) -> str:
     """Oracle for ``dedup.remove_duplicated_spans``: rebuild the
-    duplicated-span ledger (distinct word-3-gram hashes per doc, n_docs ≥ 2,
+    duplicated-span ledger (distinct word-k-gram hashes per doc, n_docs ≥ 2,
     deterministic top-N), mark every word position covered by ANY
     occurrence of a flagged span (all window starts, not the per-doc
     distinct view; short docs' whole-doc shingle covers all their words),
     and fold the reference polynomial checksum over the surviving words in
     order — HUGEINT end-to-end, fully-removed docs coalesce to checksum 0.
-    """
+
+    k=3 keeps the original lead()-unrolled window CTEs byte-identical
+    (certified oracle); any other k takes the same general O(N·k) offset
+    self-join as :func:`shingle_ctes`, here keeping (wpos, span_len) so
+    coverage marking works."""
     c2 = (C * C) % W
     pows = "[" + ", ".join(
         f"CAST({pow(31, j, 1 << 64)} AS HUGEINT)" for j in range(max_tok)
     ) + "]"
-    return f"""
-WITH {word_hash_ctes(doc_source_sql)},
+    if k == 3:
+        gall_ctes = f"""
 led AS (
   SELECT doc_id, wpos, h AS h0_, lead(h, 1) OVER w AS h1_, lead(h, 2) OVER w AS h2_,
          count(*) OVER (PARTITION BY doc_id) AS m
@@ -551,7 +556,29 @@ gall AS (
   SELECT doc_id, wpos, m AS span_len,
          (h0_ + coalesce({umul_c("h1_", C)}, 0)) % {W} AS g0
   FROM led WHERE m < 3 AND wpos = 0
+)"""
+    else:
+        gall_ctes = f"""
+pwk AS (SELECT j, ({_pow_list(k)})[j + 1] AS p
+        FROM (SELECT unnest(range({k})) AS j)),
+wm AS (SELECT doc_id, count(*) AS m FROM wh GROUP BY doc_id),
+gterm AS (
+  SELECT a.doc_id, a.wpos, {umul("b.h", "pw.p")} AS term
+  FROM wh a JOIN wh b ON b.doc_id = a.doc_id
+       AND b.wpos >= a.wpos AND b.wpos < a.wpos + {k}
+  JOIN pwk pw ON pw.j = b.wpos - a.wpos
 ),
+gsum AS (SELECT doc_id, wpos, sum(term) % {W} AS g0, count(*) AS cnt
+         FROM gterm GROUP BY doc_id, wpos),
+gall AS (
+  SELECT g.doc_id, g.wpos,
+         CASE WHEN wm.m >= {k} THEN {k} ELSE wm.m END AS span_len, g.g0
+  FROM gsum g JOIN wm USING (doc_id)
+  WHERE (wm.m >= {k} AND g.cnt = {k}) OR (wm.m < {k} AND g.wpos = 0)
+)"""
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+{gall_ctes},
 gsm AS (SELECT doc_id, wpos, span_len, {splitmix_cols("g0", "sh")} FROM gall),
 shd AS (SELECT DISTINCT doc_id, sh FROM gsm),
 agg AS (SELECT sh, count(*) AS n_docs FROM shd GROUP BY 1 HAVING count(*) >= 2),

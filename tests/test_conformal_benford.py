@@ -251,6 +251,34 @@ class TestDuplicatedSpans:
         got3 = duplicated_spans(df, k=3, top_n=50).toPandas()
         assert len(got3) == 19  # 21-3+1 boiler 3-grams, all in the 4 docs
 
+    def test_long_span_k16_removal(self, spark):
+        """Removal at k=16 strips exactly the preamble-covered positions:
+        planted docs (unique tails) lose all 21 boilerplate words and
+        keep their 4 tail words; clean docs are untouched."""
+        from forecaster_spark.operators.dedup import remove_duplicated_spans
+
+        boiler = (
+            "all rights reserved this material is provided without warranty "
+            "of any kind reproduction or distribution without prior written "
+            "consent is prohibited"
+        )
+        docs = [
+            (i, (boiler + " " if i % 2 == 0 else "") + f"u{i}a u{i}b u{i}c u{i}d")
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = (
+            remove_duplicated_spans(df, k=16, top_n=50)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        for i in range(8):
+            if i % 2 == 0:
+                assert got.loc[i, "n_words"] == 25 and got.loc[i, "n_removed"] == 21
+            else:
+                assert got.loc[i, "n_words"] == 4 and got.loc[i, "n_removed"] == 0
+
     def test_no_duplicates_empty(self, spark):
         from forecaster_spark.operators.dedup import duplicated_spans
 
