@@ -2638,6 +2638,28 @@ def q_span_removal_k16(spark, sf_dir):
     )
 
 
+def q_cdc_chunk_ledger(spark, sf_dir):
+    """Content-defined chunking duplicate ledger (r5): gear/Rabin-style
+    word-granularity CDC — cut after every word whose trailing-4-word
+    rolling hash has its low 3 bits zero, hash each chunk, top-20 chunks
+    shared by ≥ 2 docs. Shift-RESISTANT sub-document dedup: the planted
+    license preamble (same _BOILER as the k16 span queries) chunks
+    identically wherever it lands, unlike fixed k-gram windows. One
+    Arrow scan + one hash shuffle + TakeOrderedAndProject."""
+    from forecaster_spark.operators.dedup import cdc_chunk_ledger
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(_BOILER + " "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return cdc_chunk_ledger(planted, g=4, mask_bits=3, top_n=20).select(
+        "rnk", "chunk_hash", "n_docs", "n_occ", "first_doc", "last_doc"
+    )
+
+
 def q_granger_pairs(spark, sf_dir):
     """Lag-1 Granger-causality screen over all ordered source pairs of
     the hourly tier: restricted-vs-full exact-Cramer OLS (2x2/3x3 integer
@@ -3428,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans_documents": q_duplicated_spans,
         "duplicated_spans_k16_documents": q_duplicated_spans_k16,
         "span_removal_k16_documents": q_span_removal_k16,
+        "cdc_chunk_ledger_documents": q_cdc_chunk_ledger,
         "span_removal_documents": q_span_removal,
         "granger_pairs_events_1h": q_granger_pairs,
         "dickey_fuller_events_1h": q_dickey_fuller,
@@ -4952,6 +4975,16 @@ FROM l GROUP BY 1, 2, 3""",
             ),
         ),
         "span_removal_documents": xhash_sql.span_removal_sql(top_n=20),
+        "cdc_chunk_ledger_documents": xhash_sql.cdc_chunk_ledger_sql(
+            g=4,
+            mask_bits=3,
+            top_n=20,
+            doc_source_sql=(
+                "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN '"
+                + _BOILER
+                + " ' || text ELSE text END AS text FROM documents"
+            ),
+        ),
         "span_removal_k16_documents": xhash_sql.span_removal_sql(
             top_n=20,
             k=16,

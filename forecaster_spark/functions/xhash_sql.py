@@ -608,6 +608,65 @@ SELECT l.doc_id, CAST(l.n_words AS BIGINT) AS n_words,
 FROM ln l LEFT JOIN chk k USING (doc_id)"""
 
 
+def cdc_chunk_ledger_sql(
+    g: int = 4,
+    mask_bits: int = 3,
+    top_n: int = 20,
+    max_words: int = 256,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``dedup.cdc_chunk_ledger``: replay the trailing-g-word
+    rolling hash (the general offset-self-join shingle form keyed by
+    window start), the low-bits-zero boundary predicate, per-chunk
+    polynomial hashes with exponents reset at each chunk start (window
+    min + the ``max_words``-sized power list — sized far above the corpus
+    word bound, else list indexing would NULL out and silently drop
+    terms), and the deterministic (n_docs desc, n_occ desc, unsigned
+    hash asc) top-N."""
+    mask = 1 << mask_bits
+    return f"""
+WITH {word_hash_ctes(doc_source_sql)},
+pwk AS (SELECT j, ({_pow_list(g)})[j + 1] AS p
+        FROM (SELECT unnest(range({g})) AS j)),
+wm AS (SELECT doc_id, count(*) AS m FROM wh GROUP BY doc_id),
+gterm AS (
+  SELECT a.doc_id, a.wpos, {umul("b.h", "pw.p")} AS term
+  FROM wh a JOIN wh b ON b.doc_id = a.doc_id
+       AND b.wpos >= a.wpos AND b.wpos < a.wpos + {g}
+  JOIN pwk pw ON pw.j = b.wpos - a.wpos
+),
+gsum AS (SELECT doc_id, wpos, sum(term) % {W} AS g0, count(*) AS cnt
+         FROM gterm GROUP BY doc_id, wpos),
+gwv AS (SELECT g.doc_id, g.wpos, g.g0 FROM gsum g JOIN wm USING (doc_id)
+        WHERE g.cnt = {g} AND g.wpos <= wm.m - {g}),
+gw AS (SELECT doc_id, wpos, {splitmix_cols("g0", "wh_")} FROM gwv),
+bnd AS (SELECT doc_id, wpos + {g - 1} AS e FROM gw WHERE wh_ % {mask} = 0),
+cs AS (
+  SELECT w.doc_id, w.wpos, w.h,
+         CASE WHEN w.wpos = 0 OR b.e IS NOT NULL THEN 1 ELSE 0 END AS st
+  FROM wh w LEFT JOIN bnd b ON b.doc_id = w.doc_id AND b.e = w.wpos - 1
+),
+cid AS (SELECT doc_id, wpos, h,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY wpos) AS c
+        FROM cs),
+cw AS (SELECT doc_id, wpos, h, c,
+              min(wpos) OVER (PARTITION BY doc_id, c) AS cst
+       FROM cid),
+cterm AS (SELECT doc_id, c,
+                 {umul("h", f"({_pow_list(max_words)})[wpos - cst + 1]")} AS term
+          FROM cw),
+csum AS (SELECT doc_id, c, sum(term) % {W} AS g0 FROM cterm GROUP BY doc_id, c),
+chk AS (SELECT doc_id, {splitmix_cols("g0", "ch")} FROM csum),
+per AS (SELECT doc_id, ch, count(*) AS occ FROM chk GROUP BY 1, 2),
+agg AS (SELECT ch, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM per GROUP BY 1 HAVING count(*) >= 2),
+top AS (SELECT * FROM agg ORDER BY n_docs DESC, n_occ DESC, ch ASC LIMIT {top_n})
+SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, n_occ DESC, ch ASC) AS BIGINT) AS rnk,
+       {to_int64("ch")} AS chunk_hash, n_docs, n_occ, first_doc, last_doc
+FROM top"""
+
+
 def data_loader_sql(
     p: int = 3,
     batch_size: int = 64,

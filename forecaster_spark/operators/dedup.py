@@ -1021,6 +1021,115 @@ def remove_duplicated_spans(
     )
 
 
+def cdc_chunk_ledger(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    g: int = 4,
+    mask_bits: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """Content-defined chunking (CDC) duplicate ledger — the
+    SHIFT-RESISTANT sub-document dedup primitive (the gear/Rabin-chunking
+    idea of LBFS/restic/casync applied at word granularity): cut each
+    document AFTER every word whose trailing ``g``-word rolling hash has
+    its low ``mask_bits`` bits zero (expected chunk ≈ 2^mask_bits words),
+    hash each chunk, and report the top-N chunks shared by ≥ 2 documents.
+
+    Why CDC beside the k-gram span ledger: fixed k-gram windows change
+    identity when ONE word shifts position; CDC boundaries depend only on
+    local content, so a paragraph reused at a different offset still
+    yields the same chunks — the dedup signal survives insertion drift
+    (boilerplate injected mid-page, shifted quotations).
+
+    Exactness: word hashes, the rolling window hash, the boundary
+    predicate (``splitmix64(win) mod 2^mask_bits == 0``), and the
+    chunk polynomial ``splitmix64(Σ h_p·C^(p−start))`` are pure integer
+    arithmetic replayed symbol-for-symbol by the DuckDB mirror
+    (:func:`xhash_sql.cdc_chunk_ledger_sql`).
+
+    Scale shape: one Arrow kernel scan (flat-stream numpy: rolling
+    window sums, cut flags, reduceat chunk sums — no per-row Python),
+    ONE shuffle on the 64-bit chunk hash with map-side partials, then a
+    deterministic top-N (n_docs desc, n_occ desc, unsigned hash asc) via
+    TakeOrderedAndProject.
+
+    Output: (rnk, chunk_hash, n_docs, n_occ, first_doc, last_doc)."""
+    mask = (1 << mask_bits) - 1
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def chunks(words_s: pd.Series) -> pd.Series:
+        rows = words_s.to_numpy()
+        n = len(rows)
+        out_rows = np.empty(n, dtype=object)
+        if n == 0:
+            return pd.Series(out_rows)
+        flat_words: list[str] = []
+        lens = np.zeros(n, np.int64)
+        for i, ws in enumerate(rows):
+            if ws is not None:
+                flat_words.extend(ws)
+                lens[i] = len(ws)
+        flat = xhash.word_hash_flat(flat_words)
+        nf = len(flat)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        powers = xhash.pow_table(max(g, int(lens.max()) if n else 1) or 1)
+        # rolling g-window hash keyed by window START (the shingle combine)
+        gw = np.zeros(max(nf - (g - 1), 0), dtype=np.uint64)
+        for j in range(g):
+            gw += flat[j : nf - (g - 1) + j] * powers[j]
+        gw = _splitmix(gw)
+        # cut AFTER flat position e = s + g - 1 for in-doc windows whose
+        # hash has the low mask_bits zero
+        cut_after = np.zeros(nf, dtype=bool)
+        if len(gw):
+            s_idx = np.arange(len(gw), dtype=np.int64)
+            valid = (s_idx - starts[row_of[s_idx]]) <= (lens[row_of[s_idx]] - g)
+            hit = valid & ((gw & np.uint64(mask)) == 0)
+            cut_after[s_idx[hit] + (g - 1)] = True
+        # chunk starts: doc starts + positions right after a cut
+        startflag = np.zeros(nf, dtype=bool)
+        startflag[starts[lens > 0]] = True
+        if nf > 1:
+            startflag[1:] |= cut_after[:-1]
+            startflag[starts[lens > 0]] = True  # doc boundary overrides
+        cstart_idx = np.flatnonzero(startflag)
+        pos = np.arange(nf, dtype=np.int64)
+        last_start = np.maximum.accumulate(np.where(startflag, pos, -1))
+        off = pos - last_start
+        contrib = flat * powers[off]
+        sums = (
+            np.add.reduceat(contrib, cstart_idx) if len(cstart_idx) else
+            np.empty(0, np.uint64)
+        )
+        ch = _splitmix(sums.astype(np.uint64)).view(np.int64)
+        crow = row_of[cstart_idx]
+        bounds = np.searchsorted(crow, np.arange(n + 1))
+        for i in range(n):
+            out_rows[i] = None if rows[i] is None else ch[bounds[i] : bounds[i + 1]]
+        return pd.Series(out_rows)
+
+    ch = docs.select(id_col, F.explode(chunks(_lower_words(text_col))).alias("chunk_hash"))
+    per = ch.groupBy(id_col, "chunk_hash").agg(F.count(F.lit(1)).alias("occ"))
+    agg = (
+        per.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occ"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    uns = F.col("chunk_hash").bitwiseXOR(F.lit(-(1 << 63)))
+    ordr = [F.col("n_docs").desc(), F.col("n_occ").desc(), uns.asc()]
+    top = agg.orderBy(*ordr).limit(top_n)
+    w = Window.orderBy(*ordr)
+    return top.select(F.row_number().over(w).alias("rnk"), "*")
+
+
 def bloom_contamination(
     corpus: DataFrame,
     bench: DataFrame,

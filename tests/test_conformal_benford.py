@@ -279,6 +279,41 @@ class TestDuplicatedSpans:
             else:
                 assert got.loc[i, "n_words"] == 4 and got.loc[i, "n_removed"] == 0
 
+    def test_cdc_shift_resistance(self, spark):
+        """The CDC property fixed k-grams lack: a shared paragraph chunks
+        identically at DIFFERENT offsets. Plant the same 21-word preamble
+        at offset 0 in some docs and after unique prefixes of varying
+        length in others — shared chunks must still surface with n_docs
+        equal to ALL planted docs, and an unplanted control corpus must
+        yield none of those hashes."""
+        from forecaster_spark.operators.dedup import cdc_chunk_ledger
+
+        boiler = (
+            "all rights reserved this material is provided without warranty "
+            "of any kind reproduction or distribution without prior written "
+            "consent is prohibited"
+        )
+        docs = []
+        for i in range(10):
+            prefix = " ".join(f"p{i}w{j}" for j in range(i))  # 0..9 shift
+            tail = f"t{i}a t{i}b"
+            docs.append((i, f"{prefix} {boiler} {tail}".strip()))
+        df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = cdc_chunk_ledger(df, g=4, mask_bits=3, top_n=50).toPandas()
+        # interior boiler chunks (cuts fully inside the preamble) are
+        # shared by every doc regardless of prefix length
+        assert (got["n_docs"] == 10).any()
+        full = got[got["n_docs"] == 10]
+        assert (full["first_doc"] == 0).all() and (full["last_doc"] == 9).all()
+        # control: unique-content corpus shares nothing
+        ctrl = spark.createDataFrame(
+            pd.DataFrame(
+                [(i, " ".join(f"c{i}x{j}" for j in range(25))) for i in range(10)],
+                columns=["doc_id", "text"],
+            )
+        )
+        assert len(cdc_chunk_ledger(ctrl, top_n=50).toPandas()) == 0
+
     def test_no_duplicates_empty(self, spark):
         from forecaster_spark.operators.dedup import duplicated_spans
 

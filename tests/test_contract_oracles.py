@@ -66,6 +66,8 @@ QUERIES = [
     "duplicated_spans_k16_documents",
     "quality_classifier_documents",
     "semantic_contamination_embeddings",
+    "span_removal_k16_documents",
+    "cdc_chunk_ledger_documents",
 ]
 
 
