@@ -50,6 +50,7 @@ from forecaster_spark.operators.textops import (
     BPE_ISH,
     STOPWORDS,
     WS_SPLIT,
+    DEMO_MERGES as _DEMO_MERGES,
     bpe_merge_round_sql,
     quality_classifier_sql,
     quality_funnel_sql,
@@ -1654,6 +1655,22 @@ def q_bigram_collocations(spark, sf_dir):
     from forecaster_spark.operators.textops import bigram_collocations
 
     return bigram_collocations(read_table(spark, sf_dir, "documents"), topk=50)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (r5): encode the corpus with the frozen
+    10-merge demo tokenizer (learned from this corpus by bpe_learn,
+    inlined as identical literals in both engines) — GPT-2-style
+    min-rank merge loop per word, memoized over the vocabulary. The
+    certified columns include the reference polynomial checksum over the
+    flattened subword token stream, so the oracle (a recursive-CTE state
+    machine replaying the merge loop) certifies the exact token SEQUENCE
+    per document. Completes induction → application → packing."""
+    from forecaster_spark.operators.textops import bpe_encode
+
+    return bpe_encode(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "n_subwords", "bpe_checksum"
+    )
 
 
 def q_quality_classifier(spark, sf_dir):
@@ -3536,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_events": q_seasonal_profile,
         "bigram_collocations_documents": q_bigram_collocations,
         "bpe_merge_round_documents": q_bpe_merge_round,
+        "bpe_encode_documents": q_bpe_encode,
         "quality_classifier_documents": q_quality_classifier,
         "interval_join_events_1h": q_interval_join,
         "dedup_keep_list_documents": q_dedup_keep_list,
@@ -4766,6 +4784,7 @@ WITH w AS (
 SELECT pc.w1, pc.w2, pc.pair_n, a.n AS w1_n, b.n AS w2_n
 FROM pc JOIN u a ON a.w = pc.w1 JOIN u b ON b.w = pc.w2""",
         "bpe_merge_round_documents": bpe_merge_round_sql(topk=20),
+        "bpe_encode_documents": xhash_sql.bpe_encode_sql(_DEMO_MERGES),
         "quality_classifier_documents": quality_classifier_sql(),
         "interval_join_events_1h": """
 WITH hb AS (

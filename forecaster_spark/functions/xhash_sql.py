@@ -608,6 +608,102 @@ SELECT l.doc_id, CAST(l.n_words AS BIGINT) AS n_words,
 FROM ln l LEFT JOIN chk k USING (doc_id)"""
 
 
+def bpe_encode_sql(
+    merges: list[tuple[str, str]],
+    max_tok: int = 2048,
+    doc_source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """Oracle for ``textops.bpe_encode``: the GPT-2-style BPE encoder as a
+    recursive-CTE STATE MACHINE over the distinct-word vocabulary (the
+    isotonic/PAVA recipe — state carried as per-(word, pos, symbol) ROWS,
+    one recursion step = one merge round applying the minimum-rank present
+    pair at all left-to-right non-overlapping occurrences via run-parity
+    window functions; terminal state = max step per word). Subword strings
+    are then hashed with the same codepoint-polynomial→splitmix chain as
+    words, and the per-doc reference polynomial checksum folds the
+    flattened subword token stream in HUGEINT (tok < 2^31, 31-powers
+    < 2^64 → terms < 2^95, sums < 2^102 — the tokens_checksum bound).
+
+    Merge ranks are inlined as a chr(31)-separated key list — symbols
+    never contain the separator (initial symbols are single codepoints,
+    merged symbols concatenate merge outputs), so the key encoding is
+    injective."""
+    keys = ", ".join(
+        "'" + l.replace("'", "''") + "' || chr(31) || '" + r.replace("'", "''") + "'"
+        for l, r in merges
+    )
+    pows31 = "[" + ", ".join(
+        f"CAST({pow(31, j, 1 << 64)} AS HUGEINT)" for j in range(max_tok)
+    ) + "]"
+    mwl = xhash.MAX_WORD_CP
+    return f"""
+WITH RECURSIVE {word_hash_ctes(doc_source_sql)},
+vw AS (SELECT DISTINCT w FROM wr WHERE length(w) > 0),
+r AS (
+  SELECT w, 0 AS step, CAST(cpos AS BIGINT) AS pos, substr(w, CAST(cpos AS INT)+1, 1) AS sym
+  FROM (SELECT w, unnest(range(length(w))) AS cpos FROM vw)
+  UNION ALL
+  SELECT w, step + 1, row_number() OVER (PARTITION BY w ORDER BY pos) - 1, new_sym
+  FROM (
+    SELECT w, step, pos,
+           CASE WHEN mstart THEN sym || nxt ELSE sym END AS new_sym,
+           mstart, coalesce(lag(mstart) OVER (PARTITION BY w ORDER BY pos), false) AS consumed, mr
+    FROM (
+      SELECT *, matching AND (row_number() OVER (PARTITION BY w, matching, grp ORDER BY pos) % 2 = 1) AS mstart
+      FROM (
+        SELECT *, pos - row_number() OVER (PARTITION BY w, matching ORDER BY pos) AS grp
+        FROM (
+          SELECT *, rank_i IS NOT NULL AND rank_i = mr AS matching
+          FROM (
+            SELECT *, min(rank_i) OVER (PARTITION BY w) AS mr
+            FROM (
+              SELECT w, step, pos, sym, nxt,
+                     CASE WHEN nxt IS NULL THEN NULL
+                          WHEN list_position([{keys}], sym || chr(31) || nxt) = 0 THEN NULL
+                          ELSE list_position([{keys}], sym || chr(31) || nxt) END AS rank_i
+              FROM (SELECT w, step, pos, sym,
+                           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM r)
+            )
+          )
+        )
+      )
+    )
+  )
+  WHERE mr IS NOT NULL AND NOT consumed
+),
+fin AS (SELECT w, pos, sym FROM (
+  SELECT *, max(step) OVER (PARTITION BY w) AS ms FROM r) WHERE step = ms),
+schars0 AS (SELECT w, pos, sym, unnest(range(length(sym))) AS cpos FROM fin),
+schars AS (SELECT * FROM schars0 WHERE cpos < {mwl}),
+sterm AS (
+  SELECT w, pos,
+         {umul(f"CAST(unicode(substr(sym, CAST(cpos AS INT)+1, 1)) AS HUGEINT)", f"({_pow_list(mwl)})[cpos+1]")} AS term
+  FROM schars
+),
+spoly AS (SELECT w, pos, sum(term) % {W} AS h0 FROM sterm GROUP BY w, pos),
+shp AS (SELECT f.w, f.pos, coalesce(h0, 0) AS h0 FROM fin f LEFT JOIN spoly USING (w, pos)),
+ssm AS (SELECT w, pos, {splitmix_cols("h0", "sh")} FROM shp),
+stok AS (SELECT w, pos, sh % 2147483648 AS tok FROM ssm),
+wcnt AS (SELECT w, count(*) AS c FROM stok GROUP BY w),
+dw AS (SELECT wr.doc_id, wr.wpos, wr.w, coalesce(wcnt.c, 0) AS c
+       FROM wr LEFT JOIN wcnt USING (w)),
+ofs AS (SELECT doc_id, wpos, w, c,
+               sum(c) OVER (PARTITION BY doc_id ORDER BY wpos) - c AS off,
+               sum(c) OVER (PARTITION BY doc_id) AS n_sub,
+               count(*) OVER (PARTITION BY doc_id) AS n_words
+        FROM dw),
+terms AS (
+  SELECT o.doc_id, s.tok * ({pows31})[CAST(o.n_sub - o.off - s.pos AS BIGINT)] AS v
+  FROM ofs o JOIN stok s ON s.w = o.w
+),
+chk AS (SELECT doc_id, sum(v) % {W} AS cs FROM terms GROUP BY doc_id),
+ln AS (SELECT doc_id, max(n_words) AS n_words, max(n_sub) AS n_sub FROM ofs GROUP BY doc_id)
+SELECT l.doc_id, CAST(l.n_words AS BIGINT) AS n_words,
+       CAST(l.n_sub AS BIGINT) AS n_subwords,
+       coalesce({to_int64("chk.cs")}, 0) AS bpe_checksum
+FROM ln l LEFT JOIN chk USING (doc_id)"""
+
+
 def cdc_chunk_ledger_sql(
     g: int = 4,
     mask_bits: int = 3,

@@ -510,6 +510,131 @@ def bpe_learn(
     return merges
 
 
+#: the r5 demo tokenizer: 10 merges learned from the sf0.01 corpus with
+#: bpe_learn (count-desc/pair-asc tie-break) — frozen as literals so the
+#: encode operator and its SQL mirror apply the IDENTICAL merge table
+DEMO_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned BPE merge table — the encode half of tokenizer
+    induction (GPT-2-style: per word, repeatedly merge the present pair
+    with the LOWEST merge rank, all occurrences left-to-right
+    non-overlapping, until no listed pair remains). Completes the
+    induction (bpe_merge_round/bpe_learn) → application → packing chain.
+
+    Certified output per doc: subword count + the reference polynomial
+    checksum ``Σ tok_i·31^(n−1−i) mod 2^64`` over the flattened subword
+    token stream (tok = splitmix64 word-hash of the subword string mod
+    2^31 — the same token derivation the north-rule corpus invariant
+    uses), so the oracle certifies the exact token SEQUENCE, not just
+    counts.
+
+    Scale shape: one Arrow scan; encoding is memoized per DISTINCT word
+    within each batch (the classic BPE-encode cache — corpus token cost
+    collapses to vocabulary cost), checksum folded in wrap-native uint64
+    numpy. No shuffle at all."""
+    if merges is None:
+        merges = DEMO_MERGES
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+
+    out_t = T.StructType(
+        [
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_subwords", T.LongType()),
+            T.StructField("bpe_checksum", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def enc(words_s: pd.Series) -> pd.DataFrame:
+        from forecaster_spark.functions import xhash
+
+        memo: dict[str, list[str]] = {}
+
+        def encode(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                l, rr = merges[best]
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                        res.append(l + rr)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            memo[w] = syms
+            return syms
+
+        rows = words_s.to_numpy()
+        n = len(rows)
+        seqs: list[list[str]] = []
+        n_words = np.zeros(n, np.int64)
+        isnull = np.zeros(n, bool)
+        for i, ws in enumerate(rows):
+            if ws is None:
+                isnull[i] = True
+                seqs.append([])
+            else:
+                n_words[i] = len(ws)
+                flat: list[str] = []
+                for w in ws:
+                    flat.extend(encode(w))
+                seqs.append(flat)
+        lens = np.fromiter((len(s) for s in seqs), np.int64, count=n)
+        all_syms: list[str] = [s for seq in seqs for s in seq]
+        toks = xhash.word_hash_flat(all_syms) & np.uint64((1 << 31) - 1)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        max_n = int(lens.max()) if n else 1
+        pow31 = np.array(
+            [pow(31, j, 1 << 64) for j in range(max(max_n, 1))], dtype=np.uint64
+        )
+        rank_in_doc = np.arange(len(toks), dtype=np.int64) - np.repeat(starts, lens)
+        expo = np.repeat(lens, lens) - 1 - rank_in_doc
+        term = toks * pow31[expo] if len(toks) else np.empty(0, np.uint64)
+        csum = np.concatenate(([np.uint64(0)], np.cumsum(term, dtype=np.uint64)))
+        sums = (csum[ends] - csum[starts]).astype(np.uint64).view(np.int64)
+        out = pd.DataFrame(
+            {"n_words": n_words, "n_subwords": lens, "bpe_checksum": sums}
+        )
+        for c in out.columns:
+            out[c] = out[c].astype(object)
+            out.loc[isnull, c] = None
+        return out
+
+    res = df.withColumn("_enc", enc(_words(text_col)))
+    return (
+        res.where(F.col(text_col).isNotNull())
+        .select(
+            id_col,
+            F.col("_enc.n_words").alias("n_words"),
+            F.col("_enc.n_subwords").alias("n_subwords"),
+            F.col("_enc.bpe_checksum").alias("bpe_checksum"),
+        )
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition signals per document — the
     boilerplate/degenerate-text filter stage of a training-data pipeline

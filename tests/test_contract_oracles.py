@@ -68,6 +68,7 @@ QUERIES = [
     "semantic_contamination_embeddings",
     "span_removal_k16_documents",
     "cdc_chunk_ledger_documents",
+    "bpe_encode_documents",
 ]
 
 

@@ -356,6 +356,62 @@ def test_bpe_learn_matches_sennrich_reference(spark):
     assert (first["left_s"], first["right_s"], first["pair_n"]) == expected[0]
 
 
+def test_bpe_encode_matches_reference_encoder(spark):
+    """bpe_encode ≡ the classic GPT-2-style reference encoder (min-rank
+    merge loop, left-to-right non-overlap) on an edge corpus — counts AND
+    the exact subword sequences (via per-doc token checksums recomputed
+    from the reference's symbol stream)."""
+    from forecaster_spark.functions import xhash
+    from forecaster_spark.operators.textops import DEMO_MERGES, bpe_encode
+
+    ranks = {p: i for i, p in enumerate(DEMO_MERGES)}
+
+    def ref_encode(w):
+        syms = list(w)
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            l, rr = DEMO_MERGES[best]
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    res.append(l + rr)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    texts = [
+        (0, "lower slower stow stern merger partner"),
+        (1, "  spaced   out  "),
+        (2, "ststst atatat inin a"),
+        (3, "über naïve ROW lower"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    got = bpe_encode(df).toPandas().set_index("doc_id")
+    for doc_id, text in texts:
+        words = text.lower().split(" ")  # keep empties, like WS_SPLIT on ' '
+        flat = [s for w in words for s in ref_encode(w)]
+        toks = (xhash.word_hash_flat(flat) & np.uint64((1 << 31) - 1)) if flat else []
+        n = len(flat)
+        cs = 0
+        for i, t in enumerate(toks):
+            cs = (cs + int(t) * pow(31, n - 1 - i, 1 << 64)) % (1 << 64)
+        cs = cs - (1 << 64) if cs >= 1 << 63 else cs
+        assert got.loc[doc_id, "n_subwords"] == n, doc_id
+        assert got.loc[doc_id, "bpe_checksum"] == cs, doc_id
+    # sanity: the learned merges actually compress (subwords < chars)
+    chars = sum(len(w) for _d, t in texts for w in t.split())
+    assert got["n_subwords"].sum() < chars
+
+
 def test_semantic_dedup_planted_recall(spark):
     """SemDeDup composition on a planted near-dup set: 3 groups of vectors
     within cosine ≥ 0.999 of each other plus isolated noise vectors. Every
