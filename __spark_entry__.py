@@ -2410,6 +2410,21 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_source_token_budget(spark, sf_dir):
+    """Per-source TOKEN-budget cap (r5): uniform hash-order subsample per
+    source until 800 whitespace tokens — the curation stage bounding each
+    source's contribution by token MASS, not row count. The engine runs
+    the giant-stratum-safe hash-RANGE-sharded two-phase running sum (the
+    kruskal recipe); the oracle computes the direct single-window form,
+    so the sharded decomposition itself is cross-checked bit-for-bit."""
+    from forecaster_spark.operators.sampling import source_token_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    return source_token_budget(docs, budget=800, seed=11).select(
+        "doc_id", "source", "n_tok", "run_tok", "kept"
+    )
+
+
 def q_gini_doclen(spark, sf_dir):
     """Gini concentration of document lengths per source (Lorenz rank
     form) — all-BIGINT numerator/denominator, ppm by integer division."""
@@ -3604,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_detect_events": q_peak_detect,
         "theta_forecast_events_1h": q_theta_forecast,
         "stratified_sample_documents": q_stratified_sample,
+        "source_token_budget_documents": q_source_token_budget,
         "gini_doclen_documents": q_gini_doclen,
         "zorder_zonemap_events": q_zorder_zonemap,
         "compaction_plan_events": q_compaction_plan,
@@ -3800,6 +3816,12 @@ def _stratified_sample_oracle() -> str:
     from forecaster_spark.operators.sampling import stratified_sample_sql
 
     return stratified_sample_sql(frac_num=1, frac_den=5, seed=11)
+
+
+def _source_token_budget_oracle() -> str:
+    from forecaster_spark.operators.sampling import source_token_budget_sql
+
+    return source_token_budget_sql(budget=800, seed=11)
 
 
 def _zorder_zonemap_oracle() -> str:
@@ -6226,6 +6248,7 @@ SELECT l.source, CAST(hh.h AS BIGINT) AS h, l.level,
 FROM lvl l JOIN sl s USING (source),
      (SELECT unnest(generate_series(1, 3)) AS h) hh""",
         "stratified_sample_documents": _stratified_sample_oracle(),
+        "source_token_budget_documents": _source_token_budget_oracle(),
         "gini_doclen_documents": """
 WITH r AS (
   SELECT source, CAST(n_chars AS BIGINT) AS x,

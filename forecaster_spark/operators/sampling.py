@@ -255,6 +255,110 @@ SELECT r.{id_col}, r.{group_col}, r.bucket, r.rk, q.quota, r.rk <= q.quota AS ke
 FROM rk r JOIN q USING ({group_col})"""
 
 
+def source_token_budget(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 11,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-source TOKEN-budget cap — the curation stage that bounds every
+    source's contribution to a training mix by token mass, not row count:
+    documents are taken in deterministic splitmix64-hash order (a uniform
+    subsample) until each source's running whitespace-token sum exceeds
+    ``budget``; the doc that crosses the line is the last one kept.
+
+    Scale shape — the giant-stratum sort the quota sampler documents as
+    its trade is AVOIDED here: the running sum is computed by hash-RANGE
+    sharding (the kruskal two-pass ranking recipe): shard = the hash's
+    top bits (shards are contiguous unsigned-hash ranges, so shard order
+    ≡ hash order), per-(source, shard) partial sums roll up into a
+    |sources|·n_shards-row offset table (broadcast), and each shard's
+    interior running sum is a window over ~1/n_shards of the stratum.
+    Bit-identical to the single-window form — the DuckDB oracle computes
+    it THAT way, so the sharding itself is cross-checked.
+
+    Output: (id, group, n_tok, run_tok, kept) — run_tok is the inclusive
+    running sum in hash order; kept = run_tok − n_tok < budget (every
+    source keeps at least its first document)."""
+    from forecaster_spark.operators.textops import WS_SPLIT
+
+    mult = np.uint64(2 * seed + 1)
+    shift = 64 - int(n_shards).bit_length() + 1  # top log2(n_shards) bits
+    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+
+    @F.pandas_udf(T.LongType())
+    def hash_of(ids: pd.Series) -> pd.Series:
+        u = ids.to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.Series(xhash.splitmix64(u * mult).view(np.int64))
+
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), WS_SPLIT)).cast("long")
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col), F.col(group_col), n_tok.alias("n_tok"),
+            hash_of(F.col(id_col)).alias("_h"),
+        )
+        .withColumn("_shard", F.expr(f"shiftrightunsigned(_h, {shift})"))
+    )
+    shard_sums = base.groupBy(group_col, "_shard").agg(F.sum("n_tok").alias("_ss"))
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_sums.withColumn(
+        "_off", F.coalesce(F.sum("_ss").over(woff), F.lit(0))
+    ).select(group_col, "_shard", "_off")
+    uns = F.col("_h").bitwiseXOR(F.lit(-(1 << 63)))  # unsigned order
+    wrun = (
+        Window.partitionBy(group_col, "_shard")
+        .orderBy(uns.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.withColumn("_run_local", F.sum("n_tok").over(wrun))
+        .join(F.broadcast(offsets), [group_col, "_shard"])
+        .select(
+            id_col,
+            group_col,
+            "n_tok",
+            (F.col("_off") + F.col("_run_local")).alias("run_tok"),
+            ((F.col("_off") + F.col("_run_local") - F.col("n_tok")) < budget).alias(
+                "kept"
+            ),
+        )
+    )
+
+
+def source_token_budget_sql(
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 11,
+    source_sql: str = "SELECT doc_id, source, text FROM documents",
+) -> str:
+    """DuckDB oracle for :func:`source_token_budget` — deliberately the
+    UNSHARDED single-window form (running sum over the full per-source
+    hash order), so the engine's range-sharded two-phase decomposition is
+    cross-checked against the direct algorithm."""
+    mult = (2 * seed + 1) % W
+    return f"""
+WITH src AS (SELECT {id_col}, {group_col},
+                    CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok
+             FROM ({source_sql}) WHERE text IS NOT NULL),
+hx AS (SELECT *, {umul_c(f"(CAST({id_col} AS HUGEINT) % {W} + {W}) % {W}", mult)} AS x0 FROM src),
+hs AS (SELECT {id_col}, {group_col}, n_tok, {splitmix_cols("x0", "h")} FROM hx),
+run AS (SELECT {id_col}, {group_col}, n_tok,
+               sum(n_tok) OVER (PARTITION BY {group_col} ORDER BY h, {id_col}) AS run_tok
+        FROM hs)
+SELECT {id_col}, {group_col}, n_tok, CAST(run_tok AS BIGINT) AS run_tok,
+       run_tok - n_tok < {budget} AS kept
+FROM run"""
+
+
 def mixture_allocation(
     df: DataFrame,
     group_col: str = "source",

@@ -69,6 +69,7 @@ QUERIES = [
     "span_removal_k16_documents",
     "cdc_chunk_ledger_documents",
     "bpe_encode_documents",
+    "source_token_budget_documents",
 ]
 
 

@@ -356,6 +356,36 @@ def test_bpe_learn_matches_sennrich_reference(spark):
     assert (first["left_s"], first["right_s"], first["pair_n"]) == expected[0]
 
 
+def test_source_token_budget_semantics(spark):
+    """Budget-cap semantics: within each source's hash order the doc that
+    CROSSES the budget is the last kept and everything after is dropped;
+    a single giant source (the skew case the sharded form exists for)
+    agrees with a direct python replay."""
+    from forecaster_spark.functions import xhash
+    from forecaster_spark.operators.sampling import source_token_budget
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, "giant", " ".join("w" * 1 for _ in range(int(rng.integers(1, 30)))))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    got = source_token_budget(df, budget=500, seed=11).toPandas()
+    # python replay: sort by (splitmix(id*23), id), running sum
+    mult = np.uint64(23)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    h = xhash.splitmix64(ids.view(np.uint64) * mult)
+    ntok = np.array([len(r[2].split()) for r in rows])
+    order = np.lexsort((ids, h))
+    run = np.cumsum(ntok[order])
+    kept_ids = set(ids[order][np.flatnonzero(run - ntok[order] < 500)])
+    assert set(got[got.kept].doc_id) == kept_ids
+    # boundary: last kept crosses the line, first dropped starts past it
+    kept_sorted = got[got.kept].sort_values("run_tok")
+    assert kept_sorted.run_tok.iloc[-1] >= 500
+    assert (got[~got.kept].run_tok - got[~got.kept].n_tok >= 500).all()
+
+
 def test_bpe_encode_matches_reference_encoder(spark):
     """bpe_encode ≡ the classic GPT-2-style reference encoder (min-rank
     merge loop, left-to-right non-overlap) on an edge corpus — counts AND
