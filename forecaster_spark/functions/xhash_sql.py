@@ -610,7 +610,7 @@ FROM ln l LEFT JOIN chk k USING (doc_id)"""
 
 def bpe_encode_sql(
     merges: list[tuple[str, str]],
-    max_tok: int = 2048,
+    max_tok: int = 8192,
     doc_source_sql: str = "SELECT doc_id, text FROM documents",
 ) -> str:
     """Oracle for ``textops.bpe_encode``: the GPT-2-style BPE encoder as a
@@ -627,7 +627,13 @@ def bpe_encode_sql(
     Merge ranks are inlined as a chr(31)-separated key list — symbols
     never contain the separator (initial symbols are single codepoints,
     merged symbols concatenate merge outputs), so the key encoding is
-    injective."""
+    injective.
+
+    ``max_tok`` bounds the per-doc SUBWORD count (worst case = total
+    codepoints when no merge applies — NOT the word count): past it the
+    31-power list index returns NULL and sum() silently drops the term
+    (the word_hash max_word_len lesson), so it is sized 8192 ≈ 5× the
+    testdata's worst-case codepoint bound; a pytest pins the margin."""
     keys = ", ".join(
         "'" + l.replace("'", "''") + "' || chr(31) || '" + r.replace("'", "''") + "'"
         for l, r in merges

@@ -1076,11 +1076,18 @@ def cdc_chunk_ledger(
         starts = ends - lens
         row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
         powers = xhash.pow_table(max(g, int(lens.max()) if n else 1) or 1)
-        # rolling g-window hash keyed by window START (the shingle combine)
-        gw = np.zeros(max(nf - (g - 1), 0), dtype=np.uint64)
-        for j in range(g):
-            gw += flat[j : nf - (g - 1) + j] * powers[j]
-        gw = _splitmix(gw)
+        # rolling g-window hash keyed by window START (the shingle combine);
+        # guard nf < g: the slice end nf-(g-1)+j would go NEGATIVE and wrap
+        # into a non-empty slice against the empty gw (review-caught crash
+        # for g >= 5 on a short batch)
+        n_win = nf - (g - 1)
+        if n_win > 0:
+            gw = np.zeros(n_win, dtype=np.uint64)
+            for j in range(g):
+                gw += flat[j : n_win + j] * powers[j]
+            gw = _splitmix(gw)
+        else:
+            gw = np.empty(0, dtype=np.uint64)
         # cut AFTER flat position e = s + g - 1 for in-doc windows whose
         # hash has the low mask_bits zero
         cut_after = np.zeros(nf, dtype=bool)
@@ -1089,12 +1096,12 @@ def cdc_chunk_ledger(
             valid = (s_idx - starts[row_of[s_idx]]) <= (lens[row_of[s_idx]] - g)
             hit = valid & ((gw & np.uint64(mask)) == 0)
             cut_after[s_idx[hit] + (g - 1)] = True
-        # chunk starts: doc starts + positions right after a cut
+        # chunk starts: doc starts + positions right after a cut (an OR —
+        # a doc-start position stays a start regardless of cut flags)
         startflag = np.zeros(nf, dtype=bool)
-        startflag[starts[lens > 0]] = True
         if nf > 1:
-            startflag[1:] |= cut_after[:-1]
-            startflag[starts[lens > 0]] = True  # doc boundary overrides
+            startflag[1:] = cut_after[:-1]
+        startflag[starts[lens > 0]] = True
         cstart_idx = np.flatnonzero(startflag)
         pos = np.arange(nf, dtype=np.int64)
         last_start = np.maximum.accumulate(np.where(startflag, pos, -1))

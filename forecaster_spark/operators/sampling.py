@@ -286,8 +286,11 @@ def source_token_budget(
     from forecaster_spark.operators.textops import WS_SPLIT
 
     mult = np.uint64(2 * seed + 1)
-    shift = 64 - int(n_shards).bit_length() + 1  # top log2(n_shards) bits
-    assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
+    if n_shards < 1 or n_shards & (n_shards - 1) != 0:
+        raise ValueError("n_shards must be a power of two >= 1")
+    # top log2(n_shards) bits; n_shards=1 needs a literal 0 — Java masks
+    # shift amounts mod 64, so shiftrightunsigned(h, 64) would be h itself
+    shift = 64 - int(n_shards).bit_length() + 1
 
     @F.pandas_udf(T.LongType())
     def hash_of(ids: pd.Series) -> pd.Series:
@@ -301,7 +304,12 @@ def source_token_budget(
             F.col(id_col), F.col(group_col), n_tok.alias("n_tok"),
             hash_of(F.col(id_col)).alias("_h"),
         )
-        .withColumn("_shard", F.expr(f"shiftrightunsigned(_h, {shift})"))
+        .withColumn(
+            "_shard",
+            F.lit(0).cast("long")
+            if n_shards == 1
+            else F.expr(f"shiftrightunsigned(_h, {shift})"),
+        )
     )
     shard_sums = base.groupBy(group_col, "_shard").agg(F.sum("n_tok").alias("_ss"))
     woff = (
@@ -318,9 +326,19 @@ def source_token_budget(
         .orderBy(uns.asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # eqNullSafe on the group key (the r4 retraction-join rule): a NULL
+    # source is a legal bucket — plain `=` would silently drop its docs
+    # while the oracle's PARTITION BY keeps them
+    withrun = base.withColumn("_run_local", F.sum("n_tok").over(wrun))
+    off2 = offsets.withColumnRenamed(group_col, "_g2").withColumnRenamed(
+        "_shard", "_s2"
+    )
     return (
-        base.withColumn("_run_local", F.sum("n_tok").over(wrun))
-        .join(F.broadcast(offsets), [group_col, "_shard"])
+        withrun.join(
+            F.broadcast(off2),
+            withrun[group_col].eqNullSafe(F.col("_g2"))
+            & (withrun["_shard"] == F.col("_s2")),
+        )
         .select(
             id_col,
             group_col,

@@ -649,13 +649,20 @@ def semantic_contamination(
     quantization boundary; dropping eval rows from train is what
     decontamination does anyway)."""
     rows = bench.select(vec_col).collect()
-    if not rows:
-        raise ValueError("bench set is empty")
-    B = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    B = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows]) if rows else np.empty((0, dim))
+    if B.size and B.shape[1] != dim:
+        raise ValueError(f"bench vectors have dim {B.shape[1]}, expected {dim}")
     m, d = B.shape
     ab = np.zeros(m)
     for j in range(d):  # sequential fold, same drift class as the oracle
         ab = ab + B[:, j] * B[:, j]
+    # zero-norm bench vectors define no direction — exclude them (their
+    # cosine is 0/0 NaN on every pair, which would poison the row max)
+    keep_b = ab > 0
+    B, ab = B[keep_b], ab[keep_b]
+    m = B.shape[0]
+    if m == 0:
+        raise ValueError("bench set is empty (or all zero-norm)")
     sab = np.sqrt(ab)
 
     @F.pandas_udf(T.DoubleType())
@@ -669,13 +676,16 @@ def semantic_contamination(
             aq = aq + M[:, j] * M[:, j]
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = acc / (np.sqrt(aq)[:, None] * sab[None, :])
-        return pd.Series(cos.max(axis=1))
+        mc = cos.max(axis=1)
+        # zero-norm corpus vectors: no direction -> defined as NOT
+        # contaminated, max cosine NULL (ANSI floor(NaN) would abort)
+        return pd.Series(np.where(aq > 0, mc, np.nan)).where(pd.Series(aq > 0))
 
     mc = max_cos(F.col(vec_col))
     return corpus.select(
         id_col,
         F.floor(mc * per_unit).cast("long").alias("max_cos_u6"),
-        (mc >= F.lit(threshold)).alias("contaminated"),
+        F.coalesce(mc >= F.lit(threshold), F.lit(False)).alias("contaminated"),
     )
 
 
@@ -687,16 +697,22 @@ def semantic_contamination_sql(
 ) -> str:
     """DuckDB oracle for :func:`semantic_contamination`: brute max cosine
     vs the bench subset (``list_cosine_similarity``), identical floor
-    quantization and threshold decision."""
+    quantization and threshold decision; zero-norm vectors mirror the
+    engine's defined semantics (bench side excluded, corpus side → NULL
+    max / contaminated false)."""
+    norm2 = "list_reduce(list_transform(CAST({v} AS DOUBLE[]), x -> x * x), (a, b) -> a + b)"
     return f"""
-WITH b AS (SELECT embedding AS bv FROM embeddings WHERE {bench_filter}),
-c AS (SELECT vec_id, embedding FROM embeddings WHERE {corpus_filter}),
+WITH b AS (SELECT embedding AS bv FROM embeddings
+           WHERE {bench_filter} AND {norm2.format(v="embedding")} > 0),
+c AS (SELECT vec_id, embedding, {norm2.format(v="embedding")} > 0 AS ok
+      FROM embeddings WHERE {corpus_filter}),
 sc AS (SELECT c.vec_id,
-              max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-                                         CAST(b.bv AS DOUBLE[]))) AS mc
+              CASE WHEN any_value(c.ok) THEN
+                max(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                           CAST(b.bv AS DOUBLE[]))) END AS mc
        FROM c CROSS JOIN b GROUP BY c.vec_id)
 SELECT vec_id, CAST(floor(mc * {per_unit}) AS BIGINT) AS max_cos_u6,
-       mc >= {threshold!r} AS contaminated
+       coalesce(mc >= {threshold!r}, false) AS contaminated
 FROM sc"""
 
 
