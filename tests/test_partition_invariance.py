@@ -43,6 +43,18 @@ SUBSET = [
     "data_loader_batches_events",
     "retract_rebuild_1m_events",
     "arch1_vol_forecast_events_1h",
+    # r5 kernels: batch-local memoization (bpe), flat-stream reduceat
+    # (cdc), sharded running sums (budget), within-cluster pairing
+    # (semantic dedup), closure broadcast scan (contamination), trailing-m
+    # panel (FE pooled AR) — all must be pure functions of table contents
+    "bpe_encode_documents",
+    "cdc_chunk_ledger_documents",
+    "source_token_budget_documents",
+    "semantic_dedup_embeddings",
+    "semantic_contamination_embeddings",
+    "pooled_ar_fe_forecast_events_1h",
+    "duplicated_spans_k16_documents",
+    "video_frame_luma_synth",
 ]
 
 SRC = "/root/testdata/sf0.001"
